@@ -1,0 +1,229 @@
+"""HTML extraction kernels with reference-parity semantics.
+
+Re-implements, row-locally and from scratch, the behavior of the
+reference's Rust parser/converter front half:
+
+- ``clean_html`` / unwanted-element removal  (ref ``src/html_parser.rs:104-126``)
+- ``extract_main_content``                   (ref ``src/html_parser.rs:63-86``)
+- ``extract_links``                          (ref ``src/html_parser.rs:214-252``)
+- ``resolve_url``                            (ref ``src/html_parser.rs:268-278``)
+- ``get_element_text``                       (ref ``src/html_parser.rs:293-301``)
+- ``parse_html_to_document``                 (ref ``src/markdown_converter.rs:76-323``)
+
+Intentional quirks preserved (SURVEY.md §7.5): headings are emitted in
+level order h1..h6 then document order within a level; the ``pre, code``
+selector double-counts ``<pre><code>`` pairs; list item extraction
+flattens nested ``li`` descendants; the link predicate differs between
+``extract_links`` and the Document link pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+from .dom import Node, parse_html
+
+# combined unwanted-element selector — same element list as the
+# reference's SELECTOR_CACHE["unwanted_elements"] (src/html_parser.rs:31-35)
+UNWANTED_SELECTOR = (
+    "script, style, iframe, noscript, .advertisement, .ad, .banner, "
+    "#cookie-notice, header, footer, nav, .sidebar, .menu, .comments, "
+    ".related, .share, .social"
+)
+
+MAIN_CONTENT_SELECTOR = "main, article, #content, .content"
+_MAIN_FALLBACKS = ("main", "article", "#content", ".content", "body")
+
+
+def clean_dom(root: Node) -> Node:
+    """Remove unwanted elements from a parsed tree, in place."""
+    for el in root.select(UNWANTED_SELECTOR):
+        el.detach()
+    return root
+
+
+def clean_html(html: str) -> str:
+    """Parse, strip unwanted elements, re-serialize."""
+    return clean_dom(parse_html(html)).to_html()
+
+
+def extract_main_content(html: str) -> Node:
+    """First match of the combined main-content selector, else the
+    fallback chain main → article → #content → .content → body, else the
+    whole document."""
+    root = parse_html(html)
+    el = root.select_one(MAIN_CONTENT_SELECTOR)
+    if el is not None:
+        return el
+    for sel in _MAIN_FALLBACKS:
+        el = root.select_one(sel)
+        if el is not None:
+            return el
+    return root
+
+
+def _norm_join(base_url: str, href: str) -> Optional[str]:
+    """RFC-join ``href`` against ``base_url`` and normalize the way the
+    Rust ``url`` crate's ``Url::to_string`` does for http(s): lowercase
+    scheme+host, empty path on an authority URL becomes ``/``."""
+    try:
+        joined = urljoin(base_url, href)
+        parts = urlsplit(joined)
+    except ValueError:
+        return None
+    if not parts.scheme or not parts.netloc:
+        return None
+    path = parts.path or "/"
+    return urlunsplit(
+        (parts.scheme.lower(), parts.netloc.lower(), path, parts.query, parts.fragment)
+    )
+
+
+def resolve_url_against_base(base_url: str, href: str) -> Optional[str]:
+    """Link predicate used by the Document link/image passes
+    (ref ``src/markdown_converter.rs:282-302``)."""
+    href = href.strip()
+    low = href.lower()
+    if (
+        not href
+        or href.startswith("#")
+        or low.startswith("javascript:")
+        or low.startswith("data:")
+        or " " in href
+        or href.startswith(":")
+        or ":::" in href
+    ):
+        return None
+    return _norm_join(base_url, href)
+
+
+def resolve_url(base_url: str, relative_url: str) -> str:
+    """Absolute passthrough, else join (ref ``src/html_parser.rs:268-278``)."""
+    if relative_url.startswith(("http://", "https://")):
+        return relative_url
+    resolved = _norm_join(base_url, relative_url)
+    if resolved is None:
+        raise ValueError(f"cannot resolve {relative_url!r} against {base_url!r}")
+    return resolved
+
+
+def get_element_text(el: Node) -> str:
+    """Join text nodes with single spaces, collapse whitespace."""
+    parts = []
+    stack = list(reversed(el.children))
+    while stack:
+        node = stack.pop()
+        if node.tag is None:
+            parts.append(node.text)
+        else:
+            stack.extend(reversed(node.children))
+    return " ".join(" ".join(parts).split())
+
+
+def extract_links(html: str, base_url: str) -> list[str]:
+    """Unique absolute URLs from ``a[href]``, sorted
+    (ref ``src/html_parser.rs:214-252``).
+
+    Predicate here differs from the Document pass: only ``javascript:`` /
+    ``#`` / empty are skipped, and already-absolute http(s) hrefs are
+    passed through verbatim (no normalization).
+    """
+    root = parse_html(html)
+    base_parts = urlsplit(base_url)
+    if not base_parts.scheme:
+        raise ValueError(f"invalid base url {base_url!r}")
+    seen_order: list[str] = []
+    for el in root.select("a[href]"):
+        href = el.attrs.get("href", "")
+        if not href or href.startswith(("javascript:", "#")):
+            continue
+        if href.startswith(("http://", "https://")):
+            seen_order.append(href)
+        else:
+            resolved = _norm_join(base_url, href)
+            if resolved is not None:
+                seen_order.append(resolved)
+    return sorted(set(seen_order))
+
+
+def _el_text(el: Node) -> str:
+    return el.text_content().strip()
+
+
+def parse_html_to_document(html: str, base_url: str) -> dict:
+    """Full page → Document dict (ref ``src/markdown_converter.rs:76-94``).
+
+    Key order matches the reference struct so JSON serialization is
+    field-for-field identical.
+    """
+    parts = urlsplit(base_url)
+    if not parts.scheme or not parts.netloc:
+        raise ValueError(f"invalid base url {base_url!r}")
+
+    root = clean_dom(parse_html(html))
+
+    title_el = root.select_one("title")
+    title = (title_el.text_content() if title_el is not None else "No Title").strip()
+
+    doc = {
+        "title": title,
+        "base_url": base_url,
+        "headings": [],
+        "paragraphs": [],
+        "links": [],
+        "images": [],
+        "lists": [],
+        "code_blocks": [],
+        "blockquotes": [],
+    }
+
+    # headings: by level, then document order within a level (quirk M6a)
+    for level in range(1, 7):
+        for el in root.select(f"h{level}"):
+            text = _el_text(el)
+            if text:
+                doc["headings"].append({"level": level, "text": text})
+
+    for el in root.select("p"):
+        text = _el_text(el)
+        if text:
+            doc["paragraphs"].append(text)
+
+    for el in root.select("a[href]"):
+        text = _el_text(el)
+        if text:
+            url = resolve_url_against_base(base_url, el.attrs.get("href", ""))
+            if url is not None:
+                doc["links"].append({"text": text, "url": url})
+
+    for el in root.select("img[src]"):
+        src = resolve_url_against_base(base_url, el.attrs.get("src", ""))
+        if src is not None:
+            doc["images"].append({"alt": el.attrs.get("alt", "image") or "image",
+                                  "src": src})
+
+    # lists: every ul first, then every ol; items = descendant li (quirk M6e)
+    for tag, ordered in (("ul", False), ("ol", True)):
+        for lst in root.select(tag):
+            items = [t for li in lst.select("li") if (t := _el_text(li))]
+            if items:
+                doc["lists"].append({"ordered": ordered, "items": items})
+
+    # code blocks: `pre, code` double-matches nested pairs (quirk M6f)
+    for el in root.select("pre, code"):
+        code = _el_text(el)
+        if code:
+            lang = next(
+                (c[len("language-"):] for c in el.classes()
+                 if c.startswith("language-")),
+                "",
+            )
+            doc["code_blocks"].append({"language": lang, "code": code})
+
+    for el in root.select("blockquote"):
+        text = _el_text(el)
+        if text:
+            doc["blockquotes"].append(text)
+
+    return doc

@@ -1,0 +1,87 @@
+"""URL scalar functions used in frontier normalization and output naming.
+
+Behavior-parity with the reference's ``markdown_lab/utils/url_utils.py``
+(M16 in SURVEY.md §2.2).  ``normalize_url`` defines URL identity for the
+URL-seen set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional, Tuple
+from urllib.parse import urlparse
+
+_UNSAFE_RE = re.compile(r'[\\/*?:"<>|]')
+
+
+def validate_url(url: str) -> Tuple[bool, Optional[str]]:
+    if not url:
+        return False, "URL cannot be empty"
+    if not url.startswith(("http://", "https://")):
+        return False, "URL must start with http:// or https://"
+    try:
+        if not urlparse(url).netloc:
+            return False, "Invalid URL format"
+    except Exception:
+        return False, "Invalid URL format"
+    return True, None
+
+
+def normalize_url(url: str) -> str:
+    """Strip fragment; strip trailing slash except for the root path.
+
+    This is the identity function for the URL-seen set
+    (ref ``url_utils.py:115-140``).
+    """
+    parts = urlparse(url)
+    path = parts.path if parts.path == "/" else parts.path.rstrip("/")
+    out = f"{parts.scheme}://{parts.netloc}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    return out
+
+
+def url_seen_key(url: str) -> str:
+    """md5 of the normalized URL — the key of the url_seen table
+    (ref cache key scheme ``markdown_lab/core/cache.py:49-58``)."""
+    return hashlib.md5(normalize_url(url).encode("utf-8")).hexdigest()
+
+
+def extract_base_url(url: str) -> str:
+    parts = urlparse(url)
+    return f"{parts.scheme}://{parts.netloc}"
+
+
+def get_domain_from_url(url: str) -> str:
+    return urlparse(url).netloc
+
+
+def is_absolute_url(url: str) -> bool:
+    return url.startswith(("http://", "https://"))
+
+
+def get_url_path_parts(url: str) -> list[str]:
+    return [p for p in urlparse(url).path.strip("/").split("/") if p]
+
+
+def sanitize_filename_part(part: str) -> str:
+    return _UNSAFE_RE.sub("_", part)
+
+
+def get_filename_from_url(url: str, output_format: str) -> str:
+    """Safe output filename with extension; long names get a sha1 suffix
+    (ref ``url_utils.py:46-94``)."""
+    ext_map = {"markdown": ".md", "json": ".json", "xml": ".xml"}
+    ext = ext_map.get(output_format.lower(), f".{output_format}")
+
+    parts = urlparse(url)
+    safe = (parts.netloc + parts.path).replace("/", "_").replace("\\", "_") or "file"
+    safe = safe.split("?", 1)[0].split("#", 1)[0]
+    safe = _UNSAFE_RE.sub("_", safe)
+
+    if len(safe) > 200:
+        suffix = hashlib.sha1(safe.encode("utf-8")).hexdigest()[:10]
+        safe = f"{safe[:200]}_{suffix}"
+    max_total = 255 - len(ext)
+    return f"{safe[:max_total]}{ext}"
