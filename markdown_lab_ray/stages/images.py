@@ -1,0 +1,163 @@
+"""Image payload plumbing: codec, PSNR validation, perceptual hash.
+
+The container has no real image libraries (PIL/cv2 absent), so the
+codec is a clearly-marked deterministic FAKE (SURVEY.md §1.4 +
+input_hint): ``fake_encode``/``fake_decode`` round-trip H×W×3 uint8
+pixel arrays through a small header + zlib stream, with lossy formats
+("jpeg"/"webp") quantizing pixel values so reconstruction error is
+non-zero but bounded (PSNR ≈ 43 dB > the 40 dB gate; "png" is exact).
+The Ray-side plumbing — schema, batch sizes, actor signature, output
+layout — is real and tested; swap ``fake_*`` for PIL/libvips calls on a
+real cluster.
+
+``decode_validate_batch`` is the per-row invariant check from
+BASELINE.json: decoded-pixel PSNR ≥ 40 dB vs the reference decode +
+caption byte-equality.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"FIMG"
+_LOSSY_STEP = 6  # quantization step for fake lossy formats
+
+FORMATS = ("png", "jpeg", "webp")
+
+
+def fake_encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array. Lossy formats quantize first."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    if fmt != "png":
+        pixels = (pixels // _LOSSY_STEP) * _LOSSY_STEP + _LOSSY_STEP // 2
+        pixels = pixels.astype(np.uint8)
+    header = _MAGIC + fmt.encode().ljust(4, b"\0") + struct.pack("<II", w, h)
+    return header + zlib.compress(pixels.tobytes(), level=1)
+
+
+def fake_decode(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode bytes from ``fake_encode`` → ((h, w, 3) uint8, fmt)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not a fake-codec image")
+    fmt = data[4:8].rstrip(b"\0").decode()
+    w, h = struct.unpack("<II", data[8:16])
+    pixels = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
+    return pixels.reshape(h, w, 3), fmt
+
+
+def synth_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Deterministic per-id pattern+noise image (FIXTURES.md §1).
+
+    The base is a low-frequency sinusoid mix whose orientation/phase
+    depend on the id, so distinct ids get distinct perceptual hashes
+    while near-dup copies (same base, small jitter) stay close.
+    """
+    rng = np.random.RandomState(
+        (zlib.crc32(image_id.encode()) ^ seed) & 0x7FFFFFFF)
+    yy, xx = np.mgrid[0:h, 0:w]
+    u = xx / max(w - 1, 1)
+    v = yy / max(h - 1, 1)
+    base = np.zeros((h, w))
+    for _ in range(3):
+        fx, fy = rng.uniform(0.5, 3.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        base += np.sin(2 * np.pi * (fx * u + fy * v) + phase)
+    base = 127 + 40 * base
+    noise = rng.randint(0, 32, size=(h, w, 3))
+    return np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def perceptual_hash(pixels: np.ndarray) -> int:
+    """64-bit mean-pool aHash: grayscale → 8×8 block means → >median bits.
+    Signed int64 (matches the images table ``phash:int64`` column)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > np.median(blocks)).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+class DecodeValidate:
+    """Actor-pool stage: decode image bytes and validate the per-row
+    invariants vs the reference decode (PSNR ≥ 40 dB lossy / exact png,
+    caption equality when an ``alt`` column is present).
+
+    Use as ``ds.map_batches(DecodeValidate, batch_format="pyarrow",
+    batch_size=cfg.image_batch_size, concurrency=N)``.
+    """
+
+    def __init__(self, psnr_gate: float = 40.0, seed: int = 42, ref_fn=None):
+        self.psnr_gate = psnr_gate
+        self.seed = seed
+        # reference decode: callable(image_id, w, h) -> (h, w, 3) uint8.
+        # Defaults to the plain synthetic generator; the synthetic corpus
+        # passes one that also reproduces near-duplicate derivations.
+        self.ref_fn = ref_fn or (
+            lambda image_id, w, h: synth_pixels(image_id, w, h, self.seed))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        alts = (batch.column("alt").to_pylist()
+                if "alt" in batch.column_names else [None] * len(ids))
+        captions = (batch.column("caption").to_pylist()
+                    if "caption" in batch.column_names else [None] * len(ids))
+
+        psnrs, pix_ok, cap_ok, phashes = [], [], [], []
+        for image_id, blob, fmt, w, h, alt, caption in zip(
+                ids, blobs, fmts, ws, hs, alts, captions):
+            try:
+                decoded, _ = fake_decode(blob)
+                reference = self.ref_fn(image_id, w, h)
+                value = psnr(reference, decoded)
+                ok = value == float("inf") if fmt == "png" else value >= self.psnr_gate
+                psnrs.append(min(value, 99.0))
+                pix_ok.append(bool(ok))
+                phashes.append(perceptual_hash(decoded))
+            except Exception:
+                psnrs.append(0.0)
+                pix_ok.append(False)
+                phashes.append(0)
+            cap_ok.append(None if alt is None or caption is None
+                          else alt == caption)
+
+        out = {
+            "image_id": batch.column("image_id"),
+            "fmt": batch.column("fmt"),
+            "psnr_db": pa.array(psnrs, pa.float64()),
+            "pixels_ok": pa.array(pix_ok, pa.bool_()),
+            "caption_ok": pa.array(cap_ok, pa.bool_()),
+            "phash_decoded": pa.array(phashes, pa.int64()),
+        }
+        if "phash" in batch.column_names:
+            out["phash"] = batch.column("phash")
+        return pa.table(out)

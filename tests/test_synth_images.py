@@ -1,0 +1,118 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from markdown_lab_ray.sources.synth import (
+    SiteSpec,
+    SyntheticWeb,
+    build_images_table,
+    image_meta,
+    robots_body,
+    sitemap_body,
+)
+from markdown_lab_ray.stages.images import (
+    DecodeValidate,
+    fake_decode,
+    fake_encode,
+    hamming64,
+    perceptual_hash,
+    psnr,
+    synth_pixels,
+)
+
+SPEC = SiteSpec(n_hosts=9, pages_per_host=10, n_images=50)
+
+
+def test_codec_roundtrip_png_exact():
+    px = synth_pixels("img000001", 20, 30)
+    decoded, fmt = fake_decode(fake_encode(px, "png"))
+    assert fmt == "png"
+    assert np.array_equal(decoded, px)
+
+
+def test_codec_lossy_psnr_gate():
+    px = synth_pixels("img000002", 32, 32)
+    decoded, _ = fake_decode(fake_encode(px, "jpeg"))
+    assert not np.array_equal(decoded, px)
+    assert psnr(px, decoded) >= 40.0
+
+
+def test_codec_rejects_garbage():
+    with pytest.raises(ValueError):
+        fake_decode(b"not an image at all")
+
+
+def test_phash_near_dup_vs_distinct():
+    a = synth_pixels("imgA", 32, 32)
+    near = np.clip(a.astype(np.int16) +
+                   np.random.RandomState(0).randint(-2, 3, a.shape),
+                   0, 255).astype(np.uint8)
+    b = synth_pixels("imgB", 32, 32)
+    assert hamming64(perceptual_hash(a), perceptual_hash(near)) <= 6
+    assert hamming64(perceptual_hash(a), perceptual_hash(b)) > 10
+
+
+def test_images_table_schema_and_determinism():
+    t1 = build_images_table(SPEC)
+    t2 = build_images_table(SPEC)
+    assert t1.num_rows == SPEC.n_images
+    assert t1.equals(t2)
+    assert t1.schema.names == ["image_id", "bytes", "w", "h", "fmt",
+                               "caption", "phash"]
+
+
+def test_decode_validate_stage():
+    from markdown_lab_ray.sources.synth import reference_pixels_fn
+    table = build_images_table(SPEC)
+    out = DecodeValidate(ref_fn=reference_pixels_fn(SPEC))(table)
+    assert all(out.column("pixels_ok").to_pylist())
+    # phash stored == phash recomputed from decode
+    assert out.column("phash").to_pylist() == \
+        out.column("phash_decoded").to_pylist()
+
+
+def test_decode_validate_caption_check():
+    table = build_images_table(SiteSpec(n_images=5)).select(
+        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    good = table.append_column("alt", table.column("caption"))
+    out = DecodeValidate()(good)
+    assert all(out.column("caption_ok").to_pylist())
+    bad = table.append_column("alt", pa.array(["wrong"] * 5))
+    out = DecodeValidate()(bad)
+    assert not any(out.column("caption_ok").to_pylist())
+
+
+def test_web_resolve_pages_and_images():
+    web = SyntheticWeb(SPEC)
+    status, body = web.resolve(SPEC.page_url(0, 3))
+    assert status == 200 and "<h1>" in body
+    image_id, _, _, fmt, _ = image_meta(SPEC, 7)
+    status, blob = web.resolve(f"https://img.example.com/{image_id}.{fmt}")
+    assert status == 200 and isinstance(blob, bytes)
+    assert web.resolve("https://nowhere.example.com/x")[0] == 404
+    assert web.resolve(SPEC.page_url(0, 999))[0] == 404
+
+
+def test_robots_and_sitemap_variants():
+    assert "Sitemap:" in robots_body(SPEC, 0)
+    assert "Sitemap:" not in robots_body(SPEC, 1)
+    assert robots_body(SPEC, 2) is None
+    # robots-declared host serves only the custom sitemap
+    assert sitemap_body(SPEC, 0, "/custom_sitemap.xml") is not None
+    assert sitemap_body(SPEC, 0, "/sitemap.xml") is None
+    # index host: well-known #1 404s, #2 is an index
+    assert sitemap_body(SPEC, 5, "/sitemap.xml") is None
+    assert "sitemapindex" in sitemap_body(SPEC, 5, "/sitemap_index.xml")
+    assert sitemap_body(SPEC, 5, "/sitemap_a.xml") is not None
+    # plain host
+    assert "urlset" in sitemap_body(SPEC, 1, "/sitemap.xml")
+
+
+def test_sitemap_roundtrip_through_kernel():
+    from markdown_lab_ray.kernels.sitemap import parse_sitemap_xml
+    rows, children = parse_sitemap_xml(sitemap_body(SPEC, 1, "/sitemap.xml"))
+    assert len(rows) == SPEC.pages_per_host
+    assert children == []
+    # j%7==0 entries carry no priority (None passes min_priority filters)
+    assert rows[0]["priority"] is None
+    assert rows[1]["priority"] == 0.3
