@@ -1,0 +1,425 @@
+"""Distributed crawl engine: BSP rounds over Ray Data (SURVEY.md §3.4).
+
+Per round the only wide operations are (a) the intra-round dedup
+``groupby(seen_key)`` and (b) the ``groupby(host)`` politeness schedule
+— both keyed shuffles; everything else is ``map_batches`` streaming.
+Every round checkpoints to parquet under ``out_dir/rounds/round=N/``
+(schedule, docs, chunks, frontier_next) plus a ``_MANIFEST.json``, so a
+killed run resumes from the last complete round with per-partition
+lineage (north_rule: resumable with metrics).
+
+Scale notes (10^10-URL frontier):
+- frontier rows are metadata-sized; page payloads never cross a round
+  boundary (docs/chunks are written, links are folded back to rows);
+- URL-seen is O(urls) but sharded + cuckoo-prefiltered (state/seen.py);
+- per-host budget caps each round's fetch volume, so a hot host defers
+  rather than stalls (skew: the schedule shuffle is by host — salt
+  would be added at the groupby key if a single host dominated a
+  partition, documented in state/politeness.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..kernels.html_kernels import extract_links, parse_html_to_document
+from ..kernels.render import document_to_markdown
+from ..state.politeness import round_budget, schedule_group
+from ..state.robots import LocalRobotsCache
+from ..state.seen import SeenProbe, create_seen_shards
+from ..stages.convert import EMPTY_DOC, chunk_explode_batch
+from .crawl_spec import discover_seed_frontier, links_to_frontier_rows
+
+FRONTIER_COLS = ["loc", "lastmod", "changefreq", "priority", "host",
+                 "depth", "seq_no", "seen_key"]
+
+_FRONTIER_PA_SCHEMA = pa.schema([
+    ("loc", pa.string()), ("lastmod", pa.string()),
+    ("changefreq", pa.string()), ("priority", pa.float64()),
+    ("host", pa.string()), ("depth", pa.int64()), ("seq_no", pa.int64()),
+    ("seen_key", pa.string()),
+])
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+class DiscoverStage:
+    """Actor stage: seed URL rows → frontier rows (robots → sitemap
+    recursion → filters), reference discovery semantics."""
+
+    def __init__(self, web_factory, min_priority=None, include_patterns=None,
+                 exclude_patterns=None, limit=None):
+        web = web_factory()
+        self.resolve = web.resolve
+        self.robots = LocalRobotsCache(self.resolve)
+        self.filters = dict(min_priority=min_priority,
+                            include_patterns=include_patterns,
+                            exclude_patterns=exclude_patterns, limit=limit)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for seed, idx in zip(batch.column("seed").to_pylist(),
+                             batch.column("seed_idx").to_pylist()):
+            rows.extend(discover_seed_frontier(
+                self.resolve, self.robots, seed, idx, **self.filters))
+        return frontier_rows_to_table(rows)
+
+
+class RobotsFilterStage:
+    """Drop rows the host's robots rules disallow.  Each actor holds its
+    own robots cache (content is deterministic, so per-actor caches
+    agree; on a real network this would consult the shared cache actor)."""
+
+    def __init__(self, web_factory):
+        self.robots = LocalRobotsCache(web_factory().resolve)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        locs = batch.column("loc").to_pylist()
+        keep = [self.robots.rules_for(h).allows(u) for h, u in zip(hosts, locs)]
+        return batch.filter(pa.array(keep))
+
+
+class FetchStage:
+    """Actor-pool fetch: scheduled rows → +status, html.  For the
+    synthetic web this is a pure lookup; a real deployment gives each
+    actor a connection pool + retry/backoff (reference T2/T9) and the
+    same signature."""
+
+    def __init__(self, web_factory):
+        self.web = web_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        statuses, htmls = [], []
+        for loc in batch.column("loc").to_pylist():
+            status, body = self.web.resolve(loc)
+            statuses.append(status)
+            htmls.append(body if isinstance(body, str) else "")
+        return batch.append_column(
+            "status", pa.array(statuses, pa.int32())
+        ).append_column("html", pa.array(htmls, pa.string()))
+
+
+def crawl_convert_batch(batch: pa.Table) -> pa.Table:
+    """Fetched pages → docs rows: title, markdown payload, outgoing
+    links (M3 semantics), image (alt, src) pairs.  One parse per page;
+    chunks and next-round frontier rows both derive from this table."""
+    locs = batch.column("loc").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    statuses = batch.column("status").to_pylist()
+    depths = batch.column("depth").to_pylist()
+
+    titles, payloads, links_col, images_col = [], [], [], []
+    for loc, html, status in zip(locs, htmls, statuses):
+        if status != 200 or not html:
+            doc, links = dict(EMPTY_DOC, base_url=loc), []
+        else:
+            try:
+                doc = parse_html_to_document(html, loc)
+                links = extract_links(html, loc)
+            except Exception:
+                doc, links = dict(EMPTY_DOC, base_url=loc), []
+        titles.append(doc["title"])
+        payloads.append(document_to_markdown(doc))
+        links_col.append(links)
+        images_col.append(doc["images"])
+
+    return pa.table({
+        "url": pa.array(locs, pa.string()),
+        "host": batch.column("host"),
+        "depth": pa.array(depths, pa.int64()),
+        "status": pa.array(statuses, pa.int32()),
+        "title": pa.array(titles, pa.string()),
+        "payload": pa.array(payloads, pa.string()),
+        "links": pa.array(links_col, pa.list_(pa.string())),
+        "images": pa.array(images_col, pa.list_(pa.struct(
+            [("alt", pa.string()), ("src", pa.string())]))),
+    })
+
+
+def links_explode_batch(batch: pa.Table) -> pa.Table:
+    """Docs rows → next-round frontier candidate rows (with per-batch
+    pre-dedup to shrink the round's dedup shuffle)."""
+    rows = []
+    for depth, links in zip(batch.column("depth").to_pylist(),
+                            batch.column("links").to_pylist()):
+        rows.extend(links_to_frontier_rows(depth, links))
+    best = {}
+    for row in rows:
+        cur = best.get(row["seen_key"])
+        if cur is None or (row["seq_no"], row["loc"]) < (cur["seq_no"], cur["loc"]):
+            best[row["seen_key"]] = row
+    return frontier_rows_to_table(list(best.values()))
+
+
+def frontier_rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {name: [r[name] for r in rows] for name in FRONTIER_COLS}
+        if rows else {name: [] for name in FRONTIER_COLS},
+        schema=_FRONTIER_PA_SCHEMA)
+
+
+def _conform(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a batch to a fixed schema (order + types).  Needed because
+    pandas ``map_groups`` blocks can infer null/object types per block
+    (e.g. an all-None lastmod column), which would break parquet append
+    and ``union`` schema matching."""
+    cols = {}
+    for fld in schema:
+        if fld.name in batch.column_names:
+            col = batch.column(fld.name)
+            cols[fld.name] = col.cast(fld.type) if col.type != fld.type else col
+        else:
+            cols[fld.name] = pa.nulls(batch.num_rows, fld.type)
+    return pa.table(cols, schema=schema)
+
+
+_SCHEDULE_PA_SCHEMA = pa.schema(
+    list(_FRONTIER_PA_SCHEMA)
+    + [pa.field("scheduled", pa.bool_()), pa.field("fetch_order", pa.int64())])
+
+
+def conform_frontier_batch(batch: pa.Table) -> pa.Table:
+    return _conform(batch, _FRONTIER_PA_SCHEMA)
+
+
+def conform_schedule_batch(batch: pa.Table) -> pa.Table:
+    return _conform(batch, _SCHEDULE_PA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    rounds: int = 0
+    fetched: int = 0
+    failed: int = 0
+    manifest: list[dict] = field(default_factory=list)
+
+
+def _round_dir(out_dir: str, round_no: int) -> str:
+    return os.path.join(out_dir, "rounds", f"round={round_no}")
+
+
+def _read_frontier(path: str):
+    """read_parquet that tolerates an empty checkpoint directory."""
+    import glob
+
+    import ray.data as rd
+
+    if not glob.glob(os.path.join(path, "*.parquet")):
+        return rd.from_arrow(frontier_rows_to_table([]))
+    return rd.read_parquet(path)
+
+
+def _dedup_group(df, **_):
+    return df.sort_values(["seq_no", "loc"], kind="mergesort").head(1)
+
+
+def run_crawl_ray(web_factory, seed_urls: list[str],
+                  out_dir: str, cfg: EngineConfig | None = None,
+                  min_priority=None, include_patterns=None,
+                  exclude_patterns=None, limit=None,
+                  resume: bool = False) -> CrawlResult:
+    """Run the BSP crawl.  Ray must already be initialised by the caller
+    (driver/bench/tests own the session)."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    # clamp actor pools to the cluster so a fixed-size pool can't wait
+    # forever for CPUs that don't exist (single-node test sessions)
+    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    fetch_conc = max(1, min(cfg.fetch_concurrency, total_cpus - 2))
+    budget = round_budget(cfg.requests_per_second, cfg.round_seconds)
+    shards = create_seen_shards(cfg.seen_shards, cfg.seen_capacity_per_shard,
+                                cfg.seed)
+    result = CrawlResult(out_dir=out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    start_round = 0
+    frontier = None
+    if resume:
+        start_round, frontier = _restore(out_dir, shards, result)
+
+    if frontier is None:
+        seeds = rd.from_items([
+            {"seed": s, "seed_idx": i} for i, s in enumerate(seed_urls)])
+        frontier = seeds.map_batches(
+            DiscoverStage, batch_format="pyarrow", batch_size=4,
+            concurrency=min(4, max(1, len(seed_urls))),
+            fn_constructor_kwargs=dict(
+                web_factory=web_factory, min_priority=min_priority,
+                include_patterns=include_patterns,
+                exclude_patterns=exclude_patterns, limit=limit)
+        ).materialize()  # frontier rows are metadata-sized
+
+    for round_no in range(start_round, cfg.max_rounds):
+        rdir = _round_dir(out_dir, round_no)
+        if frontier.count() == 0:
+            break
+        os.makedirs(rdir, exist_ok=True)
+
+        # a. intra-round dedup (wide op #1)
+        deduped = frontier.groupby("seen_key").map_groups(
+            _dedup_group, batch_format="pandas")
+        # b. drop already-fetched; c. robots allow
+        candidates = (deduped
+                      .map_batches(SeenProbe(shards, mode="filter_unseen"),
+                                   batch_format="pyarrow")
+                      .map_batches(RobotsFilterStage, batch_format="pyarrow",
+                                   concurrency=(1, 2),
+                                   fn_constructor_kwargs=dict(
+                                       web_factory=web_factory)))
+        # d. per-host schedule (wide op #2) — conformed + checkpointed
+        schedule = candidates.groupby("host").map_groups(
+            lambda df: schedule_group(df, budget), batch_format="pandas"
+        ).map_batches(conform_schedule_batch, batch_format="pyarrow"
+                      ).materialize()
+        schedule.write_parquet(os.path.join(rdir, "schedule"))
+
+        scheduled = schedule.filter(expr="scheduled == True")
+        deferred = schedule.filter(expr="scheduled == False")
+        n_scheduled = scheduled.count()
+        if n_scheduled == 0:
+            entry = {"round": round_no, "scheduled": 0, "fetched": 0,
+                     "failed": 0, "deferred": 0}
+            result.manifest.append(entry)
+            result.rounds = round_no + 1
+            with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
+                json.dump(entry, f)
+            break
+
+        # e. mark seen + fetch + convert; docs checkpoint is the fork point
+        docs = (scheduled
+                .map_batches(SeenProbe(shards, mode="mark"),
+                             batch_format="pyarrow")
+                .map_batches(FetchStage, batch_format="pyarrow",
+                             batch_size=cfg.parse_batch_size,
+                             concurrency=(1, fetch_conc),
+                             fn_constructor_kwargs=dict(
+                                 web_factory=web_factory))
+                .map_batches(crawl_convert_batch, batch_format="pyarrow",
+                             batch_size=cfg.parse_batch_size))
+        docs.write_parquet(os.path.join(rdir, "docs"))
+
+        docs_ds = rd.read_parquet(os.path.join(rdir, "docs"),
+                                  columns=["url", "payload"])
+        chunks = docs_ds.map_batches(
+            chunk_explode_batch, batch_format="pyarrow",
+            batch_size=cfg.chunk_batch_size,
+            fn_kwargs=dict(url_col="url", text_col="payload",
+                           chunk_size=cfg.chunk_size,
+                           chunk_overlap=cfg.chunk_overlap))
+        chunks.write_parquet(os.path.join(rdir, "chunks"))
+
+        link_src = rd.read_parquet(
+            os.path.join(rdir, "docs"), columns=["depth", "links", "status"]
+        ).filter(expr=f"status == 200 and depth < {cfg.max_depth}")
+        new_rows = link_src.map_batches(links_explode_batch,
+                                        batch_format="pyarrow")
+
+        next_frontier = (deferred
+                         .map_batches(conform_frontier_batch,
+                                      batch_format="pyarrow")
+                         .union(new_rows.map_batches(conform_frontier_batch,
+                                                     batch_format="pyarrow")))
+        next_dir = os.path.join(rdir, "frontier_next")
+        next_frontier.write_parquet(next_dir)
+
+        # metrics + manifest
+        docs_stats = rd.read_parquet(os.path.join(rdir, "docs"),
+                                     columns=["status"])
+        ok = docs_stats.filter(expr="status == 200").count()
+        total = docs_stats.count()
+        entry = {
+            "round": round_no, "scheduled": total, "fetched": ok,
+            "failed": total - ok,
+            "deferred": deferred.count(),
+        }
+        result.manifest.append(entry)
+        result.fetched += ok
+        result.failed += total - ok
+        result.rounds = round_no + 1
+        with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
+            json.dump(entry, f)
+
+        frontier = _read_frontier(next_dir).materialize()
+
+    with open(os.path.join(out_dir, "_CRAWL.json"), "w") as f:
+        json.dump({"rounds": result.rounds, "fetched": result.fetched,
+                   "failed": result.failed}, f)
+    return result
+
+
+def _restore(out_dir: str, shards, result: CrawlResult):
+    """Resume support: restore seen-set from completed rounds' schedule
+    checkpoints and return (next_round, frontier Dataset)."""
+    import ray
+    import ray.data as rd
+
+    from ..state.seen import shard_of
+
+    round_no = 0
+    frontier = None
+    while True:
+        rdir = _round_dir(out_dir, round_no)
+        manifest = os.path.join(rdir, "_MANIFEST.json")
+        if not os.path.exists(manifest):
+            break
+        with open(manifest) as f:
+            entry = json.load(f)
+        result.manifest.append(entry)
+        result.fetched += entry["fetched"]
+        result.failed += entry["failed"]
+        result.rounds = round_no + 1
+
+        keys = (rd.read_parquet(os.path.join(rdir, "schedule"),
+                                columns=["seen_key", "scheduled"])
+                .filter(expr="scheduled == True")
+                .to_pandas()["seen_key"].tolist())
+        by_shard: dict[int, list[str]] = {}
+        for key in keys:
+            by_shard.setdefault(shard_of(key, len(shards)), []).append(key)
+        ray.get([shards[s].restore.remote(ks) for s, ks in by_shard.items()])
+
+        frontier = _read_frontier(os.path.join(rdir, "frontier_next"))
+        round_no += 1
+    return round_no, frontier
+
+
+def read_crawl_order(out_dir: str):
+    """Canonical crawl order from the schedule checkpoints:
+    (round, host, fetch_order) ascending."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    frames = []
+    for rdir in sorted(glob.glob(os.path.join(out_dir, "rounds", "round=*"))):
+        round_no = int(rdir.rsplit("=", 1)[1])
+        path = os.path.join(rdir, "schedule")
+        if not os.path.isdir(path):
+            continue
+        df = pq.read_table(path).to_pandas()
+        df = df[df["scheduled"]]
+        df["round"] = round_no
+        frames.append(df[["round", "host", "fetch_order", "loc", "seq_no",
+                          "seen_key"]])
+    if not frames:
+        return pd.DataFrame(columns=["round", "host", "fetch_order", "loc",
+                                     "seq_no", "seen_key"])
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["round", "host", "fetch_order"],
+                           kind="mergesort").reset_index(drop=True)

@@ -1,0 +1,121 @@
+"""The crawl-ordering specification shared by the Ray engine and the
+sequential oracle.
+
+Crawl order must be a deterministic function of (seed list, politeness
+budget) — never of wall-clock completion (SURVEY.md §7.5).  The rule:
+
+1. **Discovery** (per seed, reference ``sitemap_utils.py:309-351``):
+   robots ``Sitemap:`` lines else the four well-known locations, probed
+   in order; the FIRST location whose (recursive) sitemap tree yields
+   URLs wins; sitemap-index children are processed depth-first, each
+   child's URLs appended after its parent's own; a per-host processed
+   set breaks cycles.  Row ``seq_no = seed_idx * SEED_STRIDE +
+   discovery_idx``.
+2. **Rounds** (BSP): each round's candidates are the previous round's
+   deferred rows plus newly discovered links.
+   a. intra-round dedup on ``seen_key = md5(normalize_url(loc))``,
+      keeping the min ``(seq_no, loc)`` row;
+   b. drop rows already fetched (URL-seen check, no marking);
+   c. drop rows the host's robots rules disallow;
+   d. per host: order by ``(-priority, seq_no, loc)`` with absent
+      priority = 0.5 (sitemap-spec default); the first
+      ``round_budget(rps, round_seconds)`` rows are scheduled, the rest
+      deferred to the next round;
+   e. scheduled rows are marked seen (exactly-once) and fetched.
+3. **Link rows** discovered on a fetched page (per-page sorted+deduped,
+   reference M3) get ``priority = None``, ``depth = parent + 1``,
+   ``seq_no = LINK_SEQ_BASE + crc32(normalize_url(dst))`` — i.e. at
+   equal priority, sitemap-discovered URLs order before
+   link-discovered ones, and link order is content-derived, not
+   completion-derived.
+4. **Canonical crawl order** = scheduled rows sorted by
+   ``(round, host, fetch_order)``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from ..kernels.sitemap import (
+    filter_frontier_rows,
+    parse_sitemap_xml,
+    well_known_sitemap_urls,
+)
+from ..kernels.urls import extract_base_url, get_domain_from_url, normalize_url, url_seen_key
+
+SEED_STRIDE = 1_000_000
+LINK_SEQ_BASE = 10 ** 15
+
+
+def link_seq_no(dst_url: str) -> int:
+    return LINK_SEQ_BASE + zlib.crc32(normalize_url(dst_url).encode())
+
+
+def discover_seed_frontier(resolve_fn, robots_cache, seed_url: str,
+                           seed_idx: int,
+                           min_priority=None, include_patterns=None,
+                           exclude_patterns=None, limit=None) -> list[dict]:
+    """Expand one seed into ordered frontier rows (reference discovery
+    semantics; pure given a resolver).  ``robots_cache`` must provide
+    ``rules_for(host)``."""
+    host = get_domain_from_url(seed_url)
+    base = extract_base_url(seed_url)
+    rules = robots_cache.rules_for(host)
+    locations = list(rules.sitemaps) if rules.sitemaps else \
+        well_known_sitemap_urls(base)
+
+    processed: set[str] = set()
+
+    def process(sitemap_url: str) -> list[dict]:
+        if sitemap_url in processed:
+            return []
+        processed.add(sitemap_url)
+        status, body = resolve_fn(sitemap_url)
+        if status != 200 or not body:
+            return []
+        rows, children = parse_sitemap_xml(body)
+        for child in children:
+            rows.extend(process(child))
+        return rows
+
+    discovered: list[dict] = []
+    for location in locations:
+        if rows := process(location):
+            discovered = rows
+            break
+
+    discovered = filter_frontier_rows(discovered, min_priority,
+                                      include_patterns, exclude_patterns,
+                                      limit)
+    out = []
+    for i, row in enumerate(discovered):
+        out.append({
+            "loc": row["loc"],
+            "lastmod": row["lastmod"],
+            "changefreq": row["changefreq"],
+            "priority": row["priority"],
+            "host": get_domain_from_url(row["loc"]),
+            "depth": 0,
+            "seq_no": seed_idx * SEED_STRIDE + i,
+            "seen_key": url_seen_key(row["loc"]),
+        })
+    return out
+
+
+def links_to_frontier_rows(src_depth: int, dst_urls: list[str]) -> list[dict]:
+    """Frontier candidate rows for links found on a fetched page."""
+    out = []
+    for dst in dst_urls:
+        if not dst.startswith(("http://", "https://")):
+            continue
+        out.append({
+            "loc": dst,
+            "lastmod": None,
+            "changefreq": None,
+            "priority": None,
+            "host": get_domain_from_url(dst),
+            "depth": src_depth + 1,
+            "seq_no": link_seq_no(dst),
+            "seen_key": url_seen_key(dst),
+        })
+    return out

@@ -1,0 +1,102 @@
+"""Sequential single-process crawl oracle.
+
+Implements crawl_spec.py step-for-step with plain Python state
+(``LocalSeen``, ``LocalRobotsCache``) — the reference-semantics twin the
+distributed engine must match exactly on crawl order and URL-seen set
+(BASELINE.json north_rule).  Shares every kernel and the scheduler
+(``schedule_group``) with the Ray path so there is ONE source of truth
+for the ordering rules.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..config import EngineConfig
+from ..kernels.html_kernels import extract_links
+from ..state.politeness import round_budget, schedule_group
+from ..state.robots import LocalRobotsCache
+from ..state.seen import LocalSeen
+from .crawl_spec import discover_seed_frontier, links_to_frontier_rows
+
+
+def _dedup_candidates(rows: list[dict]) -> list[dict]:
+    best: dict[str, dict] = {}
+    for row in rows:
+        cur = best.get(row["seen_key"])
+        if cur is None or (row["seq_no"], row["loc"]) < (cur["seq_no"], cur["loc"]):
+            best[row["seen_key"]] = row
+    return list(best.values())
+
+
+def run_crawl_oracle(resolve_fn, seed_urls: list[str],
+                     cfg: EngineConfig | None = None,
+                     min_priority=None, include_patterns=None,
+                     exclude_patterns=None, limit=None) -> dict:
+    """Returns {"order": [loc...], "order_detail": DataFrame,
+    "seen": set(seen_key), "fetched": int, "failed": int}."""
+    cfg = cfg or EngineConfig()
+    robots = LocalRobotsCache(resolve_fn)
+    seen = LocalSeen(cfg.seen_capacity_per_shard, cfg.seed)
+    budget = round_budget(cfg.requests_per_second, cfg.round_seconds)
+
+    candidates: list[dict] = []
+    for idx, seed in enumerate(seed_urls):
+        candidates.extend(discover_seed_frontier(
+            resolve_fn, robots, seed, idx, min_priority, include_patterns,
+            exclude_patterns, limit))
+
+    order_rows: list[dict] = []
+    fetched = failed = 0
+
+    for round_no in range(cfg.max_rounds):
+        if not candidates:
+            break
+        rows = _dedup_candidates(candidates)
+        flags = seen.contains_many([r["seen_key"] for r in rows])
+        rows = [r for r, is_seen in zip(rows, flags) if not is_seen]
+        rows = [r for r in rows if robots.rules_for(r["host"]).allows(r["loc"])]
+
+        scheduled: list[dict] = []
+        deferred: list[dict] = []
+        if rows:
+            frame = pd.DataFrame(rows)
+            for host in sorted(frame["host"].unique()):
+                group = schedule_group(frame[frame["host"] == host], budget)
+                for record in group.to_dict("records"):
+                    (scheduled if record["scheduled"] else deferred).append(record)
+
+        new_flags = seen.check_and_add([r["seen_key"] for r in scheduled])
+        scheduled = [r for r, is_new in zip(scheduled, new_flags) if is_new]
+
+        candidates = [
+            {k: row[k] for k in ("loc", "lastmod", "changefreq", "priority",
+                                 "host", "depth", "seq_no", "seen_key")}
+            for row in deferred
+        ]
+        for row in scheduled:
+            status, body = resolve_fn(row["loc"])
+            order_rows.append({
+                "round": round_no, "host": row["host"],
+                "fetch_order": row["fetch_order"], "loc": row["loc"],
+                "seq_no": row["seq_no"], "status": status,
+            })
+            if status == 200 and isinstance(body, str):
+                fetched += 1
+                if row["depth"] < cfg.max_depth:
+                    candidates.extend(links_to_frontier_rows(
+                        row["depth"], extract_links(body, row["loc"])))
+            else:
+                failed += 1
+
+    detail = pd.DataFrame(order_rows)
+    if not detail.empty:
+        detail = detail.sort_values(["round", "host", "fetch_order"],
+                                    kind="mergesort").reset_index(drop=True)
+    return {
+        "order": detail["loc"].tolist() if not detail.empty else [],
+        "order_detail": detail,
+        "seen": set(seen.snapshot()),
+        "fetched": fetched,
+        "failed": failed,
+    }

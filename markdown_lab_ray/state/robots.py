@@ -1,0 +1,76 @@
+"""Robots rules: parsing + per-host cache.
+
+The reference only scans robots.txt for ``Sitemap:`` lines
+(``sitemap_utils.py:94-127``); the north rule calls for robots cache
+actors with an allow check, so this adds minimal ``Disallow:`` prefix
+handling for ``User-agent: *`` groups (the only agent the engine sends).
+
+``RobotsRules`` is the pure parsed form; ``RobotsCacheActor`` (created
+via ``create_robots_cache``) memoizes one fetch per host.  Stages that
+hold a fetcher locally (the synthetic web) can use ``LocalRobotsCache``
+without actor hops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from ..kernels.sitemap import sitemaps_from_robots
+
+
+@dataclass
+class RobotsRules:
+    sitemaps: list[str] = field(default_factory=list)
+    disallow: list[str] = field(default_factory=list)
+    fetched: bool = False  # False → robots.txt was absent (everything allowed)
+
+    def allows(self, url: str) -> bool:
+        path = urlsplit(url).path or "/"
+        return not any(rule and path.startswith(rule) for rule in self.disallow)
+
+
+def parse_robots(body: str) -> RobotsRules:
+    """Parse sitemap lines plus Disallow rules in ``User-agent: *`` groups."""
+    rules = RobotsRules(sitemaps=sitemaps_from_robots(body), fetched=True)
+    applies = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field_name, value = line.split(":", 1)
+        field_name = field_name.strip().lower()
+        value = value.strip()
+        if field_name == "user-agent":
+            applies = value == "*"
+        elif field_name == "disallow" and applies and value:
+            rules.disallow.append(value)
+    return rules
+
+
+class LocalRobotsCache:
+    """host → RobotsRules, fetching each host's robots.txt once through
+    the provided resolver (``resolve(url) -> (status, body)``)."""
+
+    def __init__(self, resolve_fn):
+        self.resolve_fn = resolve_fn
+        self.cache: dict[str, RobotsRules] = {}
+
+    def rules_for(self, host: str) -> RobotsRules:
+        rules = self.cache.get(host)
+        if rules is None:
+            status, body = self.resolve_fn(f"https://{host}/robots.txt")
+            rules = parse_robots(body) if status == 200 and body else RobotsRules()
+            self.cache[host] = rules
+        return rules
+
+
+def create_robots_cache(resolve_fn):
+    """Robots cache as a Ray actor (shared across fetch actors)."""
+    import ray
+
+    @ray.remote(num_cpus=0.1)
+    class RobotsCacheActor(LocalRobotsCache):
+        pass
+
+    return RobotsCacheActor.remote(resolve_fn)

@@ -1,0 +1,208 @@
+"""URL-seen set: cuckoo-filter shard actors with exact confirmation.
+
+The reference's "seen" state is an exact in-process dict/set (request
+cache ``core/cache.py``, ``processed_sitemaps`` set).  At 10^10-URL
+scale an exact set per node is impossible, so the rebuild uses the
+standard two-tier design (cf. PAPERS.md cuckoo-filter line):
+
+- a **cuckoo filter** (4-slot buckets, 16-bit fingerprints, ~98%+ load
+  capacity, no false negatives) answers "definitely new" in O(1);
+- cuckoo *positives* are confirmed against an **exact per-shard store**
+  so the semantics stay exactly-once (the reference's crawl-order /
+  URL-seen equality gate demands exactness; the filter only exists to
+  make the common "new URL" path cheap and the exact store append-only
+  / spillable).
+
+Shards are addressed by ``crc32(key) % num_shards``; each shard is a
+Ray actor (``SeenShard``) created via ``create_seen_shards``.  The
+``LocalSeen`` variant backs the single-process oracle and unit tests.
+Shards checkpoint their exact store per crawl round for resume.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter over string keys (numpy storage)."""
+
+    def __init__(self, capacity: int, seed: int = 42):
+        n_buckets = 1
+        while n_buckets * 4 < capacity:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.slots = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.rng = np.random.RandomState(seed)
+        self.count = 0
+
+    def _fingerprint_and_index(self, key: str) -> tuple[int, int]:
+        h = zlib.crc32(key.encode())
+        h2 = zlib.crc32(key.encode(), 0x9E3779B9)
+        fp = (h2 & 0xFFFF) or 1
+        return fp, h % self.n_buckets
+
+    def _alt_index(self, index: int, fp: int) -> int:
+        return (index ^ zlib.crc32(bytes([fp & 0xFF, fp >> 8]))) % self.n_buckets
+
+    def contains(self, key: str) -> bool:
+        fp, i1 = self._fingerprint_and_index(key)
+        if fp in self.slots[i1]:
+            return True
+        i2 = self._alt_index(i1, fp)
+        return fp in self.slots[i2]
+
+    def add(self, key: str) -> bool:
+        """Insert; False if the filter is saturated (caller must treat
+        the key as seen-unknown and fall back to the exact store)."""
+        fp, i1 = self._fingerprint_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        for idx in (i1, i2):
+            bucket = self.slots[idx]
+            empty = np.flatnonzero(bucket == 0)
+            if empty.size:
+                bucket[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict loop
+        idx = i1 if self.rng.randint(2) else i2
+        for _ in range(_MAX_KICKS):
+            slot = self.rng.randint(4)
+            fp, self.slots[idx][slot] = int(self.slots[idx][slot]), fp
+            idx = self._alt_index(idx, fp)
+            bucket = self.slots[idx]
+            empty = np.flatnonzero(bucket == 0)
+            if empty.size:
+                bucket[empty[0]] = fp
+                self.count += 1
+                return True
+        return False
+
+    @property
+    def load_factor(self) -> float:
+        return self.count / (self.n_buckets * 4)
+
+
+class _SeenCore:
+    """Filter + exact confirmation; the logic both the actor and the
+    local variant share."""
+
+    def __init__(self, capacity: int = 1 << 20, seed: int = 42):
+        self.filter = CuckooFilter(capacity, seed)
+        self.exact: set[str] = set()
+        self.filter_ok = True
+
+    def check_and_add(self, keys: list[str]) -> list[bool]:
+        """For each key: True iff it was NOT seen before (and mark it
+        seen).  Exactly-once across calls."""
+        out = []
+        for key in keys:
+            if self.filter_ok and not self.filter.contains(key):
+                # guaranteed-new fast path
+                self.exact.add(key)
+                if not self.filter.add(key):
+                    self.filter_ok = False  # saturated: exact-only from here
+                out.append(True)
+            else:
+                # filter positive (or saturated) → exact confirmation
+                if key in self.exact:
+                    out.append(False)
+                else:
+                    self.exact.add(key)
+                    if self.filter_ok and not self.filter.add(key):
+                        self.filter_ok = False
+                    out.append(True)
+        return out
+
+    def contains_many(self, keys: list[str]) -> list[bool]:
+        out = []
+        for key in keys:
+            if self.filter_ok and not self.filter.contains(key):
+                out.append(False)  # cuckoo negative is a true negative
+            else:
+                out.append(key in self.exact)
+        return out
+
+    def snapshot(self) -> list[str]:
+        return sorted(self.exact)
+
+    def restore(self, keys: list[str]) -> None:
+        for key in keys:
+            if key not in self.exact:
+                self.exact.add(key)
+                if self.filter_ok and not self.filter.add(key):
+                    self.filter_ok = False
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+class LocalSeen(_SeenCore):
+    """In-process seen-set (oracle / tests)."""
+
+
+def create_seen_shards(num_shards: int, capacity_per_shard: int = 1 << 20,
+                       seed: int = 42):
+    """Create the shard actor pool.  Import-time Ray dependency is kept
+    out of module scope so kernels stay importable without Ray."""
+    import ray
+
+    @ray.remote(num_cpus=0.1)
+    class SeenShard(_SeenCore):
+        pass
+
+    return [SeenShard.remote(capacity_per_shard, seed + i)
+            for i in range(num_shards)]
+
+
+def shard_of(key: str, num_shards: int) -> int:
+    return zlib.crc32(key.encode()) % num_shards
+
+
+class SeenProbe:
+    """``map_batches`` stage over the shard actors.
+
+    mode="mark": drop rows whose key was already seen AND mark the
+    survivors seen (exactly-once across the whole crawl) — used on the
+    scheduled set.
+    mode="filter_unseen": drop seen rows WITHOUT marking — used on
+    round candidates before scheduling (deferred rows must stay
+    fetchable next round).
+
+    Groups each batch's keys by shard and issues one actor call per
+    shard."""
+
+    def __init__(self, shards, key_col: str = "seen_key", mode: str = "mark"):
+        assert mode in ("mark", "filter_unseen")
+        self.shards = shards
+        self.key_col = key_col
+        self.mode = mode
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        import ray
+
+        keys = batch.column(self.key_col).to_pylist()
+        n = len(keys)
+        if n == 0:
+            return batch
+        num_shards = len(self.shards)
+        by_shard: dict[int, list[int]] = {}
+        for i, key in enumerate(keys):
+            by_shard.setdefault(shard_of(key, num_shards), []).append(i)
+        keep = np.zeros(n, dtype=bool)
+        refs, idx_lists = [], []
+        for shard_id, idxs in by_shard.items():
+            shard = self.shards[shard_id]
+            method = (shard.check_and_add if self.mode == "mark"
+                      else shard.contains_many)
+            refs.append(method.remote([keys[i] for i in idxs]))
+            idx_lists.append(idxs)
+        for ref, idxs in zip(refs, idx_lists):
+            for i, flag in zip(idxs, ray.get(ref)):
+                keep[i] = flag if self.mode == "mark" else not flag
+        return batch.filter(pa.array(keep))

@@ -1,0 +1,122 @@
+"""Crawl engine: oracle semantics, Ray parity, resume."""
+
+import shutil
+
+import pytest
+
+from markdown_lab_ray.config import EngineConfig
+from markdown_lab_ray.pipelines.crawl_spec import discover_seed_frontier
+from markdown_lab_ray.pipelines.oracle import run_crawl_oracle
+from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+from markdown_lab_ray.state.robots import LocalRobotsCache
+
+SPEC = SiteSpec(n_hosts=6, pages_per_host=12, n_images=40)
+CFG = EngineConfig(requests_per_second=0.1, round_seconds=60.0,  # budget 6/host
+                   max_rounds=4, max_depth=2, seen_shards=4)
+
+
+def _web():
+    return SyntheticWeb(SPEC)
+
+
+def test_discovery_robots_declared_host():
+    web = _web()
+    rows = discover_seed_frontier(web.resolve, LocalRobotsCache(web.resolve),
+                                  "https://h000.example.com", 0)
+    assert len(rows) == SPEC.pages_per_host
+    assert rows[0]["loc"] == "https://h000.example.com/page/0"
+    assert rows[0]["seq_no"] == 0
+    assert rows[0]["priority"] is None  # j%7==0 has no <priority>
+    assert rows[1]["priority"] == 0.3
+
+
+def test_discovery_wellknown_and_index_hosts():
+    web = _web()
+    robots = LocalRobotsCache(web.resolve)
+    rows = discover_seed_frontier(web.resolve, robots,
+                                  "https://h001.example.com", 1)
+    assert len(rows) == SPEC.pages_per_host
+    assert rows[0]["seq_no"] == 1_000_000
+    # host 5: /sitemap.xml 404s, /sitemap_index.xml two-level index
+    rows5 = discover_seed_frontier(web.resolve, robots,
+                                   "https://h005.example.com", 5)
+    assert len(rows5) == SPEC.pages_per_host
+    assert [r["loc"] for r in rows5] == [
+        f"https://h005.example.com/page/{j}" for j in range(SPEC.pages_per_host)]
+
+
+def test_discovery_filters():
+    web = _web()
+    rows = discover_seed_frontier(web.resolve, LocalRobotsCache(web.resolve),
+                                  "https://h000.example.com", 0,
+                                  min_priority=0.5, limit=4)
+    assert len(rows) == 4
+    assert all(r["priority"] is None or r["priority"] >= 0.5 for r in rows)
+
+
+def test_oracle_runs_and_is_deterministic():
+    r1 = run_crawl_oracle(_web().resolve, SPEC.seed_urls(), CFG)
+    r2 = run_crawl_oracle(_web().resolve, SPEC.seed_urls(), CFG)
+    assert r1["order"] == r2["order"]
+    assert r1["seen"] == r2["seen"]
+    assert r1["fetched"] > 0
+    # politeness budget respected per host per round
+    detail = r1["order_detail"]
+    per = detail.groupby(["round", "host"]).size()
+    assert per.max() <= 6
+
+
+def test_oracle_budget_changes_order():
+    fast = EngineConfig(requests_per_second=1.0, round_seconds=60.0,
+                        max_rounds=2, max_depth=1)
+    slow = EngineConfig(requests_per_second=0.05, round_seconds=60.0,
+                        max_rounds=2, max_depth=1)
+    r_fast = run_crawl_oracle(_web().resolve, SPEC.seed_urls()[:2], fast)
+    r_slow = run_crawl_oracle(_web().resolve, SPEC.seed_urls()[:2], slow)
+    assert r_fast["order"] != r_slow["order"]
+
+
+@pytest.fixture()
+def crawl_dir(tmp_path):
+    yield str(tmp_path / "crawl")
+    shutil.rmtree(tmp_path / "crawl", ignore_errors=True)
+
+
+def test_ray_crawl_matches_oracle(ray_session, crawl_dir):
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+
+    oracle = run_crawl_oracle(_web().resolve, SPEC.seed_urls(), CFG)
+    result = run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(),
+                           crawl_dir, CFG)
+    order = read_crawl_order(crawl_dir)
+
+    assert order["loc"].tolist() == oracle["order"]
+    assert set(order["seen_key"]) == oracle["seen"]
+    assert result.fetched == oracle["fetched"]
+    assert result.failed == oracle["failed"]
+
+
+def test_ray_crawl_resume(ray_session, tmp_path):
+    """Kill after N rounds (simulated by max_rounds), resume, and get the
+    same final state as an uninterrupted run."""
+    import pandas as pd
+
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+
+    cfg_full = CFG
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), full_dir,
+                  cfg_full)
+
+    cfg_half = EngineConfig(**{**CFG.__dict__, "max_rounds": 2})
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), part_dir,
+                  cfg_half)
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), part_dir,
+                  cfg_full, resume=True)
+
+    full = read_crawl_order(full_dir)
+    resumed = read_crawl_order(part_dir)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  resumed.reset_index(drop=True))
