@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute_force``: numpy matmul per batch against a broadcast query
+  matrix (``ray.put`` once, read per actor/task) + partial top-k per
+  batch, merged on the driver — no shuffle at all.
+- ``knn_lsh_bucketed``: random-hyperplane LSH buckets (sign bits) →
+  search only matching/adjacent buckets — the scale path when the
+  corpus is too large to scan (documented partitioning assumption:
+  bucket key co-locates candidates; recall < 1 traded for pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    flat = np.asarray(arr.combine_chunks().flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def cosine_scores(mat: np.ndarray, query: np.ndarray) -> np.ndarray:
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1e-12
+    return (mat @ qn) / norms
+
+
+class PartialTopK:
+    """map_batches stage: per-batch top-k (vec_id, score) vs a broadcast
+    query vector; driver merges the partials."""
+
+    def __init__(self, query_ref, k: int = 10, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        import ray
+        self.query = np.asarray(
+            ray.get(query_ref) if hasattr(query_ref, "hex") else query_ref,
+            dtype=np.float64)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, self.emb_col)
+        if mat.shape[0] == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        scores = cosine_scores(mat, self.query)
+        k = min(self.k, len(scores))
+        top = np.argpartition(-scores, k - 1)[:k]
+        return pa.table({
+            self.id_col: batch.column(self.id_col).take(pa.array(top)),
+            "score": pa.array(scores[top], pa.float64()),
+        })
+
+
+def knn_brute_force(ds, query_vec, k: int = 10, id_col: str = "vec_id",
+                    emb_col: str = "embedding", exclude_ids=()):
+    """Exact cosine top-k. Returns a pandas DataFrame sorted by
+    (rounded score desc, id asc) — the deterministic tie-break order."""
+    import ray
+
+    query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    partials = ds.map_batches(
+        PartialTopK, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(query_ref=query_ref,
+                                   k=k + len(exclude_ids),
+                                   id_col=id_col, emb_col=emb_col))
+    df = partials.to_pandas()
+    if exclude_ids:
+        df = df[~df[id_col].isin(set(exclude_ids))]
+    df["score"] = df["score"].round(6)
+    return (df.sort_values(["score", id_col], ascending=[False, True],
+                           kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
+class HyperplaneBucketer:
+    """Adds an LSH bucket key: sign bits of n_planes random projections
+    (seeded, broadcast-free — planes regenerate per actor)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42,
+                 emb_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+        self.emb_col = emb_col
+
+    def key_for(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes) > 0
+        return (bits.astype(np.int64)
+                * (1 << np.arange(bits.shape[1], dtype=np.int64))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, self.emb_col)
+        keys = self.key_for(mat) if mat.shape[0] else np.array([], np.int64)
+        return batch.append_column("lsh_bucket", pa.array(keys, pa.int64()))
+
+
+def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
+                     n_planes: int = 8, seed: int = 42,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     probe_hamming: int = 1):
+    """Approximate top-k: score only rows whose bucket key is within
+    ``probe_hamming`` bit flips of the query's bucket."""
+    import ray
+
+    bucketer = HyperplaneBucketer(dim, n_planes, seed, emb_col)
+    query = np.asarray(query_vec, dtype=np.float64)
+    q_key = int(bucketer.key_for(query[None, :])[0])
+    probe_keys = {q_key}
+    if probe_hamming >= 1:
+        probe_keys |= {q_key ^ (1 << b) for b in range(n_planes)}
+    if probe_hamming >= 2:
+        for b1 in range(n_planes):
+            for b2 in range(b1 + 1, n_planes):
+                probe_keys.add(q_key ^ (1 << b1) ^ (1 << b2))
+
+    bucketed = ds.map_batches(
+        HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                                   emb_col=emb_col))
+    keys_list = sorted(probe_keys)
+    candidates = bucketed.filter(
+        expr=f"lsh_bucket in {keys_list}")
+    query_ref = ray.put(query)
+    partials = candidates.map_batches(
+        PartialTopK, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(query_ref=query_ref, k=k, id_col=id_col,
+                                   emb_col=emb_col))
+    df = partials.to_pandas()
+    df["score"] = df["score"].round(6)
+    return (df.sort_values(["score", id_col], ascending=[False, True],
+                           kind="mergesort")
+            .head(k).reset_index(drop=True))

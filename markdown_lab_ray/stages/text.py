@@ -1,0 +1,132 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All deterministic, vectorized where the kernel allows, and stateless
+(plain ``map_batches`` tasks).  These extend the reference's surface
+(SURVEY.md: language-ID, quality scoring, token counting, document
+fingerprinting are the training-data operators the graft adds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenization pattern (GPT-2 style, public knowledge)
+_BPEISH_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+_WS_RE = re.compile(r"\s+")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "por"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish piece count per row."""
+    texts = batch.column(text_col).to_pylist()
+    ws_counts = [len(t.split()) if t else 0 for t in texts]
+    bpe_counts = [sum(1 for m in _BPEISH_RE.finditer(t) if not m.group().isspace())
+                  if t else 0 for t in texts]
+    return (batch
+            .append_column("n_tokens_ws", pa.array(ws_counts, pa.int64()))
+            .append_column("n_tokens_bpe", pa.array(bpe_counts, pa.int64())))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword / digit ratios + a composite
+    quality score in [0, 1].  Formula (documented, deterministic):
+    score = clip(0.25·len_norm + 0.25·(1-punct) + 0.25·stop_norm
+                 + 0.25·(1-digit), 0, 1)
+    with len_norm = min(n_words/100, 1) and stop_norm =
+    min(stop_ratio/0.4, 1) (prose has ~40% stopwords)."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, np.int64)
+    n_words = np.zeros(n, np.int64)
+    punct_ratio = np.zeros(n, np.float64)
+    stop_ratio = np.zeros(n, np.float64)
+    digit_ratio = np.zeros(n, np.float64)
+    all_stops = set().union(*_STOPWORDS.values())
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        words = t.lower().split()
+        n_words[i] = len(words)
+        if t:
+            punct_ratio[i] = sum(not c.isalnum() and not c.isspace()
+                                 for c in t) / len(t)
+            digit_ratio[i] = sum(c.isdigit() for c in t) / len(t)
+        if words:
+            stop_ratio[i] = sum(w in all_stops for w in words) / len(words)
+    len_norm = np.minimum(n_words / 100.0, 1.0)
+    stop_norm = np.minimum(stop_ratio / 0.4, 1.0)
+    score = np.clip(0.25 * len_norm + 0.25 * (1 - punct_ratio)
+                    + 0.25 * stop_norm + 0.25 * (1 - digit_ratio), 0, 1)
+    return (batch
+            .append_column("n_chars_q", pa.array(n_chars))
+            .append_column("n_words", pa.array(n_words))
+            .append_column("punct_ratio", pa.array(punct_ratio))
+            .append_column("stop_ratio", pa.array(stop_ratio))
+            .append_column("digit_ratio", pa.array(digit_ratio))
+            .append_column("quality", pa.array(score)))
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: script ranges (CJK/Cyrillic) else the
+    stopword table with the most hits, default 'en'."""
+    texts = batch.column(text_col).to_pylist()
+    langs = []
+    for t in texts:
+        t = t or ""
+        if any("一" <= c <= "鿿" for c in t[:200]):
+            langs.append("zh")
+            continue
+        if any("Ѐ" <= c <= "ӿ" for c in t[:200]):
+            langs.append("ru")
+            continue
+        words = set(t.lower().split())
+        best_lang, best_hits = "en", 0
+        for lang, stops in _STOPWORDS.items():
+            hits = len(words & stops)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        langs.append(best_lang)
+    return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprints:
+    - ``fp_md5``: md5 of the whitespace-normalized lowercase text
+      (SQL-replicable: md5(lower(regexp_replace(trim(text),'\\s+',' ','g'))))
+    - ``fp_roll``: 63-bit Karp-Rabin rolling hash over the same
+      normalization (base 1000003, mod 2^61-1)."""
+    texts = batch.column(text_col).to_pylist()
+    md5s, rolls = [], []
+    mod = (1 << 61) - 1
+    base = 1000003
+    for t in texts:
+        norm = _WS_RE.sub(" ", (t or "").strip()).lower()
+        md5s.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+        h = 0
+        for ch in norm:
+            h = (h * base + ord(ch)) % mod
+        rolls.append(h)
+    return (batch
+            .append_column("fp_md5", pa.array(md5s, pa.string()))
+            .append_column("fp_roll", pa.array(rolls, pa.int64())))
+
+
+def add_text_hash_batch(batch: pa.Table, text_col: str = "text",
+                        out_col: str = "text_md5") -> pa.Table:
+    """md5(text) exactly — the exact-dedup key (no normalization)."""
+    texts = batch.column(text_col).to_pylist()
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))

@@ -1,0 +1,139 @@
+"""Text analysis, dedup family, similarity search over sf0.001 testdata."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def test_token_count(docs_table):
+    from markdown_lab_ray.stages.text import token_count_batch
+    out = token_count_batch(docs_table.slice(0, 20))
+    ws = out.column("n_tokens_ws").to_pylist()
+    texts = out.column("text").to_pylist()
+    assert ws == [len(t.split()) for t in texts]
+    assert all(b >= w for b, w in zip(out.column("n_tokens_bpe").to_pylist(), ws))
+
+
+def test_quality(docs_table):
+    from markdown_lab_ray.stages.text import quality_batch
+    out = quality_batch(docs_table.slice(0, 20))
+    q = out.column("quality").to_pylist()
+    assert all(0 <= v <= 1 for v in q)
+    empty = quality_batch(pa.table({"text": [""]}))
+    assert empty.column("quality").to_pylist()[0] >= 0
+
+
+def test_lang_id():
+    from markdown_lab_ray.stages.text import lang_id_batch
+    t = pa.table({"text": [
+        "the cat and the dog is in a house for fun",
+        "der Hund und die Katze ist ein Tier zu Hause",
+        "el perro y el gato es un animal por la casa",
+        "这是一个中文文档 测试",
+    ]})
+    assert lang_id_batch(t).column("lang_pred").to_pylist() == \
+        ["en", "de", "es", "zh"]
+
+
+def test_fingerprint_normalization():
+    from markdown_lab_ray.stages.text import fingerprint_batch
+    t = pa.table({"text": ["Hello   World ", "hello world"]})
+    out = fingerprint_batch(t)
+    md5s = out.column("fp_md5").to_pylist()
+    assert md5s[0] == md5s[1]
+    rolls = out.column("fp_roll").to_pylist()
+    assert rolls[0] == rolls[1] > 0
+
+
+def test_minhash_similar_vs_different():
+    from markdown_lab_ray.stages.dedup import MinHasher, jaccard
+    h = MinHasher(128)
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 2)
+    far = "completely different content about spark tables and rows " * 10
+    sim_near = (h.signature(base) == h.signature(near)).mean()
+    sim_far = (h.signature(base) == h.signature(far)).mean()
+    assert sim_near > 0.5 > sim_far
+    assert jaccard(base, base) == 1.0
+    assert jaccard(base, far) < 0.1
+
+
+def test_simhash_bands():
+    from markdown_lab_ray.stages.dedup import hamming64_arr, simhash_batch
+    t = pa.table({"doc_id": [1, 2, 3], "text": [
+        "alpha beta gamma delta epsilon zeta eta theta " * 5,
+        "alpha beta gamma delta epsilon zeta eta iota " * 5,
+        "totally other words about crawling the web for images",
+    ]})
+    out = simhash_batch(t)
+    sigs = np.array(out.column("simhash").to_pylist(), dtype=np.int64)
+    d_near = hamming64_arr(sigs[:1], sigs[1:2])[0]
+    d_far = hamming64_arr(sigs[:1], sigs[2:3])[0]
+    assert d_near < d_far
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from markdown_lab_ray.stages.dedup import exact_dedup
+    t = pa.table({"doc_id": [3, 1, 2, 10], "text": ["x", "x", "y", "y"]})
+    out = exact_dedup(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_minhash_near_dup_pipeline(ray_session):
+    import ray.data as rd
+    from markdown_lab_ray.stages.dedup import connected_components, minhash_near_dup_pairs
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("lazy", "sleepy", 1)},
+        {"doc_id": 2, "text": "unrelated words " * 40},
+        {"doc_id": 3, "text": base.replace("quick", "rapid", 1)},
+    ]
+    pairs = minhash_near_dup_pairs(rd.from_items(rows), jaccard_threshold=0.6)
+    got = {tuple(sorted(p)) for p in pairs[["a", "b"]].to_numpy().tolist()}
+    assert (0, 1) in got and (0, 3) in got
+    assert all(2 not in p for p in got)
+    labels = connected_components(got, [0, 1, 2, 3])
+    assert labels[0] == labels[1] == labels[3] == 0
+    assert labels[2] == 2
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    import ray.data as rd
+    from markdown_lab_ray.stages.similarity import knn_brute_force
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(emb)
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(emb.column("vec_id").to_pylist())
+    query = vecs[0]
+
+    got = knn_brute_force(ds, query, k=10, exclude_ids=[ids[0]])
+    # local oracle
+    qn = query / np.linalg.norm(query)
+    scores = (vecs @ qn) / np.linalg.norm(vecs, axis=1)
+    order = sorted(zip(np.round(scores, 6), ids), key=lambda t: (-t[0], t[1]))
+    expect = [(i, s) for s, i in order if i != ids[0]][:10]
+    assert got["vec_id"].tolist() == [i for i, _ in expect]
+
+
+def test_knn_lsh_recall(ray_session):
+    import ray.data as rd
+    from markdown_lab_ray.stages.similarity import knn_brute_force, knn_lsh_bucketed
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    dim = len(emb.column("embedding")[0])
+    ds = rd.from_arrow(emb)
+    query = np.array(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    exact = knn_brute_force(ds, query, k=10)
+    approx = knn_lsh_bucketed(ds, query, dim=dim, k=10, probe_hamming=2)
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 3  # recall with 8 planes + 2-bit probing
+    assert approx["vec_id"].tolist()[0] == exact["vec_id"].tolist()[0]
