@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship convert pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (+ the training-data operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.  Column
+names match between the two sides; floats are rounded identically.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,598 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """Grouped aggregate with per-batch computed column (pushdown read)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_disc(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    out = (ds.map_batches(add_disc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty_raw"),
+                      Sum("l_extendedprice", alias_name="sum_base_raw"),
+                      Sum("disc_price", alias_name="sum_disc_raw"),
+                      Count(alias_name="n_rows")))
+    df = out.to_pandas()
+    df["sum_qty"] = df.pop("sum_qty_raw").round(2)
+    df["sum_base_price"] = df.pop("sum_base_raw").round(2)
+    df["avg_qty"] = (df["sum_qty"] / df["n_rows"]).round(6)
+    df["sum_disc_price"] = df.pop("sum_disc_raw").round(2)
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "n_rows"]]
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_topk(sf_dir: str):
+    """Global sort + limit with deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+    df = out.to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_sales(sf_dir: str):
+    """Broadcast join: small dimension (customer) shipped once via
+    ray.put, probed per batch inside map_batches — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
+            return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (ds.map_batches(AttachSegment, batch_format="pyarrow",
+                          concurrency=(1, 4),
+                          fn_constructor_kwargs=dict(ref=lookup_ref))
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_raw")))
+    df = out.to_pandas()
+    df["total_price"] = df.pop("total_raw").round(2)
+    return df
+
+
+SQL_SEGMENT_SALES = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate (streaming-shaped op)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(b: pa.Table) -> pa.Table:
+        micros = pc.cast(b["ts"], pa.int64())
+        window = pc.divide(micros, pa.scalar(3_600_000_000))
+        return b.append_column("window_id", window)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = (ds.map_batches(add_window, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "window_id"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_raw")))
+    df = out.to_pandas()
+    df["sum_value"] = df.pop("sum_raw").round(2)
+    return df
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, window_id
+"""
+
+
+def q_doc_tokens(sf_dir: str):
+    """Token counting (whitespace) + char length per document."""
+    from markdown_lab_ray.stages.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.append_column("n_chars_text",
+                                  pc.utf8_length(b["text"])).select(
+            ["doc_id", "n_tokens_ws", "n_chars_text"]),
+        batch_format="pyarrow")
+
+
+SQL_DOC_TOKENS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens_ws,
+       length(text) AS n_chars_text
+FROM documents
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text (hash-partition +
+    per-group first)."""
+    from markdown_lab_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.select_columns(["doc_id"])
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Normalized md5 document fingerprint."""
+    from markdown_lab_ray.stages.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow"
+                          ).select_columns(["doc_id", "fp_md5"])
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def q_knn(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import knn_brute_force
+
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))
+    query = np.asarray(emb0.column("embedding")[0].as_py(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute_force(ds, query, k=10, exclude_ids=[0])
+
+
+SQL_KNN = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    (SELECT qe FROM q)), 6) AS score
+FROM embeddings e WHERE e.vec_id <> 0
+ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      (SELECT qe FROM q)), 6) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_frontier_filter(sf_dir: str):
+    """Sitemap frontier filters (F1–F4): priority gate with None passing,
+    include regex, order-preserving limit — over a deterministic
+    synthetic frontier derived from doc_id."""
+    from markdown_lab_ray.kernels.sitemap import filter_frontier_rows
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        rows = {
+            "doc_id": ids,
+            "loc": [f"https://h{i % 20:03d}.example.com/page/{i}" for i in ids],
+            "priority": [None if i % 7 == 0 else ((i * 13) % 10) / 10.0
+                         for i in ids],
+        }
+        return pa.table(rows)
+
+    def apply_filters(b: pa.Table) -> pa.Table:
+        rows = b.to_pylist()
+        kept = filter_frontier_rows(
+            [{"loc": r["loc"], "priority": r["priority"],
+              "lastmod": None, "changefreq": None, "doc_id": r["doc_id"]}
+             for r in rows],
+            min_priority=0.5, include_patterns=[r"/page/\d*[05]$"])
+        return pa.table({
+            "doc_id": [r["doc_id"] for r in kept],
+            "loc": [r["loc"] for r in kept],
+            "priority": pa.array([r["priority"] for r in kept], pa.float64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return (ds.map_batches(build, batch_format="pyarrow")
+            .map_batches(apply_filters, batch_format="pyarrow")
+            .sort("doc_id").limit(100))
+
+
+SQL_FRONTIER_FILTER = r"""
+SELECT doc_id, loc, priority FROM (
+  SELECT doc_id,
+         'https://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 3, '0')
+             || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS loc,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE ((doc_id * 13) % 10) / 10.0 END AS priority
+  FROM documents)
+WHERE (priority IS NULL OR priority >= 0.5)
+  AND regexp_matches(loc, '/page/\d*[05]$')
+ORDER BY doc_id LIMIT 100
+"""
+
+
+def q_url_normalize(sf_dir: str):
+    """URL normalization kernel (seen-set identity) over synthetic URLs
+    with trailing slashes and fragments."""
+    from markdown_lab_ray.kernels.urls import get_domain_from_url, normalize_url
+
+    def build_and_norm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        urls = []
+        for i in ids:
+            u = f"https://h{i % 20:03d}.example.com/page/{i}"
+            if i % 3 == 0:
+                u += "/"
+            if i % 4 == 0:
+                u += "#frag"
+            urls.append(u)
+        return pa.table({
+            "doc_id": ids,
+            "norm_url": [normalize_url(u) for u in urls],
+            "host": [get_domain_from_url(u) for u in urls],
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build_and_norm, batch_format="pyarrow")
+
+
+SQL_URL_NORMALIZE = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(url, '#.*$', ''), '/+$', '') AS norm_url,
+       regexp_extract(url, '^https?://([^/#]+)', 1) AS host
+FROM (
+  SELECT doc_id,
+         'https://h' || lpad(CAST(doc_id % 20 AS VARCHAR), 3, '0')
+             || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents)
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — groupby +
+    sorted per-group pandas (streaming-shaped op)."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff()
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(new_session.sum())],
+            "n_events": [len(g)],
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events))
+GROUP BY user_id
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality-scoring ratios (punctuation / digits / words)."""
+    from markdown_lab_ray.stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": b["n_words"],
+            "punct_ratio": pc.round(b["punct_ratio"], 6),
+            "digit_ratio": pc.round(b["digit_ratio"], 6),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_words,
+       round(CASE WHEN length(text) = 0 THEN 0
+             ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                  * 1.0 / length(text) END, 6) AS punct_ratio,
+       round(CASE WHEN length(text) = 0 THEN 0
+             ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  * 1.0 / length(text) END, 6) AS digit_ratio
+FROM documents
+"""
+
+
+def q_chunk_counts(sf_dir: str):
+    """Text-chunker row counts per doc (chunk_size=100, overlap=20 →
+    20-word windows, 16-word step) — cross-checks the word-window
+    formula against SQL ceil(n/16)."""
+    from markdown_lab_ray.kernels.chunker import create_semantic_chunks
+
+    def count_chunks(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        counts = [len(create_semantic_chunks(t or "", f"https://d/{i}",
+                                             chunk_size=100, chunk_overlap=20))
+                  for i, t in zip(ids, b["text"].to_pylist())]
+        return pa.table({"doc_id": ids,
+                         "n_chunks": pa.array(counts, pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_chunks, batch_format="pyarrow")
+
+
+SQL_CHUNK_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(ceil(array_length(
+                     regexp_split_to_array(trim(text), '\s+')) / 16.0)
+                 AS BIGINT) END AS n_chunks
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible pipelines)
+# ---------------------------------------------------------------------------
+
+def q_convert_documents(sf_dir: str):
+    """Flagship fused HTML→markdown+chunk pipeline over documents."""
+    from markdown_lab_ray.pipelines.convert import convert_documents
+    return convert_documents(sf_dir)
+
+
+def q_chunk_documents(sf_dir: str):
+    """Full parse → render → section-chunk explode pipeline."""
+    from markdown_lab_ray.pipelines.convert import chunk_documents
+    return chunk_documents(sf_dir)
+
+
+def q_char_chunks(sf_dir: str):
+    """Char-budget (Rust rule-set) chunker over rendered markdown."""
+    from markdown_lab_ray.stages.convert import (
+        char_chunk_explode_batch,
+        parse_batch,
+        render_batch,
+    )
+    from markdown_lab_ray.pipelines.convert import documents_pages
+
+    return (documents_pages(sf_dir)
+            .map_batches(parse_batch, batch_format="pyarrow")
+            .map_batches(render_batch, batch_format="pyarrow")
+            .map_batches(char_chunk_explode_batch, batch_format="pyarrow"))
+
+
+def q_crawl_order(sf_dir: str):
+    """Synthetic crawl (sf-independent): canonical crawl order — also
+    asserted equal to the sequential oracle in tests."""
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=6, pages_per_host=12, n_images=40)
+    cfg = EngineConfig(requests_per_second=0.1, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, seen_shards=4,
+                       fetch_concurrency=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        order = read_crawl_order(tmp)
+    return order[["round", "host", "fetch_order", "loc"]]
+
+
+def q_images_validate(sf_dir: str):
+    """Image decode + PSNR/caption invariants over the synthetic
+    image+caption table (input_hint schema)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import (
+        SiteSpec,
+        build_images_table,
+        reference_pixels_fn,
+    )
+    from markdown_lab_ray.stages.images import DecodeValidate
+
+    spec = SiteSpec(n_images=200)
+    table = build_images_table(spec)
+    table = table.append_column("alt", table.column("caption"))
+    ds = rd.from_arrow(table)
+    return ds.map_batches(
+        DecodeValidate, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 2),
+        fn_constructor_kwargs=dict(ref_fn=reference_pixels_fn(spec)))
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs over documents."""
+    from markdown_lab_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, jaccard_threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from markdown_lab_ray.stages.dedup import simhash_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow")
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate k-NN (the scale path)."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import knn_lsh_bucketed
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.column("embedding")[0])
+    query = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh_bucketed(ds, query, dim=dim, k=10, probe_hamming=2)
+
+
+def q_lang_id(sf_dir: str):
+    from markdown_lab_ray.stages.text import lang_id_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def q_render_formats(sf_dir: str):
+    """Markdown + JSON + XML rendering over wrapped documents (M7/M9/M10)."""
+    from markdown_lab_ray.pipelines.convert import documents_pages
+    from markdown_lab_ray.stages.convert import parse_batch, render_batch
+
+    docs = documents_pages(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow")
+    md = docs.map_batches(render_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(fmt="markdown"))
+    js = docs.map_batches(render_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(fmt="json"))
+    xml = docs.map_batches(render_batch, batch_format="pyarrow",
+                           fn_kwargs=dict(fmt="xml"))
+    return md.union(js).union(xml)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from markdown_lab_ray.pipelines.convert import convert_documents
+    return convert_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked
+        "lineitem_agg": q_lineitem_agg,
+        "orders_topk": q_orders_topk,
+        "segment_sales": q_segment_sales,
+        "events_window": q_events_window,
+        "doc_tokens": q_doc_tokens,
+        "lang_counts": q_lang_counts,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "knn": q_knn,
+        "frontier_filter": q_frontier_filter,
+        "url_normalize": q_url_normalize,
+        "sessionize": q_sessionize,
+        "doc_quality": q_doc_quality,
+        "chunk_counts": q_chunk_counts,
+        # rows-only (non-SQL-expressible)
+        "convert_documents": q_convert_documents,
+        "chunk_documents": q_chunk_documents,
+        "char_chunks": q_char_chunks,
+        "crawl_order": q_crawl_order,
+        "images_validate": q_images_validate,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "knn_lsh": q_knn_lsh,
+        "lang_id": q_lang_id,
+        "render_formats": q_render_formats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": SQL_LINEITEM_AGG,
+        "orders_topk": SQL_ORDERS_TOPK,
+        "segment_sales": SQL_SEGMENT_SALES,
+        "events_window": SQL_EVENTS_WINDOW,
+        "doc_tokens": SQL_DOC_TOKENS,
+        "lang_counts": SQL_LANG_COUNTS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "fingerprint": SQL_FINGERPRINT,
+        "knn": SQL_KNN,
+        "frontier_filter": SQL_FRONTIER_FILTER,
+        "url_normalize": SQL_URL_NORMALIZE,
+        "sessionize": SQL_SESSIONIZE,
+        "doc_quality": SQL_DOC_QUALITY,
+        "chunk_counts": SQL_CHUNK_COUNTS,
+    }

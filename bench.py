@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default sf0.1) on a
+fresh local Ray session with ``$RAY_GRAFT_CPUS`` CPUs (default 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the same workload in two fresh processes at 8 and 32
+CPUs on identical input and reports both throughputs + scaling
+efficiency = (thr_hi/thr_lo)/(hi/lo) (BASELINE.md §rebuild target; the
+sandbox substitute for N- vs 4N-node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.convert import chunk_documents, convert_documents
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.sources.synth import (
+        SiteSpec,
+        SyntheticWeb,
+        build_images_table,
+        reference_pixels_fn,
+    )
+    from markdown_lab_ray.stages.dedup import exact_dedup, minhash_signature_batch
+    from markdown_lab_ray.stages.images import DecodeValidate
+    from markdown_lab_ray.stages.similarity import knn_brute_force
+
+    # warm the page cache so we measure compute + shuffle, not first read
+    rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. flagship: wrap + parse + render + chunk-count (fused)
+    timed("convert_documents",
+          lambda: convert_documents(sf_dir).count())
+    # 2. full chunk explode
+    timed("chunk_documents", lambda: chunk_documents(sf_dir).count())
+    # 3. exact dedup
+    timed("exact_dedup", lambda: exact_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])).count())
+    # 4. minhash signatures (the dedup scale path's hot stage)
+    timed("minhash_signatures", lambda: rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(minhash_signature_batch, batch_format="pyarrow").count())
+    # 5. similarity search
+    import pyarrow.parquet as pq
+    import numpy as np
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)
+    query = np.asarray(emb0.column("embedding")[0].as_py(), dtype=np.float64)
+    timed("knn", lambda: len(knn_brute_force(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        query, k=10)))
+
+    # 6. crawl: pages fetched + converted + chunked over the synthetic web
+    spec = SiteSpec(n_hosts=32, pages_per_host=100, n_images=500)
+    cfg = EngineConfig(requests_per_second=2.0, round_seconds=60.0,  # 120/host/round
+                       max_rounds=2, max_depth=1, seen_shards=8,
+                       fetch_concurrency=max(2, num_cpus // 2))
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.time()
+    res = run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+    timings["crawl"] = round(time.time() - t0, 3)
+    counts["crawl"] = res.fetched
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # 7. image decode + validate (input_hint invariants)
+    images = build_images_table(spec)
+    images = images.append_column("alt", images.column("caption"))
+    timed("images_validate", lambda: rd.from_arrow(images).map_batches(
+        DecodeValidate, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, max(2, num_cpus // 4)),
+        fn_constructor_kwargs=dict(ref_fn=reference_pixels_fn(spec))
+    ).count())
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    pages_images = counts["crawl"] + counts["images_validate"] + \
+        counts["convert_documents"]
+    return {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "counts": counts,
+        "pages_images_per_sec": round(
+            pages_images / max(timings["crawl"] + timings["images_validate"]
+                               + timings["convert_documents"], 1e-9), 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        def run_at(n):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo, r_hi = run_at(lo), run_at(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "throughput_8": r_lo["pages_images_per_sec"],
+            "throughput_32": r_hi["pages_images_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+        }))
+        return
+
+    print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()
