@@ -191,11 +191,10 @@ SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: min doc_id per distinct text (hash-partition +
     per-group first)."""
-    from markdown_lab_ray.stages.dedup import exact_dedup
+    from markdown_lab_ray.stages.dedup import exact_dedup_ids
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = exact_dedup(ds)
-    return out.select_columns(["doc_id"])
+    return exact_dedup_ids(ds)
 
 
 SQL_EXACT_DEDUP = """

@@ -37,9 +37,11 @@ class EngineConfig:
 
     # -- Ray stage sizing
     parse_batch_size: int = 256        # HTML rows can be up to 10 MB each
+    fetch_batch_size: int = 64         # smaller batches → deeper fetch pipeline
     chunk_batch_size: int = 256
     image_batch_size: int = 64         # binary payload rows stay small
     fetch_concurrency: int = 8         # fetch actor pool size
+    fetch_mode: str = "actors"         # "actors" (stateful tier) | "tasks"
     parse_concurrency: int = 0         # 0 => stateless tasks, let Ray scale
     seen_shards: int = 16              # URL-seen filter shard actors
     seen_capacity_per_shard: int = 1 << 20

@@ -41,10 +41,15 @@ def wrap_documents_batch(batch: pa.Table) -> pa.Table:
 
 
 def documents_pages(sf_dir: str, columns=("doc_id", "text", "source")):
+    import ray
     import ray.data as rd
 
+    # single-file parquet reads can come out as one block; force enough
+    # blocks that the CPU-bound parse chain saturates the cluster
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=list(columns)).map_batches(
+                           columns=list(columns),
+                           override_num_blocks=n_blocks).map_batches(
         wrap_documents_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 

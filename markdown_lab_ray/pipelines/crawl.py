@@ -72,19 +72,49 @@ class DiscoverStage:
         return frontier_rows_to_table(rows)
 
 
-class RobotsFilterStage:
-    """Drop rows the host's robots rules disallow.  Each actor holds its
-    own robots cache (content is deterministic, so per-actor caches
-    agree; on a real network this would consult the shared cache actor)."""
+def discover_batch(batch: pa.Table, web_factory, **filters) -> pa.Table:
+    """Task-pool variant of DiscoverStage: runs on the already-warm
+    worker pool (no actor spawn), robots cache in a worker-process
+    global.  Used when the resolver is cheap to construct (synthetic
+    web); a real-network crawl keeps the actor stage for its session
+    state."""
+    import hashlib
 
-    def __init__(self, web_factory):
-        self.robots = LocalRobotsCache(web_factory().resolve)
+    from ray import cloudpickle
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hosts = batch.column("host").to_pylist()
-        locs = batch.column("loc").to_pylist()
-        keep = [self.robots.rules_for(h).allows(u) for h, u in zip(hosts, locs)]
-        return batch.filter(pa.array(keep))
+    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
+    cache = _ROBOTS_CACHE.get(key)
+    if cache is None:
+        cache = _ROBOTS_CACHE[key] = LocalRobotsCache(web_factory().resolve)
+    rows = []
+    for seed, idx in zip(batch.column("seed").to_pylist(),
+                         batch.column("seed_idx").to_pylist()):
+        rows.extend(discover_seed_frontier(
+            cache.resolve_fn, cache, seed, idx, **filters))
+    return frontier_rows_to_table(rows)
+
+
+_ROBOTS_CACHE: dict[str, LocalRobotsCache] = {}
+
+
+def robots_filter_batch(batch: pa.Table, web_factory) -> pa.Table:
+    """Drop rows the host's robots rules disallow.  Stateless TASK (so
+    it fuses with adjacent map_batches); the per-host rules cache lives
+    in a worker-process global keyed by the factory's pickled content
+    (deterministic content → per-worker caches agree; a real network
+    deployment would consult the shared robots cache actor instead)."""
+    import hashlib
+
+    from ray import cloudpickle
+
+    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
+    cache = _ROBOTS_CACHE.get(key)
+    if cache is None:
+        cache = _ROBOTS_CACHE[key] = LocalRobotsCache(web_factory().resolve)
+    hosts = batch.column("host").to_pylist()
+    locs = batch.column("loc").to_pylist()
+    keep = [cache.rules_for(h).allows(u) for h, u in zip(hosts, locs)]
+    return batch.filter(pa.array(keep))
 
 
 class FetchStage:
@@ -105,6 +135,49 @@ class FetchStage:
         return batch.append_column(
             "status", pa.array(statuses, pa.int32())
         ).append_column("html", pa.array(htmls, pa.string()))
+
+
+_WEB_CACHE: dict[str, object] = {}
+
+
+def fetch_convert_batch(batch: pa.Table, web_factory) -> pa.Table:
+    """Task-pool variant of FetchConvertStage for resolvers that are
+    pure functions (the synthetic web): runs on the warm worker pool
+    with a worker-process-global resolver, no actor spawn cost.
+    Choose via ``EngineConfig.fetch_mode = "tasks"``; the actor pool
+    (``"actors"``) remains the right tier for real HTTP fetching where
+    each worker owns sessions/connection pools."""
+    import hashlib
+
+    from ray import cloudpickle
+
+    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
+    web = _WEB_CACHE.get(key)
+    if web is None:
+        web = _WEB_CACHE[key] = web_factory()
+    statuses, htmls = [], []
+    for loc in batch.column("loc").to_pylist():
+        status, body = web.resolve(loc)
+        statuses.append(status)
+        htmls.append(body if isinstance(body, str) else "")
+    fetched = batch.append_column(
+        "status", pa.array(statuses, pa.int32())
+    ).append_column("html", pa.array(htmls, pa.string()))
+    return crawl_convert_batch(fetched)
+
+
+class FetchConvertStage(FetchStage):
+    """Fused fetch + parse + render actor stage — the crawl's hot path.
+
+    Fetched HTML never leaves the actor process (only the much smaller
+    docs rows hit the object store), and one pool owns the round's CPU
+    budget instead of a fetch pool starving a separate convert task
+    stage.  ``FetchStage`` + ``crawl_convert_batch`` remain available as
+    separate stages when the fetch tier must be sized independently
+    (e.g. network-bound real fetches vs CPU-bound parsing)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return crawl_convert_batch(super().__call__(batch))
 
 
 def crawl_convert_batch(batch: pa.Table) -> pa.Table:
@@ -142,6 +215,68 @@ def crawl_convert_batch(batch: pa.Table) -> pa.Table:
         "images": pa.array(images_col, pa.list_(pa.struct(
             [("alt", pa.string()), ("src", pa.string())]))),
     })
+
+
+def _probe_contains(shards, keys: list[str]) -> list[bool]:
+    """contains_many across the shard actors (one call per shard)."""
+    import ray
+
+    from ..state.seen import shard_of
+
+    flags = [False] * len(keys)
+    by_shard: dict[int, list[int]] = {}
+    for i, key in enumerate(keys):
+        by_shard.setdefault(shard_of(key, len(shards)), []).append(i)
+    refs = [(idxs, shards[s].contains_many.remote([keys[i] for i in idxs]))
+            for s, idxs in by_shard.items()]
+    for idxs, ref in refs:
+        for i, seen in zip(idxs, ray.get(ref)):
+            flags[i] = seen
+    return flags
+
+
+def make_host_processor(shards, web_factory, budget: int):
+    """The fused per-host round step (ONE groupby instead of three):
+    intra-round dedup (same seen_key ⟹ same host, so host groups see
+    all duplicates) → URL-seen contains-filter → robots allow →
+    politeness schedule.  Returns the scheduled/deferred frame."""
+    import pandas as pd
+
+    empty = pd.DataFrame({name: pd.Series(dtype=d) for name, d in [
+        ("loc", "object"), ("lastmod", "object"), ("changefreq", "object"),
+        ("priority", "float64"), ("host", "object"), ("depth", "int64"),
+        ("seq_no", "int64"), ("seen_key", "object"),
+        ("scheduled", "bool"), ("fetch_order", "int64")]})
+
+    def process(df):
+        df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
+              .drop_duplicates("seen_key", keep="first"))
+        flags = _probe_contains(shards, df["seen_key"].tolist())
+        df = df[[not f for f in flags]]
+        if df.empty:
+            return empty
+        host_rules = _robots_rules(web_factory, df["host"].iloc[0])
+        keep = [host_rules.allows(u) for u in df["loc"]]
+        df = df[keep]
+        if df.empty:
+            return empty
+        return schedule_group(df, budget)
+
+    return process
+
+
+def _robots_rules(web_factory, host: str):
+    """Per-worker-process cached robots rules (same cache the filter
+    task uses)."""
+    import hashlib
+
+    from ray import cloudpickle
+
+    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
+    cache = _ROBOTS_CACHE.get(key)
+    if cache is None:
+        cache = _ROBOTS_CACHE[key] = LocalRobotsCache(web_factory().resolve)
+    return cache.rules_for(host)
 
 
 def links_explode_batch(batch: pa.Table) -> pa.Table:
@@ -205,6 +340,7 @@ class CrawlResult:
     fetched: int = 0
     failed: int = 0
     manifest: list[dict] = field(default_factory=list)
+    t_discovery: float = 0.0
 
 
 def _round_dir(out_dir: str, round_no: int) -> str:
@@ -220,10 +356,6 @@ def _read_frontier(path: str):
     if not glob.glob(os.path.join(path, "*.parquet")):
         return rd.from_arrow(frontier_rows_to_table([]))
     return rd.read_parquet(path)
-
-
-def _dedup_group(df, **_):
-    return df.sort_values(["seq_no", "loc"], kind="mergesort").head(1)
 
 
 def run_crawl_ray(web_factory, seed_urls: list[str],
@@ -252,41 +384,39 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
     if resume:
         start_round, frontier = _restore(out_dir, shards, result)
 
+    import time as _time
+
+    t_disc = _time.time()
     if frontier is None:
         seeds = rd.from_items([
-            {"seed": s, "seed_idx": i} for i, s in enumerate(seed_urls)])
+            {"seed": s, "seed_idx": i} for i, s in enumerate(seed_urls)],
+            override_num_blocks=max(1, len(seed_urls)))
         frontier = seeds.map_batches(
-            DiscoverStage, batch_format="pyarrow", batch_size=4,
-            concurrency=min(4, max(1, len(seed_urls))),
-            fn_constructor_kwargs=dict(
+            discover_batch, batch_format="pyarrow", batch_size=1,
+            fn_kwargs=dict(
                 web_factory=web_factory, min_priority=min_priority,
                 include_patterns=include_patterns,
                 exclude_patterns=exclude_patterns, limit=limit)
         ).materialize()  # frontier rows are metadata-sized
+    result.t_discovery = round(_time.time() - t_disc, 2)
 
     for round_no in range(start_round, cfg.max_rounds):
         rdir = _round_dir(out_dir, round_no)
         if frontier.count() == 0:
             break
         os.makedirs(rdir, exist_ok=True)
+        timings: dict[str, float] = {}
+        t0 = _time.time()
 
-        # a. intra-round dedup (wide op #1)
-        deduped = frontier.groupby("seen_key").map_groups(
-            _dedup_group, batch_format="pandas")
-        # b. drop already-fetched; c. robots allow
-        candidates = (deduped
-                      .map_batches(SeenProbe(shards, mode="filter_unseen"),
-                                   batch_format="pyarrow")
-                      .map_batches(RobotsFilterStage, batch_format="pyarrow",
-                                   concurrency=(1, 2),
-                                   fn_constructor_kwargs=dict(
-                                       web_factory=web_factory)))
-        # d. per-host schedule (wide op #2) — conformed + checkpointed
-        schedule = candidates.groupby("host").map_groups(
-            lambda df: schedule_group(df, budget), batch_format="pandas"
+        # a–d fused: dedup + seen-filter + robots + schedule inside ONE
+        # groupby(host) — the round's single wide op (crawl_spec.py)
+        schedule = frontier.groupby("host").map_groups(
+            make_host_processor(shards, web_factory, budget),
+            batch_format="pandas"
         ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                       ).materialize()
         schedule.write_parquet(os.path.join(rdir, "schedule"))
+        timings["schedule"] = round(_time.time() - t0, 2)
 
         scheduled = schedule.filter(expr="scheduled == True")
         deferred = schedule.filter(expr="scheduled == False")
@@ -301,51 +431,70 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             break
 
         # e. mark seen + fetch + convert; docs checkpoint is the fork point
-        docs = (scheduled
-                .map_batches(SeenProbe(shards, mode="mark"),
-                             batch_format="pyarrow")
-                .map_batches(FetchStage, batch_format="pyarrow",
-                             batch_size=cfg.parse_batch_size,
-                             concurrency=(1, fetch_conc),
-                             fn_constructor_kwargs=dict(
-                                 web_factory=web_factory))
-                .map_batches(crawl_convert_batch, batch_format="pyarrow",
-                             batch_size=cfg.parse_batch_size))
+        # repartition first: schedule blocks mirror host groups, which can
+        # leave the fetch/parse chain with too few blocks to parallelize
+        n_blocks = max(1, min(n_scheduled // cfg.fetch_batch_size + 1,
+                              total_cpus * 4))
+        marked = (scheduled.repartition(n_blocks)
+                  .map_batches(SeenProbe(shards, mode="mark"),
+                               batch_format="pyarrow"))
+        if cfg.fetch_mode == "tasks":
+            # pure-function resolver → stateless tasks on the warm pool
+            docs = marked.map_batches(
+                fetch_convert_batch, batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                fn_kwargs=dict(web_factory=web_factory))
+        else:
+            # stateful fetch tier: fixed-size actor pool, spawned up
+            # front in parallel (autoscaling ramp costs more than it
+            # saves); clamped to the cluster above so it can't deadlock
+            docs = marked.map_batches(
+                FetchConvertStage, batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=fetch_conc,
+                fn_constructor_kwargs=dict(web_factory=web_factory))
+        # stream straight to the parquet checkpoint (no materialize —
+        # a round's docs shouldn't double-buffer through the object
+        # store); chunks/links/metrics re-read column-pruned slices
+        t0 = _time.time()
         docs.write_parquet(os.path.join(rdir, "docs"))
+        docs = rd.read_parquet(os.path.join(rdir, "docs"))
+        timings["fetch_convert"] = round(_time.time() - t0, 2)
 
-        docs_ds = rd.read_parquet(os.path.join(rdir, "docs"),
-                                  columns=["url", "payload"])
-        chunks = docs_ds.map_batches(
+        t0 = _time.time()
+        chunks = docs.select_columns(["url", "payload"]).map_batches(
             chunk_explode_batch, batch_format="pyarrow",
             batch_size=cfg.chunk_batch_size,
             fn_kwargs=dict(url_col="url", text_col="payload",
                            chunk_size=cfg.chunk_size,
                            chunk_overlap=cfg.chunk_overlap))
         chunks.write_parquet(os.path.join(rdir, "chunks"))
+        timings["chunks"] = round(_time.time() - t0, 2)
 
-        link_src = rd.read_parquet(
-            os.path.join(rdir, "docs"), columns=["depth", "links", "status"]
-        ).filter(expr=f"status == 200 and depth < {cfg.max_depth}")
-        new_rows = link_src.map_batches(links_explode_batch,
-                                        batch_format="pyarrow")
-
-        next_frontier = (deferred
-                         .map_batches(conform_frontier_batch,
-                                      batch_format="pyarrow")
-                         .union(new_rows.map_batches(conform_frontier_batch,
-                                                     batch_format="pyarrow")))
+        t0 = _time.time()
+        next_frontier = deferred.map_batches(conform_frontier_batch,
+                                             batch_format="pyarrow")
+        if cfg.max_depth > 0:
+            link_src = docs.select_columns(
+                ["depth", "links", "status"]).filter(
+                expr=f"status == 200 and depth < {cfg.max_depth}")
+            new_rows = link_src.map_batches(links_explode_batch,
+                                            batch_format="pyarrow")
+            next_frontier = next_frontier.union(
+                new_rows.map_batches(conform_frontier_batch,
+                                     batch_format="pyarrow"))
         next_dir = os.path.join(rdir, "frontier_next")
         next_frontier.write_parquet(next_dir)
+        timings["links_frontier"] = round(_time.time() - t0, 2)
 
         # metrics + manifest
-        docs_stats = rd.read_parquet(os.path.join(rdir, "docs"),
-                                     columns=["status"])
-        ok = docs_stats.filter(expr="status == 200").count()
-        total = docs_stats.count()
+        ok = docs.filter(expr="status == 200").count()
+        total = docs.count()
         entry = {
             "round": round_no, "scheduled": total, "fetched": ok,
             "failed": total - ok,
             "deferred": deferred.count(),
+            "timings": timings,
         }
         result.manifest.append(entry)
         result.fetched += ok

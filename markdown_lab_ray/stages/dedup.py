@@ -149,9 +149,25 @@ def hamming64_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # pipelines (Dataset → Dataset / DataFrame)
 # ---------------------------------------------------------------------------
 
+def exact_dedup_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Representative (min) id per exact text: vectorized md5 →
+    ``groupby(hash).aggregate(Min(id))`` — a native keyed aggregate,
+    one shuffle over (hash, id) rows only (SURVEY §2.6 A5)."""
+    from ray.data.aggregate import Min
+
+    from .text import add_text_hash_batch
+
+    hashed = ds.map_batches(
+        add_text_hash_batch, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col)
+    ).select_columns(["text_md5", id_col])
+    out = hashed.groupby("text_md5").aggregate(Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col])
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per exact text. hash-partition + per-group
-    first (SURVEY §2.6 A5)."""
+    """Keep the full min-id row per exact text (generic row-preserving
+    variant; prefer ``exact_dedup_ids`` when only ids are needed)."""
     from .text import add_text_hash_batch
 
     def keep_first(df):

@@ -57,18 +57,33 @@ class PartialTopK:
         })
 
 
+def partial_topk_batch(batch: pa.Table, query, k: int = 10,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> pa.Table:
+    """Stateless per-batch top-k — task-pool variant of PartialTopK
+    (no actor startup; the query vector rides in fn_kwargs)."""
+    mat = _embedding_matrix(batch, emb_col)
+    if mat.shape[0] == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    scores = cosine_scores(mat, np.asarray(query, dtype=np.float64))
+    k = min(k, len(scores))
+    top = np.argpartition(-scores, k - 1)[:k]
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(top)),
+        "score": pa.array(scores[top], pa.float64()),
+    })
+
+
 def knn_brute_force(ds, query_vec, k: int = 10, id_col: str = "vec_id",
                     emb_col: str = "embedding", exclude_ids=()):
     """Exact cosine top-k. Returns a pandas DataFrame sorted by
     (rounded score desc, id asc) — the deterministic tie-break order."""
-    import ray
-
-    query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
     partials = ds.map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs=dict(query_ref=query_ref,
-                                   k=k + len(exclude_ids),
-                                   id_col=id_col, emb_col=emb_col))
+        partial_topk_batch, batch_format="pyarrow",
+        fn_kwargs=dict(query=np.asarray(query_vec, dtype=np.float64),
+                       k=k + len(exclude_ids), id_col=id_col,
+                       emb_col=emb_col))
     df = partials.to_pandas()
     if exclude_ids:
         df = df[~df[id_col].isin(set(exclude_ids))]
@@ -118,18 +133,18 @@ def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
             for b2 in range(b1 + 1, n_planes):
                 probe_keys.add(q_key ^ (1 << b1) ^ (1 << b2))
 
-    bucketed = ds.map_batches(
-        HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
-                                   emb_col=emb_col))
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        # plane construction is trivial (dim × n_planes draws) — stateless
+        # task keeps the stage fusible with the read
+        return HyperplaneBucketer(dim, n_planes, seed, emb_col)(batch)
+
+    bucketed = ds.map_batches(bucket_batch, batch_format="pyarrow")
     keys_list = sorted(probe_keys)
     candidates = bucketed.filter(
         expr=f"lsh_bucket in {keys_list}")
-    query_ref = ray.put(query)
     partials = candidates.map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs=dict(query_ref=query_ref, k=k, id_col=id_col,
-                                   emb_col=emb_col))
+        partial_topk_batch, batch_format="pyarrow",
+        fn_kwargs=dict(query=query, k=k, id_col=id_col, emb_col=emb_col))
     df = partials.to_pandas()
     df["score"] = df["score"].round(6)
     return (df.sort_values(["score", id_col], ascending=[False, True],
