@@ -427,9 +427,155 @@ FROM documents
 """
 
 
+def q_region_customers(sf_dir: str):
+    """Three-table join via chained broadcast lookups (dimension tables
+    are tiny → ray.put once, probe per batch; no shuffle join)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class AttachRegion:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k) for k in b["c_nationkey"].to_pylist()]
+            return b.append_column("r_name", pa.array(names, pa.string()))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    out = (ds.map_batches(AttachRegion, batch_format="pyarrow",
+                          concurrency=(1, 2),
+                          fn_constructor_kwargs=dict(ref=lookup_ref))
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c_acctbal", alias_name="bal_raw")))
+    df = out.to_pandas()
+    df["sum_acctbal"] = df.pop("bal_raw").round(2)
+    return df
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_part_topk_per_type(sf_dir: str):
+    """Per-group top-k (groupby + sorted head inside map_groups)."""
+    import pandas as pd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["p_retailprice", "p_partkey"],
+                              ascending=[False, True], kind="mergesort")
+                .head(3))
+
+    ds = _read(sf_dir, "part", ["p_type", "p_partkey", "p_retailprice"])
+    out = ds.groupby("p_type").map_groups(top3, batch_format="pandas")
+    df = out.to_pandas()
+    df["p_retailprice"] = df["p_retailprice"].round(2)
+    return df
+
+
+SQL_PART_TOPK_PER_TYPE = """
+SELECT p_type, p_partkey, round(p_retailprice, 2) AS p_retailprice
+FROM (
+  SELECT p_type, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_type
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part)
+WHERE rn <= 3
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """Set op: distinct values (Dataset.unique → shuffle)."""
+    import pandas as pd
+
+    values = sorted(_read(sf_dir, "customer",
+                          ["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": values})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_supplier_stats(sf_dir: str):
+    """Multi-aggregate (count/avg/min/max) per key."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    out = (ds.groupby("s_nationkey")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="sum_raw"),
+                      Min("s_acctbal", alias_name="min_raw"),
+                      Max("s_acctbal", alias_name="max_raw")))
+    df = out.to_pandas()
+    df["avg_acctbal"] = (df.pop("sum_raw") / df["n_suppliers"]).round(4)
+    df["min_acctbal"] = df.pop("min_raw").round(2)
+    df["max_acctbal"] = df.pop("max_raw").round(2)
+    return df
+
+
+SQL_SUPPLIER_STATS = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       round(sum(s_acctbal) / count(*), 4) AS avg_acctbal,
+       round(min(s_acctbal), 2) AS min_acctbal,
+       round(max(s_acctbal), 2) AS max_acctbal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------
+
+
+def q_phash_near_dup(sf_dir: str):
+    """Image near-dup via perceptual-hash band buckets."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import phash_near_dup_pairs
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    return phash_near_dup_pairs(ds, hamming_threshold=6)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (LSH-bucketed)."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import embedding_near_dup_pairs
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"]).column("embedding")[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # testdata embeddings are near-orthogonal random vectors; a loose
+    # threshold + coarse buckets exercises the operator end-to-end
+    return embedding_near_dup_pairs(ds, dim=dim, cosine_threshold=0.35,
+                                    n_planes=6)
+
+
+def q_image_transform(sf_dir: str):
+    """Image decode → thumbnail → feature-extract actor pipeline."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import ImageTransform
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    return ds.map_batches(ImageTransform, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 2)
+                          ).drop_columns(["thumb"])
 
 def q_convert_documents(sf_dir: str):
     """Flagship fused HTML→markdown+chunk pipeline over documents."""
@@ -578,7 +724,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "doc_quality": q_doc_quality,
         "chunk_counts": q_chunk_counts,
+        "region_customers": q_region_customers,
+        "part_topk_per_type": q_part_topk_per_type,
+        "distinct_segments": q_distinct_segments,
+        "supplier_stats": q_supplier_stats,
         # rows-only (non-SQL-expressible)
+        "phash_near_dup": q_phash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "image_transform": q_image_transform,
         "convert_documents": q_convert_documents,
         "chunk_documents": q_chunk_documents,
         "char_chunks": q_char_chunks,
@@ -608,4 +761,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "doc_quality": SQL_DOC_QUALITY,
         "chunk_counts": SQL_CHUNK_COUNTS,
+        "region_customers": SQL_REGION_CUSTOMERS,
+        "part_topk_per_type": SQL_PART_TOPK_PER_TYPE,
+        "distinct_segments": SQL_DISTINCT_SEGMENTS,
+        "supplier_stats": SQL_SUPPLIER_STATS,
     }

@@ -1,0 +1,109 @@
+"""Seed sources and output sinks.
+
+Reference surfaces re-expressed on Datasets:
+- S5  links-file reader  (``scraper.py:460-502``)
+- S8  per-URL rendered-output files (``converter.py:144-166``)
+- S9  chunks → JSONL / per-chunk JSON (``chunk_utils.py:200-226``)
+- S10 frontier → text export (``sitemap_utils.py:409-431``)
+- S13 JS renderer: stub (no headless browser in this container) with the
+  reference's ``inline://`` hermetic-test scheme (``src/js_renderer.rs``)
+
+Parquet remains the engine's real checkpoint format; the per-URL file
+sinks exist for debug parity with the reference's on-disk layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from ..kernels.sitemap import export_frontier_lines, parse_links_file
+from ..kernels.urls import get_filename_from_url
+
+
+def read_seed_links(path: str):
+    """links.txt → Dataset of seed rows (blank/comment lines dropped)."""
+    import ray.data as rd
+
+    with open(path, encoding="utf-8") as f:
+        links = parse_links_file(f.read())
+    return rd.from_items([{"seed": u, "seed_idx": i}
+                          for i, u in enumerate(links)])
+
+
+def write_rendered_files(ds, out_dir: str, fmt: str = "markdown",
+                         url_col: str = "url", payload_col: str = "payload"):
+    """One file per URL, reference filename scheme.  Distributed write:
+    each task writes its batch's files (idempotent — same URL → same
+    filename)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        for url, payload in zip(batch.column(url_col).to_pylist(),
+                                batch.column(payload_col).to_pylist()):
+            name = get_filename_from_url(url, fmt)
+            with open(os.path.join(out_dir, name), "w", encoding="utf-8") as f:
+                f.write(payload or "")
+        return batch
+
+    # consume via count() so the write is executed exactly once
+    ds.map_batches(write_batch, batch_format="pyarrow").count()
+    return out_dir
+
+
+def write_chunks_jsonl(chunks_ds, out_dir: str):
+    """chunks → one ``chunks_*.jsonl`` part per block (reference wrote a
+    single ``chunks.jsonl``; parts keep the write distributed — cat the
+    directory for the single-file view)."""
+    os.makedirs(out_dir, exist_ok=True)
+    chunks_ds.write_json(out_dir)
+    return out_dir
+
+
+def write_chunks_json_files(chunks_ds, out_dir: str,
+                            id_col: str = "chunk_id"):
+    """chunk-per-file JSON variant (ref ``chunk_utils.py:222-226``)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        for row in batch.to_pylist():
+            path = os.path.join(out_dir, f"{row[id_col]}.json")
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(row, f, indent=2)
+        return batch
+
+    chunks_ds.map_batches(write_batch, batch_format="pyarrow").count()
+    return out_dir
+
+
+def export_frontier_file(frontier_ds, out_path: str):
+    """frontier → ``loc[,priority][,lastmod]`` lines (driver-side: the
+    export is a debugging artifact, not a checkpoint)."""
+    rows = frontier_ds.select_columns(["loc", "priority", "lastmod"]) \
+        .to_pandas().to_dict("records")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(export_frontier_lines(
+            [{"loc": r["loc"],
+              "priority": None if r["priority"] != r["priority"] else r["priority"],
+              "lastmod": r["lastmod"]} for r in rows]))
+    return out_path
+
+
+def render_js_page(url: str, wait_time_ms=None):
+    """JS-rendered fetch.  STUB: this container has no headless browser
+    (reference feature-gates chromiumoxide the same way).  The
+    ``inline://<html>`` scheme is honored so pipelines exercising the
+    interface stay hermetically testable (ref ``src/js_renderer.rs:17-67``).
+    """
+    if not isinstance(url, str):
+        raise TypeError("url must be a string")
+    if wait_time_ms is not None and not isinstance(wait_time_ms, int):
+        raise TypeError("wait_time_ms must be an integer or None")
+    if url.startswith("inline://"):
+        return url[len("inline://"):]
+    raise NotImplementedError(
+        "JS rendering requires a headless browser; not available in this "
+        "environment (stub — see reference src/js_renderer.rs)")

@@ -103,6 +103,119 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def resize_pixels(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (numpy index sampling — the fake-codec
+    stand-in for a real resampler; swap for PIL/libvips on a real
+    cluster)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def color_histogram(pixels: np.ndarray, bins: int = 8) -> np.ndarray:
+    """Per-channel normalized color histogram feature (3*bins floats)."""
+    feats = []
+    for c in range(3):
+        hist, _ = np.histogram(pixels[..., c], bins=bins, range=(0, 256))
+        feats.append(hist / max(pixels.shape[0] * pixels.shape[1], 1))
+    return np.concatenate(feats)
+
+
+class ImageTransform:
+    """Actor-pool stage: decode → resize → feature-extract.
+
+    The Ray-side plumbing (schema, batch size, actor signature, output
+    layout) is real; the decode itself uses the deterministic fake codec
+    because no image library ships in this container — a real cluster
+    replaces ``fake_decode``/``resize_pixels`` with PIL/libvips calls.
+
+    Output rows: image_id, thumb (binary, re-encoded png thumbnail),
+    feature (list<float> color histogram), phash (int64).
+    """
+
+    def __init__(self, thumb_w: int = 8, thumb_h: int = 8, bins: int = 8):
+        self.thumb_w = thumb_w
+        self.thumb_h = thumb_h
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        thumbs, feats, phashes, ok = [], [], [], []
+        for blob in blobs:
+            try:
+                pixels, _ = fake_decode(blob)
+                thumb = resize_pixels(pixels, self.thumb_w, self.thumb_h)
+                thumbs.append(fake_encode(thumb, "png"))
+                feats.append(color_histogram(pixels, self.bins).tolist())
+                phashes.append(perceptual_hash(pixels))
+                ok.append(True)
+            except Exception:
+                thumbs.append(b"")
+                feats.append([0.0] * (3 * self.bins))
+                phashes.append(0)
+                ok.append(False)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "thumb": pa.array(thumbs, pa.binary()),
+            "feature": pa.array(feats, pa.list_(pa.float64())),
+            "phash": pa.array(phashes, pa.int64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        })
+
+
+def phash_band_batch(batch: pa.Table, n_bands: int = 4) -> pa.Table:
+    """(image_id, phash) → (band_id, band_key, image_id) rows for the
+    near-dup groupby: 4×16-bit bands of the 64-bit hash — images within
+    Hamming distance 3 share at least one band (SURVEY §2.6 A6)."""
+    ids = batch.column("image_id").to_pylist()
+    hashes = np.array(batch.column("phash").to_pylist(), dtype=np.int64
+                      ).astype(np.uint64)
+    bits = 64 // n_bands
+    mask = np.uint64((1 << bits) - 1)
+    out_ids, out_band, out_key = [], [], []
+    for band in range(n_bands):
+        keys = (hashes >> np.uint64(band * bits)) & mask
+        out_ids.extend(ids)
+        out_band.extend([band] * len(ids))
+        out_key.extend(keys.astype(np.int64).tolist())
+    return pa.table({
+        "band_id": pa.array(out_band, pa.int32()),
+        "band_key": pa.array(out_key, pa.int64()),
+        "image_id": pa.array(out_ids, pa.string()),
+    })
+
+
+def phash_near_dup_pairs(ds, hamming_threshold: int = 6):
+    """Image near-dup: band bucket groupby → candidate pairs → verified
+    by true Hamming distance against a broadcast id→phash lookup."""
+    import pandas as pd
+    import ray
+
+    def pairs_group(df):
+        ids = sorted(df["image_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=str),
+                                 "b": pd.Series(dtype=str)})
+        return pd.DataFrame(
+            [(ids[i], ids[j]) for i in range(len(ids))
+             for j in range(i + 1, len(ids))], columns=["a", "b"])
+
+    bands = ds.select_columns(["image_id", "phash"]).map_batches(
+        phash_band_batch, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+        pairs_group, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    lookup_df = ds.select_columns(["image_id", "phash"]).to_pandas()
+    lookup = dict(zip(lookup_df["image_id"], lookup_df["phash"]))
+    pairs["hamming"] = [hamming64(int(lookup[a]), int(lookup[b]))
+                        for a, b in pairs[["a", "b"]].to_numpy()]
+    return pairs[pairs["hamming"] <= hamming_threshold].reset_index(drop=True)
+
+
 class DecodeValidate:
     """Actor-pool stage: decode image bytes and validate the per-row
     invariants vs the reference decode (PSNR ≥ 40 dB lossy / exact png,

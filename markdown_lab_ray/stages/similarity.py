@@ -114,6 +114,51 @@ class HyperplaneBucketer:
         return batch.append_column("lsh_bucket", pa.array(keys, pa.int64()))
 
 
+def embedding_near_dup_pairs(ds, dim: int, cosine_threshold: float = 0.9,
+                             n_planes: int = 10, seed: int = 42,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding"):
+    """Embedding-cosine near-dup: hyperplane-LSH bucket groupby →
+    within-bucket pairwise cosine (vectorized) → threshold.
+
+    Pairs whose vectors land in different buckets are missed (recall <
+    1, standard LSH trade); raise recall by lowering ``n_planes`` or
+    unioning several seeds.  Returns pandas (a, b, cosine).
+    """
+    import pandas as pd
+
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        return HyperplaneBucketer(dim, n_planes, seed, emb_col)(batch)
+
+    def pairs_group(df):
+        n = len(df)
+        if n < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        mat = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ids = df[id_col].to_numpy()
+        ii, jj = np.triu_indices(n, k=1)
+        keep = sims[ii, jj] >= cosine_threshold
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a": a2, "b": b2,
+                             "cosine": np.round(sims[ii, jj][keep], 6)})
+
+    bucketed = ds.map_batches(bucket_batch, batch_format="pyarrow")
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        pairs_group, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return (pairs.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
                      n_planes: int = 8, seed: int = 42,
                      id_col: str = "vec_id", emb_col: str = "embedding",

@@ -1,0 +1,165 @@
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from markdown_lab_ray.kernels.errors import (
+    HttpStatusError,
+    NetworkError,
+    retry_with_backoff,
+)
+from markdown_lab_ray.kernels.markdown_parse import parse_markdown_to_document
+from markdown_lab_ray.sources.io import render_js_page
+
+
+def test_markdown_parse_fallback():
+    md = ("# My Title\n\n## Section\n\npara one\n\n```python\nx = 1\n```\n"
+          "> quoted\n")
+    doc = parse_markdown_to_document(md, "https://e.com")
+    assert doc["title"] == "My Title"
+    assert {"level": 2, "text": "Section"} in doc["headings"]
+    assert "para one" in doc["paragraphs"]
+    assert doc["code_blocks"] == [{"language": "python", "code": "x = 1"}]
+    assert doc["blockquotes"] == ["quoted"]
+
+
+def test_markdown_parse_no_title():
+    assert parse_markdown_to_document("plain text")["title"] == "No Title"
+
+
+def test_retry_with_backoff():
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise HttpStatusError("https://x", 503)
+        return "ok"
+
+    assert retry_with_backoff(flaky, max_retries=3,
+                              sleeper=sleeps.append) == "ok"
+    assert sleeps == [1.0, 2.0]  # 2**0, 2**1
+
+    def always_404():
+        raise HttpStatusError("https://x", 404)
+
+    with pytest.raises(HttpStatusError):  # 404 not retryable
+        retry_with_backoff(always_404, max_retries=3, sleeper=sleeps.append)
+    assert len(sleeps) == 2  # no extra sleeps
+
+    with pytest.raises(NetworkError):  # plain exceptions wrapped
+        retry_with_backoff(lambda: 1 / 0, max_retries=0,
+                           sleeper=sleeps.append)
+
+
+def test_render_js_stub():
+    assert render_js_page("inline://<h1>Hi</h1>") == "<h1>Hi</h1>"
+    with pytest.raises(NotImplementedError):
+        render_js_page("https://example.com")
+    with pytest.raises(TypeError):
+        render_js_page(123)
+
+
+def test_sinks(ray_session, tmp_path):
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.io import (
+        export_frontier_file,
+        read_seed_links,
+        write_chunks_json_files,
+        write_chunks_jsonl,
+        write_rendered_files,
+    )
+
+    seeds_file = tmp_path / "links.txt"
+    seeds_file.write_text("# comment\nhttps://a.com\n\nhttps://b.com\n")
+    seeds = read_seed_links(str(seeds_file))
+    assert seeds.count() == 2
+
+    rendered = rd.from_items([
+        {"url": "https://e.com/x", "payload": "# X"},
+        {"url": "https://e.com/y", "payload": "# Y"},
+    ])
+    out = write_rendered_files(rendered, str(tmp_path / "md"), "markdown")
+    assert sorted(os.listdir(out)) == ["e.com_x.md", "e.com_y.md"]
+
+    chunks = rd.from_items([
+        {"chunk_id": "c1", "content": "one"},
+        {"chunk_id": "c2", "content": "two"},
+    ])
+    jl = write_chunks_jsonl(chunks, str(tmp_path / "jl"))
+    lines = []
+    for f in os.listdir(jl):
+        lines += open(os.path.join(jl, f)).read().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["chunk_id"] in ("c1", "c2")
+
+    jd = write_chunks_json_files(chunks, str(tmp_path / "jd"))
+    assert sorted(os.listdir(jd)) == ["c1.json", "c2.json"]
+
+    frontier = rd.from_items([
+        {"loc": "https://a.com/1", "priority": 0.9, "lastmod": "2023-01-01"},
+        {"loc": "https://a.com/2", "priority": None, "lastmod": None},
+    ])
+    path = export_frontier_file(frontier, str(tmp_path / "urls.txt"))
+    body = open(path).read()
+    assert "https://a.com/1,0.9,2023-01-01\n" in body
+    assert "https://a.com/2\n" in body
+
+
+def test_cli_convert_single_file(tmp_path):
+    html = tmp_path / "page.html"
+    html.write_text("<html><head><title>T</title></head><body>"
+                    "<h1>H</h1><p>body</p></body></html>")
+    out = subprocess.run(
+        [sys.executable, "-m", "markdown_lab_ray", "convert",
+         "--html", str(html), "--url", "https://e.com"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "# T" in out.stdout
+    assert "# H" in out.stdout
+
+
+def test_image_transform_and_phash_pairs(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import ImageTransform, phash_near_dup_pairs
+
+    spec = SiteSpec(n_images=40)
+    table = build_images_table(spec)
+    ds = rd.from_arrow(table)
+    out = ds.map_batches(ImageTransform, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2)).take_all()
+    assert len(out) == 40
+    assert all(r["decode_ok"] for r in out)
+    assert all(len(r["feature"]) == 24 for r in out)
+
+    pairs = phash_near_dup_pairs(ds, hamming_threshold=6)
+    got = {tuple(p) for p in pairs[["a", "b"]].to_numpy().tolist()}
+    # every 10th image is a near-dup of its predecessor
+    assert ("img000008", "img000009") in got
+    assert ("img000018", "img000019") in got
+
+
+def test_embedding_near_dup(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.01 * rng.normal(size=16)).tolist()},
+        {"vec_id": 2, "embedding": rng.normal(size=16).tolist()},
+    ]
+    pairs = embedding_near_dup_pairs(rd.from_items(rows), dim=16,
+                                     cosine_threshold=0.95)
+    assert [0, 1] in pairs[["a", "b"]].to_numpy().tolist()
+    assert not any(2 in p for p in pairs[["a", "b"]].to_numpy().tolist())
