@@ -645,6 +645,33 @@ def q_images_validate(sf_dir: str):
         fn_constructor_kwargs=dict(ref_fn=reference_pixels_fn(spec)))
 
 
+def q_crawl_image_validation(sf_dir: str):
+    """Crawl the synthetic web, join discovered <img> refs against the
+    image+caption table, validate PSNR + caption equality (the
+    input_hint per-row invariants over actually-crawled pages)."""
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.pipelines.validate_images import validate_crawled_images
+    from markdown_lab_ray.sources.synth import (
+        SiteSpec,
+        SyntheticWeb,
+        build_images_table,
+        reference_pixels_fn,
+    )
+
+    spec = SiteSpec(n_hosts=4, pages_per_host=10, n_images=80)
+    cfg = EngineConfig(requests_per_second=1.0, round_seconds=60.0,
+                       max_rounds=1, max_depth=0, seen_shards=2,
+                       fetch_concurrency=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        validated = validate_crawled_images(
+            tmp, build_images_table(spec), ref_fn=reference_pixels_fn(spec))
+        return validated.to_pandas()
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate pairs over documents."""
     from markdown_lab_ray.stages.dedup import minhash_near_dup_pairs
@@ -736,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "char_chunks": q_char_chunks,
         "crawl_order": q_crawl_order,
+        "crawl_image_validation": q_crawl_image_validation,
         "images_validate": q_images_validate,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,

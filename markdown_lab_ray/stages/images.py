@@ -271,6 +271,7 @@ class DecodeValidate:
             "caption_ok": pa.array(cap_ok, pa.bool_()),
             "phash_decoded": pa.array(phashes, pa.int64()),
         }
-        if "phash" in batch.column_names:
-            out["phash"] = batch.column("phash")
+        for passthrough in ("phash", "page_url"):
+            if passthrough in batch.column_names:
+                out[passthrough] = batch.column(passthrough)
         return pa.table(out)
