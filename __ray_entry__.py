@@ -155,6 +155,29 @@ FROM events GROUP BY event_type, window_id
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 1-hour window, 15-minute step: each event lands in 4
+    windows (explode + keyed aggregate)."""
+    from markdown_lab_ray.stages.windows import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return sliding_window_agg(ds, window_us=3_600_000_000,
+                              step_us=900_000_000)
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type, window_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (
+  SELECT event_type, value,
+         unnest(generate_series(
+             (epoch_us(ts) - 3600000000) // 900000000 + 1,
+             epoch_us(ts) // 900000000)) AS window_id
+  FROM events)
+GROUP BY event_type, window_id
+"""
+
+
 def q_doc_tokens(sf_dir: str):
     """Token counting (whitespace) + char length per document."""
     from markdown_lab_ray.stages.text import token_count_batch
@@ -741,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk": q_orders_topk,
         "segment_sales": q_segment_sales,
         "events_window": q_events_window,
+        "events_sliding": q_events_sliding,
         "doc_tokens": q_doc_tokens,
         "lang_counts": q_lang_counts,
         "exact_dedup": q_exact_dedup,
@@ -779,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_sliding": SQL_EVENTS_SLIDING,
         "doc_tokens": SQL_DOC_TOKENS,
         "lang_counts": SQL_LANG_COUNTS,
         "exact_dedup": SQL_EXACT_DEDUP,

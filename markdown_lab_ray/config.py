@@ -44,6 +44,8 @@ class EngineConfig:
     fetch_mode: str = "actors"         # "actors" (stateful tier) | "tasks"
     parse_concurrency: int = 0         # 0 => stateless tasks, let Ray scale
     seen_shards: int = 16              # URL-seen filter shard actors
+    schedule_salts: int = 0            # >1 → two-stage salted schedule
+                                       # (bounds hot-host group size)
     seen_capacity_per_shard: int = 1 << 20
 
     # -- misc

@@ -29,7 +29,7 @@ import pyarrow as pa
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links, parse_html_to_document
 from ..kernels.render import document_to_markdown
-from ..state.politeness import round_budget, schedule_group
+from ..state.politeness import order_key_frame, round_budget, schedule_group
 from ..state.robots import LocalRobotsCache
 from ..state.seen import SeenProbe, create_seen_shards
 from ..stages.convert import EMPTY_DOC, chunk_explode_batch
@@ -265,6 +265,58 @@ def make_host_processor(shards, web_factory, budget: int):
     return process
 
 
+def add_salt_batch(batch: pa.Table, n_salts: int) -> pa.Table:
+    """Salt column for two-stage scheduling: derived from seen_key so
+    duplicate URLs land in the same (host, salt) group."""
+    import zlib
+
+    salts = [zlib.crc32(k.encode()) % n_salts
+             for k in batch.column("seen_key").to_pylist()]
+    return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+
+def make_salted_preprocessor(shards, web_factory, budget: int):
+    """Stage 1 of hot-host scheduling: per (host, salt) group — dedup,
+    seen-filter, robots — then keep only the group's top-``budget``
+    rows as *contenders* (the global per-host top-budget is a subset of
+    the union of per-salt top-budgets); the rest defer immediately.
+    Bounds any single pandas group to ~|host rows| / n_salts, so a
+    10^6-URL host can't blow up one scheduler task (SURVEY §7.5)."""
+    import pandas as pd
+
+    import numpy as np
+
+    empty = pd.DataFrame({name: pd.Series(dtype=d) for name, d in [
+        ("loc", "object"), ("lastmod", "object"), ("changefreq", "object"),
+        ("priority", "float64"), ("host", "object"), ("depth", "int64"),
+        ("seq_no", "int64"), ("seen_key", "object"), ("salt", "int32"),
+        ("contender", "bool")]})
+
+    def process(df):
+        df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
+              .drop_duplicates("seen_key", keep="first"))
+        flags = _probe_contains(shards, df["seen_key"].tolist())
+        df = df[[not f for f in flags]]
+        if len(df):
+            host_rules = _robots_rules(web_factory, df["host"].iloc[0])
+            df = df[[host_rules.allows(u) for u in df["loc"]]]
+        if df.empty:
+            return empty
+        ordered = order_key_frame(df)
+        return ordered.assign(contender=np.arange(len(ordered)) < budget)
+
+    return process
+
+
+def make_host_finalizer(budget: int):
+    """Stage 2: schedule the per-host contender union (plain
+    ``schedule_group`` — seen/robots already applied in stage 1)."""
+    def process(df):
+        return schedule_group(df, budget)
+
+    return process
+
+
 def _robots_rules(web_factory, host: str):
     """Per-worker-process cached robots rules (same cache the filter
     task uses)."""
@@ -327,6 +379,16 @@ def conform_frontier_batch(batch: pa.Table) -> pa.Table:
 
 def conform_schedule_batch(batch: pa.Table) -> pa.Table:
     return _conform(batch, _SCHEDULE_PA_SCHEMA)
+
+
+def _mark_deferred_batch(batch: pa.Table) -> pa.Table:
+    """Salted pre-stage non-contenders → schedule rows with
+    scheduled=False / fetch_order=-1 (same shape the finalizer emits)."""
+    out = _conform(batch, _FRONTIER_PA_SCHEMA)
+    n = out.num_rows
+    out = out.append_column("scheduled", pa.array([False] * n, pa.bool_()))
+    out = out.append_column("fetch_order", pa.array([-1] * n, pa.int64()))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -409,12 +471,29 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         t0 = _time.time()
 
         # a–d fused: dedup + seen-filter + robots + schedule inside ONE
-        # groupby(host) — the round's single wide op (crawl_spec.py)
-        schedule = frontier.groupby("host").map_groups(
-            make_host_processor(shards, web_factory, budget),
-            batch_format="pandas"
-        ).map_batches(conform_schedule_batch, batch_format="pyarrow"
-                      ).materialize()
+        # groupby(host) (two keyed stages when schedule_salts > 1, which
+        # bounds the per-task group size for hot hosts)
+        if cfg.schedule_salts > 1:
+            pre = frontier.map_batches(
+                add_salt_batch, batch_format="pyarrow",
+                fn_kwargs=dict(n_salts=cfg.schedule_salts)
+            ).groupby(["host", "salt"]).map_groups(
+                make_salted_preprocessor(shards, web_factory, budget),
+                batch_format="pandas")
+            contenders = pre.filter(expr="contender == True")
+            salted_out = pre.filter(expr="contender == False").map_batches(
+                _mark_deferred_batch, batch_format="pyarrow")
+            final = contenders.groupby("host").map_groups(
+                make_host_finalizer(budget), batch_format="pandas")
+            schedule = (final.map_batches(conform_schedule_batch,
+                                          batch_format="pyarrow")
+                        .union(salted_out)).materialize()
+        else:
+            schedule = frontier.groupby("host").map_groups(
+                make_host_processor(shards, web_factory, budget),
+                batch_format="pandas"
+            ).map_batches(conform_schedule_batch, batch_format="pyarrow"
+                          ).materialize()
         schedule.write_parquet(os.path.join(rdir, "schedule"))
         timings["schedule"] = round(_time.time() - t0, 2)
 

@@ -1,0 +1,72 @@
+"""Fetch payload cache — the reference's two-level TTL request cache
+(``markdown_lab/core/cache.py:17-204``) re-expressed for the Ray engine.
+
+Two concerns, split per SURVEY §2.1 S11:
+- **URL-seen / dedup** lives in ``state/seen.py`` (cuckoo shards).
+- **Payload cache** = (a) a per-fetch-actor in-memory LRU with byte cap
+  and TTL (``CachedResolver`` below — the "memory level"), and (b) the
+  per-round ``docs`` parquet checkpoints (the "disk level": a re-run's
+  resume path skips completed rounds entirely, which is the reference's
+  cache-as-resume behavior).
+
+``CachedResolver`` wraps any ``resolve(url) -> (status, body)`` source;
+eviction is oldest-timestamp-first once ``max_bytes`` is exceeded, and
+entries older than ``ttl`` are re-fetched (reference ``cache.py:60-141``,
+``:181-194``).  The clock is injectable so tests never sleep.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Callable
+
+
+class CachedResolver:
+    def __init__(self, resolve_fn: Callable, ttl: float = 3600.0,
+                 max_bytes: int = 64 << 20,
+                 clock: Callable[[], float] = time.monotonic):
+        self.resolve_fn = resolve_fn
+        self.ttl = ttl
+        self.max_bytes = max_bytes
+        self.clock = clock
+        self._entries: OrderedDict[str, tuple[float, int, object]] = \
+            OrderedDict()  # url -> (ts, status, body); insertion = age order
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def _size_of(self, body) -> int:
+        return len(body) if isinstance(body, (str, bytes)) else 64
+
+    def resolve(self, url: str):
+        now = self.clock()
+        entry = self._entries.get(url)
+        if entry is not None:
+            ts, status, body = entry
+            if now - ts <= self.ttl:
+                self.hits += 1
+                return status, body
+            # expired — drop, fall through to refetch
+            del self._entries[url]
+            self._bytes -= self._size_of(body)
+        self.misses += 1
+        status, body = self.resolve_fn(url)
+        size = self._size_of(body)
+        if size <= self.max_bytes:
+            self._entries[url] = (now, status, body)
+            self._bytes += size
+            while self._bytes > self.max_bytes and self._entries:
+                _, (_, _, old_body) = self._entries.popitem(last=False)
+                self._bytes -= self._size_of(old_body)
+        return status, body
+
+    @property
+    def hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+    def stats(self) -> dict:
+        return {"entries": len(self._entries), "bytes": self._bytes,
+                "hits": self.hits, "misses": self.misses,
+                "hit_rate": round(self.hit_rate, 4)}
