@@ -519,6 +519,35 @@ WHERE rn <= 3
 """
 
 
+def q_hash_join_sales(sf_dir: str):
+    """Large×large path: explicit bucketed hash join (one shuffle) —
+    same result as the broadcast-join query, different physical plan."""
+    from ray.data.aggregate import Count, Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    def rename_orders(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["custkey", "o_totalprice"])
+
+    def rename_cust(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["custkey", "c_mktsegment"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]
+                   ).map_batches(rename_orders, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+                 ).map_batches(rename_cust, batch_format="pyarrow")
+    joined = bucketed_hash_join(orders, cust, key="custkey", n_buckets=16)
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_raw")))
+    df = out.to_pandas()
+    df["total_price"] = df.pop("total_raw").round(2)
+    return df
+
+
+SQL_HASH_JOIN_SALES = SQL_SEGMENT_SALES  # identical logical result
+
+
 def q_distinct_segments(sf_dir: str):
     """Set op: distinct values (Dataset.unique → shuffle)."""
     import pandas as pd
@@ -777,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_counts": q_chunk_counts,
         "region_customers": q_region_customers,
         "part_topk_per_type": q_part_topk_per_type,
+        "hash_join_sales": q_hash_join_sales,
         "distinct_segments": q_distinct_segments,
         "supplier_stats": q_supplier_stats,
         # rows-only (non-SQL-expressible)
@@ -816,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_counts": SQL_CHUNK_COUNTS,
         "region_customers": SQL_REGION_CUSTOMERS,
         "part_topk_per_type": SQL_PART_TOPK_PER_TYPE,
+        "hash_join_sales": SQL_HASH_JOIN_SALES,
         "distinct_segments": SQL_DISTINCT_SEGMENTS,
         "supplier_stats": SQL_SUPPLIER_STATS,
     }

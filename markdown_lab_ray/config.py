@@ -46,6 +46,7 @@ class EngineConfig:
     seen_shards: int = 16              # URL-seen filter shard actors
     schedule_salts: int = 0            # >1 → two-stage salted schedule
                                        # (bounds hot-host group size)
+    payload_cache_ttl: float = 0.0     # >0 → per-fetch-actor TTL/LRU cache
     seen_capacity_per_shard: int = 1 << 20
 
     # -- misc

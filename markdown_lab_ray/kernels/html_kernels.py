@@ -19,6 +19,7 @@ flattens nested ``li`` descendants; the link predicate differs between
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
@@ -106,6 +107,22 @@ def resolve_url(base_url: str, relative_url: str) -> str:
     if resolved is None:
         raise ValueError(f"cannot resolve {relative_url!r} against {base_url!r}")
     return resolved
+
+
+_TITLE_FAST_RE = re.compile(r"<title[^>]*>(.*?)</title>",
+                            re.IGNORECASE | re.DOTALL)
+_H1_FAST_RE = re.compile(r"<h1[^>]*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_title_fast(html: str) -> Optional[str]:
+    """Regex title extraction without a full parse: ``<title>`` else
+    first ``<h1>`` else None (ref ``core/converter.py:355-367``)."""
+    for pattern in (_TITLE_FAST_RE, _H1_FAST_RE):
+        if m := pattern.search(html):
+            text = re.sub(r"<[^>]+>", "", m.group(1)).strip()
+            if text:
+                return text
+    return None
 
 
 def get_element_text(el: Node) -> str:

@@ -121,10 +121,17 @@ class FetchStage:
     """Actor-pool fetch: scheduled rows → +status, html.  For the
     synthetic web this is a pure lookup; a real deployment gives each
     actor a connection pool + retry/backoff (reference T2/T9) and the
-    same signature."""
+    same signature.  ``cache_ttl > 0`` wraps the resolver in the
+    per-actor TTL/LRU payload cache (reference request-cache memory
+    level, state/cache.py)."""
 
-    def __init__(self, web_factory):
-        self.web = web_factory()
+    def __init__(self, web_factory, cache_ttl: float = 0.0):
+        web = web_factory()
+        if cache_ttl > 0:
+            from ..state.cache import CachedResolver
+            self.web = CachedResolver(web.resolve, ttl=cache_ttl)
+        else:
+            self.web = web
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         statuses, htmls = [], []
@@ -531,7 +538,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 FetchConvertStage, batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 concurrency=fetch_conc,
-                fn_constructor_kwargs=dict(web_factory=web_factory))
+                fn_constructor_kwargs=dict(web_factory=web_factory,
+                                           cache_ttl=cfg.payload_cache_ttl))
         # stream straight to the parquet checkpoint (no materialize —
         # a round's docs shouldn't double-buffer through the object
         # store); chunks/links/metrics re-read column-pruned slices
