@@ -37,10 +37,34 @@ MAIN_CONTENT_SELECTOR = "main, article, #content, .content"
 _MAIN_FALLBACKS = ("main", "article", "#content", ".content", "body")
 
 
+_UNWANTED_TAGS = frozenset(
+    ["script", "style", "iframe", "noscript", "header", "footer", "nav"])
+_UNWANTED_CLASSES = frozenset(
+    ["advertisement", "ad", "banner", "sidebar", "menu", "comments",
+     "related", "share", "social"])
+_UNWANTED_IDS = frozenset(["cookie-notice"])
+
+
 def clean_dom(root: Node) -> Node:
-    """Remove unwanted elements from a parsed tree, in place."""
-    for el in root.select(UNWANTED_SELECTOR):
-        el.detach()
+    """Remove unwanted elements from a parsed tree, in place.
+
+    Set-membership fast path over one walk — exactly the element list of
+    UNWANTED_SELECTOR (kept in sync; test asserts equivalence)."""
+    doomed = []
+    stack = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if node.tag is None:
+            continue
+        if (node.tag in _UNWANTED_TAGS
+                or node.attrs.get("id") in _UNWANTED_IDS
+                or ("class" in node.attrs
+                    and not _UNWANTED_CLASSES.isdisjoint(node.classes()))):
+            doomed.append(node)
+            continue  # children die with the subtree
+        stack.extend(reversed(node.children))
+    for node in doomed:
+        node.detach()
     return root
 
 
@@ -168,6 +192,30 @@ def _el_text(el: Node) -> str:
     return el.text_content().strip()
 
 
+_DOC_TAGS = frozenset(
+    ["title", "p", "a", "img", "ul", "ol", "pre", "code", "blockquote",
+     "h1", "h2", "h3", "h4", "h5", "h6"])
+
+
+def _index_elements(root: Node) -> dict[str, list[Node]]:
+    """ONE pre-order walk collecting the tags the Document needs, in
+    document order (replaces 15 full-tree ``select`` walks — the same
+    optimization as the reference's cached selectors, T6)."""
+    index: dict[str, list[Node]] = {tag: [] for tag in _DOC_TAGS}
+    index["__pre_code"] = []  # `pre, code` interleaved in document order
+    stack = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if node.tag is not None:
+            bucket = index.get(node.tag)
+            if bucket is not None:
+                bucket.append(node)
+                if node.tag in ("pre", "code"):
+                    index["__pre_code"].append(node)
+            stack.extend(reversed(node.children))
+    return index
+
+
 def parse_html_to_document(html: str, base_url: str) -> dict:
     """Full page → Document dict (ref ``src/markdown_converter.rs:76-94``).
 
@@ -179,9 +227,10 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
         raise ValueError(f"invalid base url {base_url!r}")
 
     root = clean_dom(parse_html(html))
+    index = _index_elements(root)
 
-    title_el = root.select_one("title")
-    title = (title_el.text_content() if title_el is not None else "No Title").strip()
+    title_els = index["title"]
+    title = (title_els[0].text_content() if title_els else "No Title").strip()
 
     doc = {
         "title": title,
@@ -197,24 +246,28 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
 
     # headings: by level, then document order within a level (quirk M6a)
     for level in range(1, 7):
-        for el in root.select(f"h{level}"):
+        for el in index[f"h{level}"]:
             text = _el_text(el)
             if text:
                 doc["headings"].append({"level": level, "text": text})
 
-    for el in root.select("p"):
+    for el in index["p"]:
         text = _el_text(el)
         if text:
             doc["paragraphs"].append(text)
 
-    for el in root.select("a[href]"):
+    for el in index["a"]:
+        if "href" not in el.attrs:
+            continue
         text = _el_text(el)
         if text:
             url = resolve_url_against_base(base_url, el.attrs.get("href", ""))
             if url is not None:
                 doc["links"].append({"text": text, "url": url})
 
-    for el in root.select("img[src]"):
+    for el in index["img"]:
+        if "src" not in el.attrs:
+            continue
         src = resolve_url_against_base(base_url, el.attrs.get("src", ""))
         if src is not None:
             doc["images"].append({"alt": el.attrs.get("alt", "image") or "image",
@@ -222,13 +275,13 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
 
     # lists: every ul first, then every ol; items = descendant li (quirk M6e)
     for tag, ordered in (("ul", False), ("ol", True)):
-        for lst in root.select(tag):
+        for lst in index[tag]:
             items = [t for li in lst.select("li") if (t := _el_text(li))]
             if items:
                 doc["lists"].append({"ordered": ordered, "items": items})
 
     # code blocks: `pre, code` double-matches nested pairs (quirk M6f)
-    for el in root.select("pre, code"):
+    for el in index["__pre_code"]:
         code = _el_text(el)
         if code:
             lang = next(
@@ -238,7 +291,7 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
             )
             doc["code_blocks"].append({"language": lang, "code": code})
 
-    for el in root.select("blockquote"):
+    for el in index["blockquote"]:
         text = _el_text(el)
         if text:
             doc["blockquotes"].append(text)

@@ -544,12 +544,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         # a round's docs shouldn't double-buffer through the object
         # store); chunks/links/metrics re-read column-pruned slices
         t0 = _time.time()
-        docs.write_parquet(os.path.join(rdir, "docs"))
-        docs = rd.read_parquet(os.path.join(rdir, "docs"))
+        docs_dir = os.path.join(rdir, "docs")
+        docs.write_parquet(docs_dir)
+        docs = rd.read_parquet(docs_dir)
         timings["fetch_convert"] = round(_time.time() - t0, 2)
 
+        # explicit column pruning on every checkpoint re-read: only the
+        # needed columns leave the parquet
         t0 = _time.time()
-        chunks = docs.select_columns(["url", "payload"]).map_batches(
+        chunks = rd.read_parquet(docs_dir, columns=["url", "payload"]
+                                 ).map_batches(
             chunk_explode_batch, batch_format="pyarrow",
             batch_size=cfg.chunk_batch_size,
             fn_kwargs=dict(url_col="url", text_col="payload",
@@ -562,8 +566,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         next_frontier = deferred.map_batches(conform_frontier_batch,
                                              batch_format="pyarrow")
         if cfg.max_depth > 0:
-            link_src = docs.select_columns(
-                ["depth", "links", "status"]).filter(
+            link_src = rd.read_parquet(
+                docs_dir, columns=["depth", "links", "status"]).filter(
                 expr=f"status == 200 and depth < {cfg.max_depth}")
             new_rows = link_src.map_batches(links_explode_batch,
                                             batch_format="pyarrow")
@@ -574,9 +578,19 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         next_frontier.write_parquet(next_dir)
         timings["links_frontier"] = round(_time.time() - t0, 2)
 
-        # metrics + manifest
-        ok = docs.filter(expr="status == 200").count()
-        total = docs.count()
+        # metrics + manifest — one pass over the pruned status column
+        def _status_partial(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "ok": [pc.sum(pc.equal(b["status"], 200)).as_py() or 0],
+                "n": [b.num_rows],
+            })
+
+        status_df = (rd.read_parquet(docs_dir, columns=["status"])
+                     .map_batches(_status_partial, batch_format="pyarrow")
+                     .to_pandas())
+        ok = int(status_df["ok"].sum())
+        total = int(status_df["n"].sum())
         entry = {
             "round": round_no, "scheduled": total, "fetched": ok,
             "failed": total - ok,
