@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) — the reference ships none
+(SURVEY §5: "Property/randomized testing: none"); these harden the
+kernels beyond its suite."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from markdown_lab_ray.kernels.chunker import chunk_markdown_char, create_semantic_chunks
+from markdown_lab_ray.kernels.dom import parse_html
+from markdown_lab_ray.kernels.html_kernels import parse_html_to_document
+from markdown_lab_ray.kernels.urls import normalize_url, url_seen_key
+from markdown_lab_ray.state.seen import CuckooFilter, LocalSeen
+
+html_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_text)
+def test_dom_never_crashes(text):
+    root = parse_html(text)
+    assert root is not None
+    root.select("p, a[href], .x, #y")
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_text)
+def test_parse_document_total(text):
+    doc = parse_html_to_document(text, "https://fuzz.example.com")
+    assert set(doc) == {"title", "base_url", "headings", "paragraphs",
+                        "links", "images", "lists", "code_blocks",
+                        "blockquotes"}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=2000),
+       st.integers(min_value=2, max_value=500),
+       st.integers(min_value=0, max_value=100))
+def test_char_chunker_invariants(markdown, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    chunks = chunk_markdown_char(markdown, size, overlap)
+    for c in chunks:
+        assert c["content"]
+        assert c["word_count"] == len(c["content"].split())
+        assert c["char_count"] == len(c["content"])
+        assert 0.0 <= c["semantic_density"] <= 1.2
+    # positions strictly increasing
+    positions = [c["position"] for c in chunks]
+    assert positions == sorted(positions)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=1500))
+def test_section_chunker_no_content_loss(text):
+    """Every non-whitespace character of the input appears in some chunk
+    (section mode splits on lines/words but never drops content)."""
+    chunks = create_semantic_chunks(text, "https://e.com/x")
+    joined = " ".join(c["content"] for c in chunks)
+    assert sorted("".join(text.split())) == sorted("".join(joined.split()))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.from_regex(r"https?://[a-z0-9.]{1,20}(/[a-zA-Z0-9._~/-]{0,30})?"
+                     r"(\?[a-z=&]{0,10})?(#[a-z]{0,8})?", fullmatch=True))
+def test_normalize_idempotent(url):
+    once = normalize_url(url)
+    assert normalize_url(once) == once
+    assert url_seen_key(url) == url_seen_key(once)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=200))
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(4096)
+    inserted = [k for k in keys if f.add(k)]
+    assert all(f.contains(k) for k in inserted)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=20), max_size=100))
+def test_seen_exactly_once(keys):
+    seen = LocalSeen(1 << 12)
+    flags = seen.check_and_add(keys)
+    first_idx = {}
+    for i, k in enumerate(keys):
+        first_idx.setdefault(k, i)
+    for i, (k, is_new) in enumerate(zip(keys, flags)):
+        assert is_new == (first_idx[k] == i)
