@@ -163,3 +163,26 @@ def test_embedding_near_dup(ray_session):
                                      cosine_threshold=0.95)
     assert [0, 1] in pairs[["a", "b"]].to_numpy().tolist()
     assert not any(2 in p for p in pairs[["a", "b"]].to_numpy().tolist())
+
+
+def test_cli_help_and_errors():
+    out = subprocess.run([sys.executable, "-m", "markdown_lab_ray", "--help"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0
+    assert "convert" in out.stdout and "crawl" in out.stdout
+    out = subprocess.run([sys.executable, "-m", "markdown_lab_ray"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 2  # missing subcommand → argparse error
+    out = subprocess.run([sys.executable, "-m", "markdown_lab_ray",
+                          "convert"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 2
+    assert "need --html or --input-parquet" in out.stderr
+
+
+def test_microbench_runs():
+    out = subprocess.run([sys.executable, "scripts/microbench.py", "--json"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0
+    data = json.loads(out.stdout.strip())
+    assert any(k.startswith("convert/") for k in data)
