@@ -1,21 +1,23 @@
 """Distributed crawl engine: BSP rounds over Ray Data (SURVEY.md §3.4).
 
-Per round the only wide operations are (a) the intra-round dedup
-``groupby(seen_key)`` and (b) the ``groupby(host)`` politeness schedule
-— both keyed shuffles; everything else is ``map_batches`` streaming.
-Every round checkpoints to parquet under ``out_dir/rounds/round=N/``
-(schedule, docs, chunks, frontier_next) plus a ``_MANIFEST.json``, so a
-killed run resumes from the last complete round with per-partition
-lineage (north_rule: resumable with metrics).
+Each round has exactly ONE wide operation: a ``groupby(host)`` whose
+per-group function fuses intra-round dedup, URL-seen filtering, robots
+checks and the politeness schedule (two keyed stages when
+``schedule_salts`` bounds hot-host group sizes).  Everything else is
+``map_batches`` streaming.  Every round checkpoints to parquet under
+``out_dir/rounds/round=N/`` (schedule, docs, chunks, frontier_next)
+plus a ``_MANIFEST.json``, so a killed run resumes from the last
+complete round with per-partition lineage (north_rule: resumable with
+metrics); partial checkpoints of an interrupted round are discarded on
+re-entry.
 
 Scale notes (10^10-URL frontier):
 - frontier rows are metadata-sized; page payloads never cross a round
   boundary (docs/chunks are written, links are folded back to rows);
 - URL-seen is O(urls) but sharded + cuckoo-prefiltered (state/seen.py);
 - per-host budget caps each round's fetch volume, so a hot host defers
-  rather than stalls (skew: the schedule shuffle is by host — salt
-  would be added at the groupby key if a single host dominated a
-  partition, documented in state/politeness.py).
+  rather than stalls; ``schedule_salts`` splits a hot host's scheduler
+  work across (host, salt) groups without changing the outcome.
 """
 
 from __future__ import annotations
@@ -473,6 +475,12 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         rdir = _round_dir(out_dir, round_no)
         if frontier.count() == 0:
             break
+        if (os.path.exists(rdir)
+                and not os.path.exists(os.path.join(rdir, "_MANIFEST.json"))):
+            # a kill mid-round left partial checkpoints; re-running the
+            # round must start clean (write_parquet appends part files)
+            import shutil
+            shutil.rmtree(rdir)
         os.makedirs(rdir, exist_ok=True)
         timings: dict[str, float] = {}
         t0 = _time.time()
@@ -645,6 +653,16 @@ def _restore(out_dir: str, shards, result: CrawlResult):
 
         frontier = _read_frontier(os.path.join(rdir, "frontier_next"))
         round_no += 1
+
+    # drop any manifest-less (partial) round dirs beyond the last
+    # complete round so they can't pollute read_crawl_order even if the
+    # resumed frontier drains before reaching them
+    import glob as _glob
+    import shutil as _shutil
+    for stale in _glob.glob(os.path.join(out_dir, "rounds", "round=*")):
+        if (int(stale.rsplit("=", 1)[1]) >= round_no
+                and not os.path.exists(os.path.join(stale, "_MANIFEST.json"))):
+            _shutil.rmtree(stale)
     return round_no, frontier
 
 

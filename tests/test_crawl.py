@@ -120,3 +120,32 @@ def test_ray_crawl_resume(ray_session, tmp_path):
     resumed = read_crawl_order(part_dir)
     pd.testing.assert_frame_equal(full.reset_index(drop=True),
                                   resumed.reset_index(drop=True))
+
+
+def test_resume_discards_partial_round(ray_session, tmp_path):
+    """A kill mid-round leaves checkpoints without a manifest; resume
+    must discard them and still converge to the uninterrupted result."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), full_dir, CFG)
+
+    cfg_half = EngineConfig(**{**CFG.__dict__, "max_rounds": 2})
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), part_dir,
+                  cfg_half)
+    # fabricate a partial round 2: schedule written, no manifest
+    partial = os.path.join(part_dir, "rounds", "round=2")
+    shutil.copytree(os.path.join(part_dir, "rounds", "round=1"), partial)
+    os.remove(os.path.join(partial, "_MANIFEST.json"))
+
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), part_dir,
+                  CFG, resume=True)
+    pd.testing.assert_frame_equal(
+        read_crawl_order(full_dir).reset_index(drop=True),
+        read_crawl_order(part_dir).reset_index(drop=True))
