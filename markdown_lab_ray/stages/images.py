@@ -165,6 +165,70 @@ class ImageTransform:
         })
 
 
+_VMAGIC = b"FVID"
+
+
+def fake_video_encode(frames: np.ndarray) -> bytes:
+    """Encode an (n, h, w, 3) uint8 frame stack (fake container: the
+    real pipeline would hold mp4/webm bytes; no video lib ships here)."""
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    header = _VMAGIC + struct.pack("<III", n, w, h)
+    return header + zlib.compress(frames.tobytes(), level=1)
+
+
+def fake_video_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _VMAGIC:
+        raise ValueError("not a fake-codec video")
+    n, w, h = struct.unpack("<III", data[4:16])
+    frames = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
+    return frames.reshape(n, h, w, 3)
+
+
+class FrameSample:
+    """Actor-pool stage: video bytes → k evenly-spaced sampled frames
+    (each re-encoded as a png still) + per-frame phash.
+
+    Real decode is STUBBED behind the fake container (no video library
+    in this container — swap ``fake_video_decode`` for pyav/ffmpeg on a
+    real cluster); the Ray-side plumbing — binary column in, exploded
+    frame rows out, actor signature, bounded batch sizes — is real.
+    """
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        video_ids, frame_idx, stills, phashes, ok = [], [], [], [], []
+        for vid, blob in zip(batch.column("video_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            try:
+                frames = fake_video_decode(blob)
+                n = frames.shape[0]
+                picks = [min(int(i * n / self.k), n - 1)
+                         for i in range(min(self.k, n))]
+                for i in dict.fromkeys(picks):  # unique, order-preserving
+                    video_ids.append(vid)
+                    frame_idx.append(i)
+                    stills.append(fake_encode(frames[i], "png"))
+                    phashes.append(perceptual_hash(frames[i]))
+                    ok.append(True)
+            except Exception:
+                video_ids.append(vid)
+                frame_idx.append(-1)
+                stills.append(b"")
+                phashes.append(0)
+                ok.append(False)
+        return pa.table({
+            "video_id": pa.array(video_ids, pa.string()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "still": pa.array(stills, pa.binary()),
+            "phash": pa.array(phashes, pa.int64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        })
+
+
 def phash_band_batch(batch: pa.Table, n_bands: int = 4) -> pa.Table:
     """(image_id, phash) → (band_id, band_key, image_id) rows for the
     near-dup groupby: 4×16-bit bands of the 64-bit hash — images within

@@ -116,3 +116,16 @@ def test_robots_cache_fetch_once():
 def test_robots_absent_allows_all():
     cache = LocalRobotsCache(lambda url: (404, ""))
     assert cache.rules_for("b.com").allows("https://b.com/anything")
+
+
+def test_engine_config_env(monkeypatch):
+    from markdown_lab_ray.config import EngineConfig
+
+    monkeypatch.setenv("MARKDOWN_LAB_CHUNK_SIZE", "512")
+    monkeypatch.setenv("MARKDOWN_LAB_REQUESTS_PER_SECOND", "2.5")
+    monkeypatch.setenv("MARKDOWN_LAB_DEFAULT_OUTPUT_FORMAT", "xml")
+    cfg = EngineConfig.from_env(max_rounds=7)
+    assert cfg.chunk_size == 512
+    assert cfg.requests_per_second == 2.5
+    assert cfg.default_output_format == "xml"
+    assert cfg.max_rounds == 7

@@ -116,3 +116,36 @@ def test_sitemap_roundtrip_through_kernel():
     # j%7==0 entries carry no priority (None passes min_priority filters)
     assert rows[0]["priority"] is None
     assert rows[1]["priority"] == 0.3
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.images import (
+        FrameSample,
+        fake_decode,
+        fake_video_decode,
+        fake_video_encode,
+    )
+
+    rows = []
+    for v in range(4):
+        frames = np.stack([synth_pixels(f"vid{v}_f{i}", 16, 16)
+                           for i in range(8)])
+        rows.append({"video_id": f"vid{v}", "bytes": fake_video_encode(frames)})
+    ds = rd.from_items(rows)
+    out = ds.map_batches(FrameSample, batch_format="pyarrow", batch_size=2,
+                         concurrency=(1, 2),
+                         fn_constructor_kwargs=dict(k=3)).take_all()
+    assert len(out) == 12  # 4 videos × 3 frames
+    assert all(r["decode_ok"] for r in out)
+    # stills decode back to the sampled frame
+    first = next(r for r in out if r["video_id"] == "vid0" and r["frame_idx"] == 0)
+    still, _ = fake_decode(first["still"])
+    original = fake_video_decode(rows[0]["bytes"])[0]
+    assert np.array_equal(still, original)
+    # garbage bytes → decode_ok False row, batch not aborted
+    bad = rd.from_items([{"video_id": "x", "bytes": b"junk"}])
+    out = bad.map_batches(FrameSample, batch_format="pyarrow",
+                          concurrency=1).take_all()
+    assert out[0]["decode_ok"] is False or out[0]["decode_ok"] == False  # noqa: E712
