@@ -752,6 +752,28 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh_bucketed(ds, query, dim=dim, k=10, probe_hamming=2)
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash band-bucket near-dup pairs over documents."""
+    from markdown_lab_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, hamming_threshold=10)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-style approximate k-NN (coarse k-means quantizer + probed
+    lists — the alternate scale path to LSH)."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import knn_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    query = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, query, k=10, n_lists=8, n_probe=3)
+
+
 def q_lang_id(sf_dir: str):
     from markdown_lab_ray.stages.text import lang_id_batch
 
@@ -821,7 +843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_validate": q_images_validate,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
         "render_formats": q_render_formats,
     }

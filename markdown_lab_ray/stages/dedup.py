@@ -145,6 +145,53 @@ def hamming64_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return count
 
 
+def simhash_near_dup_pairs(ds, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           hamming_threshold: int = 3):
+    """SimHash near-dup end-to-end: signatures → 4×16-bit band groupby
+    (any pair within Hamming ≤ 3 shares ≥1 band) → candidate pairs →
+    exact Hamming verify against a broadcast id→hash lookup."""
+    import pandas as pd
+
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(text_col=text_col, id_col=id_col))
+    sig_df = sigs.to_pandas()
+    lookup = dict(zip(sig_df[id_col], sig_df["simhash"]))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for row in batch.to_pylist():
+            for band in range(4):
+                ids.append(row[id_col])
+                bands.append(band)
+                keys.append(row[f"sim_band{band}"])
+        return pa.table({"band_id": pa.array(bands, pa.int32()),
+                         "band_key": pa.array(keys, pa.int64()),
+                         id_col: pa.array(ids)})
+
+    def pairs_group(df):
+        ids = sorted(df[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame([(ids[i], ids[j]) for i in range(len(ids))
+                             for j in range(i + 1, len(ids))],
+                            columns=["a", "b"])
+
+    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
+             .groupby(["band_id", "band_key"])
+             .map_groups(pairs_group, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    a = np.array([lookup[x] for x in pairs["a"]], dtype=np.int64)
+    b = np.array([lookup[x] for x in pairs["b"]], dtype=np.int64)
+    pairs["hamming"] = hamming64_arr(a, b)
+    return (pairs[pairs["hamming"] <= hamming_threshold]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # pipelines (Dataset → Dataset / DataFrame)
 # ---------------------------------------------------------------------------

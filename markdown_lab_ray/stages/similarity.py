@@ -114,6 +114,58 @@ class HyperplaneBucketer:
         return batch.append_column("lsh_bucket", pa.array(keys, pa.int64()))
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8,
+                 seed: int = 42) -> np.ndarray:
+    """Tiny seeded k-means for IVF coarse quantization (numpy only)."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def knn_ivf(ds, query_vec, k: int = 10, n_lists: int = 16, n_probe: int = 4,
+            sample_size: int = 2048, seed: int = 42,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF-style approximate top-k: train a coarse quantizer on a seeded
+    sample (driver-side k-means — at real scale this is a one-off
+    training job), assign every row to its nearest centroid inside
+    ``map_batches`` (centroids broadcast via closure), and scan only the
+    ``n_probe`` lists nearest to the query."""
+    sample = ds.limit(sample_size).to_pandas()
+    mat = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    centroids = _kmeans_lite(mat, n_lists, seed=seed)
+
+    query = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((centroids - query) ** 2).sum(axis=1))[:n_probe]
+    probe_set = set(int(p) for p in probe)
+
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        vecs = _embedding_matrix(batch, emb_col)
+        if not vecs.shape[0]:
+            return batch.slice(0, 0)
+        d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        lists = d2.argmin(axis=1)
+        keep = np.isin(lists, list(probe_set))
+        return batch.filter(pa.array(keep))
+
+    candidates = ds.map_batches(assign_and_filter, batch_format="pyarrow")
+    partials = candidates.map_batches(
+        partial_topk_batch, batch_format="pyarrow",
+        fn_kwargs=dict(query=query, k=k, id_col=id_col, emb_col=emb_col))
+    df = partials.to_pandas()
+    df["score"] = df["score"].round(6)
+    return (df.sort_values(["score", id_col], ascending=[False, True],
+                           kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
 def embedding_near_dup_pairs(ds, dim: int, cosine_threshold: float = 0.9,
                              n_planes: int = 10, seed: int = 42,
                              id_col: str = "vec_id",

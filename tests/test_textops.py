@@ -137,3 +137,35 @@ def test_knn_lsh_recall(ray_session):
     overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
     assert overlap >= 3  # recall with 8 planes + 2-bit probing
     assert approx["vec_id"].tolist()[0] == exact["vec_id"].tolist()[0]
+
+
+def test_simhash_near_dup_pipeline(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import simhash_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("kappa", "lambda", 1)},
+        {"doc_id": 2, "text": "completely different words about oceans " * 12},
+    ]
+    pairs = simhash_near_dup_pairs(rd.from_items(rows), hamming_threshold=10)
+    got = {tuple(p) for p in pairs[["a", "b"]].to_numpy().tolist()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(emb)
+    query = np.array(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    exact = knn_brute_force(ds, query, k=10)
+    approx = knn_ivf(ds, query, k=10, n_lists=8, n_probe=4)
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert approx["vec_id"].tolist()[0] == exact["vec_id"].tolist()[0]
+    assert overlap >= 4
