@@ -123,21 +123,55 @@ class FetchStage:
     """Actor-pool fetch: scheduled rows → +status, html.  For the
     synthetic web this is a pure lookup; a real deployment gives each
     actor a connection pool + retry/backoff (reference T2/T9) and the
-    same signature.  ``cache_ttl > 0`` wraps the resolver in the
-    per-actor TTL/LRU payload cache (reference request-cache memory
-    level, state/cache.py)."""
+    same signature.
 
-    def __init__(self, web_factory, cache_ttl: float = 0.0):
+    ``cache_ttl > 0`` wraps the resolver in the per-actor TTL/LRU
+    payload cache (reference request-cache memory level, state/cache.py).
+    ``pacing_rps > 0`` additionally enforces REALTIME per-host pacing
+    via token buckets (reference T1 upgraded global→per-host) — the BSP
+    round budget bounds volume per round; the pacer spaces requests
+    within the round.  Clock/sleeper are injectable so tests don't
+    sleep.  NOTE: per-host buckets are per-actor; co-locate a host's
+    rows in one batch (the schedule stage's host grouping does) or
+    divide rps by the pool size for a global guarantee.
+    """
+
+    def __init__(self, web_factory, cache_ttl: float = 0.0,
+                 pacing_rps: float = 0.0, clock=None, sleeper=None):
+        import time as _t
+
         web = web_factory()
         if cache_ttl > 0:
             from ..state.cache import CachedResolver
             self.web = CachedResolver(web.resolve, ttl=cache_ttl)
         else:
             self.web = web
+        self.pacing_rps = pacing_rps
+        self.clock = clock or _t.monotonic
+        self.sleeper = sleeper or _t.sleep
+        self._buckets: dict[str, object] = {}
+
+    def _pace(self, host: str) -> None:
+        from ..state.politeness import TokenBucket
+
+        bucket = self._buckets.get(host)
+        if bucket is None:
+            bucket = self._buckets[host] = TokenBucket(
+                self.pacing_rps, capacity=max(1.0, self.pacing_rps))
+        now = self.clock()
+        ready_at = bucket.next_available(now)
+        if ready_at > now:
+            self.sleeper(ready_at - now)
+            now = ready_at
+        bucket.try_acquire(now)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         statuses, htmls = [], []
-        for loc in batch.column("loc").to_pylist():
+        hosts = (batch.column("host").to_pylist()
+                 if "host" in batch.column_names else None)
+        for i, loc in enumerate(batch.column("loc").to_pylist()):
+            if self.pacing_rps > 0:
+                self._pace(hosts[i] if hosts else "")
             status, body = self.web.resolve(loc)
             statuses.append(status)
             htmls.append(body if isinstance(body, str) else "")

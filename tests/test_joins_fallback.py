@@ -72,3 +72,31 @@ def test_fetch_stage_payload_cache(ray_session):
     out = stage(batch)
     assert out.column("status").to_pylist() == [200, 200]
     assert stage.web.hits == 1  # second fetch of the same URL was cached
+
+
+def test_fetch_stage_realtime_pacing():
+    """Per-host token buckets space requests at pacing_rps; other hosts
+    are not delayed by a hot host's bucket (injected clock, no sleep)."""
+    from markdown_lab_ray.pipelines.crawl import FetchStage
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=2, pages_per_host=4)
+    clock = {"t": 0.0}
+    sleeps = []
+
+    def fake_sleep(dt):
+        sleeps.append(round(dt, 3))
+        clock["t"] += dt
+
+    stage = FetchStage(lambda: SyntheticWeb(spec), pacing_rps=2.0,
+                       clock=lambda: clock["t"], sleeper=fake_sleep)
+    batch = pa.table({
+        "loc": [spec.page_url(0, 0), spec.page_url(0, 1),
+                spec.page_url(0, 2), spec.page_url(1, 0)],
+        "host": [spec.host(0)] * 3 + [spec.host(1)],
+    })
+    out = stage(batch)
+    assert out.column("status").to_pylist() == [200] * 4
+    # host 0: first two requests use the 2-token burst, third waits 0.5s;
+    # host 1 has its own fresh bucket → no wait
+    assert sleeps == [0.5]
