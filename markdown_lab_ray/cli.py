@@ -6,7 +6,9 @@ as Dataset pipelines (SURVEY §2.10).
         --out /tmp/out --format markdown --chunks
     python -m markdown_lab_ray crawl --seeds links.txt --out /tmp/crawl \
         [--synthetic] [--rps 1.0] [--max-rounds 5]
-    python -m markdown_lab_ray bench [--scaling]
+
+(benchmarks live in the repo-root ``bench.py``: ``python bench.py
+[--scaling]``)
 
 Owns its Ray session (guarded init) — library code never calls
 ray.init.

@@ -47,6 +47,9 @@ class EngineConfig:
     schedule_salts: int = 0            # >1 → two-stage salted schedule
                                        # (bounds hot-host group size)
     payload_cache_ttl: float = 0.0     # >0 → per-fetch-actor TTL/LRU cache
+    pacing_rps: float = 0.0            # >0 → realtime per-host pacing in
+                                       # fetch actors (sleeps!); the round
+                                       # budget still bounds volume
     seen_capacity_per_shard: int = 1 << 20
 
     # -- misc

@@ -212,6 +212,16 @@ class _TreeBuilder(HTMLParser):
     def top(self) -> Node:
         return self.stack[-1]
 
+    @staticmethod
+    def _attr_dict(attrs) -> dict:
+        # first occurrence wins, case-insensitively (HTML5 behavior)
+        out = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in out:
+                out[k] = v if v is not None else ""
+        return out
+
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
         if tag in _P_CLOSERS and self.top.tag == "p":
@@ -223,22 +233,13 @@ class _TreeBuilder(HTMLParser):
                 if self.top.tag == open_tag:
                     self.stack.pop()
                     break
-        attr_dict = {}
-        for k, v in attrs:
-            if k not in attr_dict:
-                attr_dict[k.lower()] = v if v is not None else ""
-        node = Node(tag, attr_dict)
+        node = Node(tag, self._attr_dict(attrs))
         self.top.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        tag = tag.lower()
-        attr_dict = {}
-        for k, v in attrs:
-            if k not in attr_dict:
-                attr_dict[k.lower()] = v if v is not None else ""
-        self.top.append(Node(tag, attr_dict))
+        self.top.append(Node(tag.lower(), self._attr_dict(attrs)))
 
     def handle_endtag(self, tag):
         tag = tag.lower()

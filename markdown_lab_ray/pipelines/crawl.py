@@ -37,20 +37,29 @@ from ..state.seen import SeenProbe, create_seen_shards
 from ..stages.convert import EMPTY_DOC, chunk_explode_batch
 from .crawl_spec import discover_seed_frontier, links_to_frontier_rows
 
-FRONTIER_COLS = ["loc", "lastmod", "changefreq", "priority", "host",
-                 "depth", "seq_no", "seen_key"]
+from ..stages.schemas import FRONTIER_SCHEMA as _FRONTIER_PA_SCHEMA
 
-_FRONTIER_PA_SCHEMA = pa.schema([
-    ("loc", pa.string()), ("lastmod", pa.string()),
-    ("changefreq", pa.string()), ("priority", pa.float64()),
-    ("host", pa.string()), ("depth", pa.int64()), ("seq_no", pa.int64()),
-    ("seen_key", pa.string()),
-])
+FRONTIER_COLS = list(_FRONTIER_PA_SCHEMA.names)
 
 
 # ---------------------------------------------------------------------------
 # stages
 # ---------------------------------------------------------------------------
+
+def _worker_cached(cache: dict, factory, build):
+    """Get-or-create a per-worker-process cached object keyed by the
+    factory's pickled content (same factory content → same cache entry
+    across tasks; shared by the discover/robots/fetch task stages)."""
+    import hashlib
+
+    from ray import cloudpickle
+
+    key = hashlib.md5(cloudpickle.dumps(factory)).hexdigest()
+    obj = cache.get(key)
+    if obj is None:
+        obj = cache[key] = build(factory)
+    return obj
+
 
 class DiscoverStage:
     """Actor stage: seed URL rows → frontier rows (robots → sitemap
@@ -80,14 +89,8 @@ def discover_batch(batch: pa.Table, web_factory, **filters) -> pa.Table:
     global.  Used when the resolver is cheap to construct (synthetic
     web); a real-network crawl keeps the actor stage for its session
     state."""
-    import hashlib
-
-    from ray import cloudpickle
-
-    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
-    cache = _ROBOTS_CACHE.get(key)
-    if cache is None:
-        cache = _ROBOTS_CACHE[key] = LocalRobotsCache(web_factory().resolve)
+    cache = _worker_cached(_ROBOTS_CACHE, web_factory,
+                           lambda f: LocalRobotsCache(f().resolve))
     rows = []
     for seed, idx in zip(batch.column("seed").to_pylist(),
                          batch.column("seed_idx").to_pylist()):
@@ -105,14 +108,8 @@ def robots_filter_batch(batch: pa.Table, web_factory) -> pa.Table:
     in a worker-process global keyed by the factory's pickled content
     (deterministic content → per-worker caches agree; a real network
     deployment would consult the shared robots cache actor instead)."""
-    import hashlib
-
-    from ray import cloudpickle
-
-    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
-    cache = _ROBOTS_CACHE.get(key)
-    if cache is None:
-        cache = _ROBOTS_CACHE[key] = LocalRobotsCache(web_factory().resolve)
+    cache = _worker_cached(_ROBOTS_CACHE, web_factory,
+                           lambda f: LocalRobotsCache(f().resolve))
     hosts = batch.column("host").to_pylist()
     locs = batch.column("loc").to_pylist()
     keep = [cache.rules_for(h).allows(u) for h, u in zip(hosts, locs)]
@@ -158,19 +155,24 @@ class FetchStage:
         if bucket is None:
             bucket = self._buckets[host] = TokenBucket(
                 self.pacing_rps, capacity=max(1.0, self.pacing_rps))
-        now = self.clock()
-        ready_at = bucket.next_available(now)
-        if ready_at > now:
-            self.sleeper(ready_at - now)
-            now = ready_at
-        bucket.try_acquire(now)
+        # loop until a token is actually debited: re-read the clock after
+        # sleeping (oversleep happens) and never assume the acquire
+        # succeeded — float rounding can leave the bucket just short
+        while True:
+            now = self.clock()
+            if bucket.try_acquire(now):
+                return
+            wait = bucket.next_available(now) - now
+            self.sleeper(max(wait, 1e-4))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         statuses, htmls = [], []
         hosts = (batch.column("host").to_pylist()
                  if "host" in batch.column_names else None)
         for i, loc in enumerate(batch.column("loc").to_pylist()):
-            if self.pacing_rps > 0:
+            if self.pacing_rps > 0 and not (
+                    hasattr(self.web, "has_fresh") and self.web.has_fresh(loc)):
+                # cache hits don't touch the network → no pacing needed
                 self._pace(hosts[i] if hosts else "")
             status, body = self.web.resolve(loc)
             statuses.append(status)
@@ -190,14 +192,7 @@ def fetch_convert_batch(batch: pa.Table, web_factory) -> pa.Table:
     Choose via ``EngineConfig.fetch_mode = "tasks"``; the actor pool
     (``"actors"``) remains the right tier for real HTTP fetching where
     each worker owns sessions/connection pools."""
-    import hashlib
-
-    from ray import cloudpickle
-
-    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
-    web = _WEB_CACHE.get(key)
-    if web is None:
-        web = _WEB_CACHE[key] = web_factory()
+    web = _worker_cached(_WEB_CACHE, web_factory, lambda f: f())
     statuses, htmls = [], []
     for loc in batch.column("loc").to_pylist():
         status, body = web.resolve(loc)
@@ -363,14 +358,8 @@ def make_host_finalizer(budget: int):
 def _robots_rules(web_factory, host: str):
     """Per-worker-process cached robots rules (same cache the filter
     task uses)."""
-    import hashlib
-
-    from ray import cloudpickle
-
-    key = hashlib.md5(cloudpickle.dumps(web_factory)).hexdigest()
-    cache = _ROBOTS_CACHE.get(key)
-    if cache is None:
-        cache = _ROBOTS_CACHE[key] = LocalRobotsCache(web_factory().resolve)
+    cache = _worker_cached(_ROBOTS_CACHE, web_factory,
+                           lambda f: LocalRobotsCache(f().resolve))
     return cache.rules_for(host)
 
 
@@ -581,7 +570,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 batch_size=cfg.fetch_batch_size,
                 concurrency=fetch_conc,
                 fn_constructor_kwargs=dict(web_factory=web_factory,
-                                           cache_ttl=cfg.payload_cache_ttl))
+                                           cache_ttl=cfg.payload_cache_ttl,
+                                           pacing_rps=cfg.pacing_rps))
         # stream straight to the parquet checkpoint (no materialize —
         # a round's docs shouldn't double-buffer through the object
         # store); chunks/links/metrics re-read column-pruned slices

@@ -36,19 +36,25 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """num_perm universal-hash minhash over shingle crc32s; vectorized
-    (num_perm × n_shingles broadcast per doc)."""
+    """num_perm-permutation minhash over shingle crc32s, vectorized
+    (num_perm × n_shingles broadcast per doc).
+
+    Hash family: multiply-shift ``(a*x + b) mod 2^64`` with odd ``a``
+    (Dietzfelbinger et al.) — universal under numpy's native uint64
+    wraparound, unlike a Mersenne-modulus scheme which would silently
+    overflow before the reduction."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.a = (rng.randint(1, 1 << 62, num_perm, dtype=np.uint64)
+                  * np.uint64(2) + np.uint64(1))  # odd multipliers
+        self.b = rng.randint(0, 1 << 62, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
     def signature(self, text: str, k: int = 3) -> np.ndarray:
         sh = _shingle_hashes(text, k)
-        # (a*x + b) mod p, computed in python-int free numpy uint64 space
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash
+            vals = self.a[:, None] * sh[None, :] + self.b[:, None]
         return vals.min(axis=1)
 
 
@@ -154,7 +160,8 @@ def simhash_near_dup_pairs(ds, text_col: str = "text",
     import pandas as pd
 
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow",
-                          fn_kwargs=dict(text_col=text_col, id_col=id_col))
+                          fn_kwargs=dict(text_col=text_col, id_col=id_col)
+                          ).materialize()  # consumed twice below
     sig_df = sigs.to_pandas()
     lookup = dict(zip(sig_df[id_col], sig_df["simhash"]))
 
@@ -254,8 +261,11 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     pairs = pairs.drop_duplicates().reset_index(drop=True)
 
-    texts = dict(zip(ds.to_pandas()[id_col], ds.to_pandas()[text_col]))
-    texts_ref = ray.put(texts)
+    # single materialization: two separate to_pandas() runs could return
+    # blocks in different orders (preserve_order is off) and misalign
+    # ids with texts
+    docs_df = ds.to_pandas()
+    texts_ref = ray.put(dict(zip(docs_df[id_col], docs_df[text_col])))
 
     @ray.remote
     def verify(chunk, ref):

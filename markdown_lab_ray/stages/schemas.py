@@ -26,16 +26,22 @@ DOCUMENT_T = pa.struct([
     ("blockquotes", pa.list_(pa.string())),
 ])
 
+# the frontier row schema the crawl engine actually writes/unions
+# (pipelines/crawl.py imports this — keep the two in lockstep)
 FRONTIER_SCHEMA = pa.schema([
     ("loc", pa.string()),
     ("lastmod", pa.string()),
     ("changefreq", pa.string()),
     ("priority", pa.float64()),
     ("host", pa.string()),
-    ("depth", pa.int32()),
+    ("depth", pa.int64()),
     ("seq_no", pa.int64()),
+    ("seen_key", pa.string()),
 ])
 
+# FETCHED/DOCUMENTS/RENDERED/METRICS document the logical tables of
+# SURVEY §1.5; the crawl writes docs/chunks with stage-local schemas
+# (crawl_convert_batch / chunk_explode_batch) that extend these.
 FETCHED_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("status", pa.int32()),

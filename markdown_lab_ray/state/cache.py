@@ -53,13 +53,21 @@ class CachedResolver:
         self.misses += 1
         status, body = self.resolve_fn(url)
         size = self._size_of(body)
-        if size <= self.max_bytes:
+        # only cache successes: a transient failure must be refetchable
+        # immediately, not replayed for a whole TTL window
+        if status == 200 and size <= self.max_bytes:
             self._entries[url] = (now, status, body)
             self._bytes += size
             while self._bytes > self.max_bytes and self._entries:
                 _, (_, _, old_body) = self._entries.popitem(last=False)
                 self._bytes -= self._size_of(old_body)
         return status, body
+
+    def has_fresh(self, url: str) -> bool:
+        """True iff resolve(url) would be served from cache (no network
+        side effects) — lets callers skip politeness pacing on hits."""
+        entry = self._entries.get(url)
+        return entry is not None and self.clock() - entry[0] <= self.ttl
 
     @property
     def hit_rate(self) -> float:
