@@ -82,11 +82,11 @@ def validate_crawled_images(crawl_out_dir: str, images_table: pa.Table,
 
     from ..stages.images import DecodeValidate
 
-    doc_dirs = sorted(glob.glob(
-        os.path.join(crawl_out_dir, "rounds", "round=*", "docs")))
-    if not doc_dirs:
+    doc_files = sorted(glob.glob(
+        os.path.join(crawl_out_dir, "rounds", "round=*", "docs", "*.parquet")))
+    if not doc_files:
         raise FileNotFoundError(f"no docs checkpoints under {crawl_out_dir}")
-    docs = rd.read_parquet(doc_dirs, columns=["url", "images"])
+    docs = rd.read_parquet(doc_files, columns=["url", "images"])
 
     refs = docs.map_batches(explode_image_refs_batch, batch_format="pyarrow")
     table_ref = ray.put(images_table)

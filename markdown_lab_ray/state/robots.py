@@ -69,7 +69,7 @@ def create_robots_cache(resolve_fn):
     """Robots cache as a Ray actor (shared across fetch actors)."""
     import ray
 
-    @ray.remote(num_cpus=0.1)
+    @ray.remote(num_cpus=0)  # bookkeeping actor: never reserve a CPU
     class RobotsCacheActor(LocalRobotsCache):
         pass
 

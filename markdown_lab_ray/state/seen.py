@@ -151,7 +151,10 @@ def create_seen_shards(num_shards: int, capacity_per_shard: int = 1 << 20,
     out of module scope so kernels stay importable without Ray."""
     import ray
 
-    @ray.remote(num_cpus=0.1)
+    # num_cpus=0: lightweight bookkeeping actors must never reserve
+    # CPUs, or (shards × 0.1) + a fetch pool sized to (cpus - 2) can
+    # leave no schedulable CPU for map tasks → pipeline deadlock
+    @ray.remote(num_cpus=0)
     class SeenShard(_SeenCore):
         pass
 
