@@ -577,7 +577,10 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         # store); chunks/links/metrics re-read column-pruned slices
         t0 = _time.time()
         docs_dir = os.path.join(rdir, "docs")
-        docs.write_parquet(docs_dir)
+        # zstd: markdown/html text compresses 3-4x — trades scalable CPU
+        # for the flat checkpoint-IO cost that dominates at high core
+        # counts
+        docs.write_parquet(docs_dir, compression="zstd")
         docs = rd.read_parquet(docs_dir)
         timings["fetch_convert"] = round(_time.time() - t0, 2)
 
@@ -591,7 +594,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             fn_kwargs=dict(url_col="url", text_col="payload",
                            chunk_size=cfg.chunk_size,
                            chunk_overlap=cfg.chunk_overlap))
-        chunks.write_parquet(os.path.join(rdir, "chunks"))
+        chunks.write_parquet(os.path.join(rdir, "chunks"),
+                             compression="zstd")
         timings["chunks"] = round(_time.time() - t0, 2)
 
         t0 = _time.time()
