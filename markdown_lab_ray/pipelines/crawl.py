@@ -185,7 +185,31 @@ class FetchStage:
 _WEB_CACHE: dict[str, object] = {}
 
 
-def fetch_convert_batch(batch: pa.Table, web_factory) -> pa.Table:
+def _write_chunk_sidecar(docs_tbl: pa.Table, chunk_sink: str,
+                         chunk_size: int, chunk_overlap: int) -> None:
+    """Write this batch's chunk rows straight from the convert task —
+    IO fusion that removes the separate read-docs → explode → write
+    pass (the chunks are derived data; a failed round's partial sidecar
+    files are discarded with the round on resume)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    chunk_tbl = chunk_explode_batch(docs_tbl, chunk_size=chunk_size,
+                                    chunk_overlap=chunk_overlap,
+                                    url_col="url", text_col="payload")
+    if chunk_tbl.num_rows == 0:
+        return
+    stem = hashlib.md5(
+        chunk_tbl.column("chunk_id")[0].as_py().encode()).hexdigest()[:16]
+    os.makedirs(chunk_sink, exist_ok=True)
+    pq.write_table(chunk_tbl, os.path.join(chunk_sink, f"part-{stem}.parquet"),
+                   compression="zstd")
+
+
+def fetch_convert_batch(batch: pa.Table, web_factory, chunk_sink=None,
+                        chunk_size: int = 1000,
+                        chunk_overlap: int = 200) -> pa.Table:
     """Task-pool variant of FetchConvertStage for resolvers that are
     pure functions (the synthetic web): runs on the warm worker pool
     with a worker-process-global resolver, no actor spawn cost.
@@ -201,7 +225,10 @@ def fetch_convert_batch(batch: pa.Table, web_factory) -> pa.Table:
     fetched = batch.append_column(
         "status", pa.array(statuses, pa.int32())
     ).append_column("html", pa.array(htmls, pa.string()))
-    return crawl_convert_batch(fetched)
+    docs_tbl = crawl_convert_batch(fetched)
+    if chunk_sink:
+        _write_chunk_sidecar(docs_tbl, chunk_sink, chunk_size, chunk_overlap)
+    return docs_tbl
 
 
 class FetchConvertStage(FetchStage):
@@ -214,8 +241,21 @@ class FetchConvertStage(FetchStage):
     separate stages when the fetch tier must be sized independently
     (e.g. network-bound real fetches vs CPU-bound parsing)."""
 
+    def __init__(self, web_factory, cache_ttl: float = 0.0,
+                 pacing_rps: float = 0.0, clock=None, sleeper=None,
+                 chunk_sink=None, chunk_size: int = 1000,
+                 chunk_overlap: int = 200):
+        super().__init__(web_factory, cache_ttl, pacing_rps, clock, sleeper)
+        self.chunk_sink = chunk_sink
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return crawl_convert_batch(super().__call__(batch))
+        docs_tbl = crawl_convert_batch(super().__call__(batch))
+        if self.chunk_sink:
+            _write_chunk_sidecar(docs_tbl, self.chunk_sink,
+                                 self.chunk_size, self.chunk_overlap)
+        return docs_tbl
 
 
 def crawl_convert_batch(batch: pa.Table) -> pa.Table:
@@ -555,12 +595,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         marked = (scheduled.repartition(n_blocks)
                   .map_batches(SeenProbe(shards, mode="mark"),
                                batch_format="pyarrow"))
+        chunk_sink = os.path.join(rdir, "chunks")
         if cfg.fetch_mode == "tasks":
             # pure-function resolver → stateless tasks on the warm pool
             docs = marked.map_batches(
                 fetch_convert_batch, batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-                fn_kwargs=dict(web_factory=web_factory))
+                fn_kwargs=dict(web_factory=web_factory,
+                               chunk_sink=chunk_sink,
+                               chunk_size=cfg.chunk_size,
+                               chunk_overlap=cfg.chunk_overlap))
         else:
             # stateful fetch tier: fixed-size actor pool, spawned up
             # front in parallel (autoscaling ramp costs more than it
@@ -571,7 +615,10 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 concurrency=fetch_conc,
                 fn_constructor_kwargs=dict(web_factory=web_factory,
                                            cache_ttl=cfg.payload_cache_ttl,
-                                           pacing_rps=cfg.pacing_rps))
+                                           pacing_rps=cfg.pacing_rps,
+                                           chunk_sink=chunk_sink,
+                                           chunk_size=cfg.chunk_size,
+                                           chunk_overlap=cfg.chunk_overlap))
         # stream straight to the parquet checkpoint (no materialize —
         # a round's docs shouldn't double-buffer through the object
         # store); chunks/links/metrics re-read column-pruned slices
@@ -584,19 +631,10 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         docs = rd.read_parquet(docs_dir)
         timings["fetch_convert"] = round(_time.time() - t0, 2)
 
-        # explicit column pruning on every checkpoint re-read: only the
-        # needed columns leave the parquet
-        t0 = _time.time()
-        chunks = rd.read_parquet(docs_dir, columns=["url", "payload"]
-                                 ).map_batches(
-            chunk_explode_batch, batch_format="pyarrow",
-            batch_size=cfg.chunk_batch_size,
-            fn_kwargs=dict(url_col="url", text_col="payload",
-                           chunk_size=cfg.chunk_size,
-                           chunk_overlap=cfg.chunk_overlap))
-        chunks.write_parquet(os.path.join(rdir, "chunks"),
-                             compression="zstd")
-        timings["chunks"] = round(_time.time() - t0, 2)
+        # chunks were written as a sidecar inside the convert tasks
+        # (IO fusion — no docs re-read); the directory exists iff any
+        # batch produced chunk rows
+        timings["chunks"] = 0.0
 
         t0 = _time.time()
         next_frontier = deferred.map_batches(conform_frontier_batch,
