@@ -425,7 +425,14 @@ FROM documents
 def q_chunk_counts(sf_dir: str):
     """Text-chunker row counts per doc (chunk_size=100, overlap=20 →
     20-word windows, 16-word step) — cross-checks the word-window
-    formula against SQL ceil(n/16)."""
+    formula against SQL ceil(n/16).
+
+    The SQL oracle assumes the plain-text dispatch path: valid because
+    no testdata document contains a ``^#+ `` heading line.  If future
+    testdata gained heading-bearing texts, those docs would route to
+    the section chunker and this query would FAIL its oracle loudly
+    (section counts aren't SQL-expressible) — a visible signal, not a
+    silent divergence."""
     from markdown_lab_ray.kernels.chunker import create_semantic_chunks
 
     def count_chunks(b: pa.Table) -> pa.Table:

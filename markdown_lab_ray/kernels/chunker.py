@@ -55,6 +55,17 @@ def validate_chunk_params(chunk_size, chunk_overlap) -> None:
 # char-budget chunker (Rust rule-set)
 # ---------------------------------------------------------------------------
 
+def _byte_to_char_index(text: str, byte_pos: int) -> int:
+    """Char index corresponding to a UTF-8 byte offset (clamped onto the
+    previous char boundary) — the reference computes split offsets in
+    bytes; split points themselves land on ASCII whitespace so results
+    agree on any text the regex boundaries match."""
+    encoded = text.encode("utf-8")
+    if byte_pos >= len(encoded):
+        return len(text)
+    return len(encoded[:byte_pos].decode("utf-8", errors="ignore"))
+
+
 def _split_point(text: str, approx: int) -> int:
     """Best split position at/after ``approx``: paragraph break, then
     sentence break, then newline, then whitespace, else ``approx``."""
@@ -121,12 +132,19 @@ def chunk_markdown_char(markdown: str, chunk_size: int = 1000,
             current = line
         else:
             current = f"{current}\n{line}" if current else line
-            if len(current) > chunk_size:
-                split = _split_point(current, chunk_size - chunk_overlap)
-                head, rest = current[:split], current[split:]
-                chunks.append(_char_chunk(head, heading, level, position))
-                position += 1
-                current = rest.strip()
+            # the budget is measured in BYTES like the reference
+            # (rust String::len); identical to chars for ASCII
+            if len(current.encode("utf-8")) > chunk_size:
+                approx = _byte_to_char_index(current,
+                                             chunk_size - chunk_overlap)
+                split = _split_point(current, approx)
+                if split > 0:  # a 0-split would emit an empty chunk (the
+                    # reference panics on this multibyte edge; we defer)
+                    head, rest = current[:split], current[split:]
+                    chunks.append(_char_chunk(head, heading, level,
+                                              position))
+                    position += 1
+                    current = rest.strip()
 
     if current:
         chunks.append(_char_chunk(current, heading, level, position))
@@ -196,9 +214,13 @@ def _split_sections(markdown: str) -> list[tuple[str, str]]:
 def _overlapping_word_chunks(text: str, chunk_size: int, chunk_overlap: int,
                              ratio: int):
     """Yield (start_word_index, chunk_text, n_words) for the reference's
-    word-window split."""
+    word-window split.
+
+    Deviation from the reference (which raises ``range() arg 3 must not
+    be zero`` / silently loses content at degenerate sizes): window and
+    step are clamped to ≥1 word so no input text is ever dropped."""
     words = text.split()
-    per_chunk = chunk_size // ratio
+    per_chunk = max(1, chunk_size // ratio)
     overlap = chunk_overlap // ratio
     step = per_chunk - overlap
     if step <= 0:

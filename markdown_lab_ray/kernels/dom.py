@@ -45,9 +45,6 @@ _P_CLOSERS = frozenset(
     "section table ul".split()
 )
 
-_RAWTEXT = frozenset({"script", "style"})
-
-
 class Node:
     """Element or text node. Text nodes have ``tag is None``."""
 
@@ -239,7 +236,11 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        self.top.append(Node(tag.lower(), self._attr_dict(attrs)))
+        # html5ever ignores the self-closing flag on non-void HTML
+        # elements (<div/> OPENS a div); mirror that so following
+        # content lands inside the element (e.g. a self-closed .ad div
+        # still swallows — and gets cleaned with — its trailing text)
+        self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
         tag = tag.lower()

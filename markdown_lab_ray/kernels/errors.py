@@ -71,6 +71,9 @@ def retry_with_backoff(fn: Callable, max_retries: int = 3,
             if attempt >= max_retries or not retry_if(exc):
                 break
             sleeper(backoff_base ** attempt)
-    if isinstance(last, MarkdownLabError):
+    if isinstance(last, MarkdownLabError) or not retry_if(last):
+        # programming errors (TypeError, KeyError, …) surface unchanged
+        # — wrapping them as NetworkError would misclassify a code bug
+        # as a transient network failure
         raise last
     raise NetworkError(str(last)) from last

@@ -90,19 +90,30 @@ def extract_main_content(html: str) -> Node:
 
 def _norm_join(base_url: str, href: str) -> Optional[str]:
     """RFC-join ``href`` against ``base_url`` and normalize the way the
-    Rust ``url`` crate's ``Url::to_string`` does for http(s): lowercase
-    scheme+host, empty path on an authority URL becomes ``/``."""
+    Rust ``url`` crate's ``Url::to_string`` does: lowercase scheme+host,
+    empty path on an authority URL becomes ``/``, default ports
+    dropped; non-hierarchical absolute schemes (mailto:, tel:, …) pass
+    through as-is (Url::join accepts them)."""
     try:
         joined = urljoin(base_url, href)
         parts = urlsplit(joined)
     except ValueError:
         return None
-    if not parts.scheme or not parts.netloc:
+    if not parts.scheme:
         return None
+    if not parts.netloc:
+        # non-authority scheme like mailto:/tel: — valid absolute URL
+        if parts.scheme.lower() in ("http", "https"):
+            return None
+        return joined
+    netloc = parts.netloc.lower()
+    scheme = parts.scheme.lower()
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
     path = parts.path or "/"
-    return urlunsplit(
-        (parts.scheme.lower(), parts.netloc.lower(), path, parts.query, parts.fragment)
-    )
+    return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
 
 
 def resolve_url_against_base(base_url: str, href: str) -> Optional[str]:
@@ -270,7 +281,9 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
             continue
         src = resolve_url_against_base(base_url, el.attrs.get("src", ""))
         if src is not None:
-            doc["images"].append({"alt": el.attrs.get("alt", "image") or "image",
+            # "image" defaults only a MISSING alt; alt="" stays empty
+            # (rust attr("alt").unwrap_or("image") keeps Some(""))
+            doc["images"].append({"alt": el.attrs.get("alt", "image"),
                                   "src": src})
 
     # lists: every ul first, then every ol; items = descendant li (quirk M6e)

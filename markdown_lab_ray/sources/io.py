@@ -37,7 +37,10 @@ def write_rendered_files(ds, out_dir: str, fmt: str = "markdown",
                          url_col: str = "url", payload_col: str = "payload"):
     """One file per URL, reference filename scheme.  Distributed write:
     each task writes its batch's files (idempotent — same URL → same
-    filename)."""
+    filename).  NOTE: the reference's filename scheme is not injective
+    (queries are stripped; ``/`` → ``_`` can collide), so distinct URLs
+    may overwrite each other — inherent to the reference layout
+    (``url_utils.py:46-94``); parquet checkpoints are the lossless sink."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(batch: pa.Table) -> pa.Table:

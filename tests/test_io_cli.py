@@ -51,9 +51,14 @@ def test_retry_with_backoff():
         retry_with_backoff(always_404, max_retries=3, sleeper=sleeps.append)
     assert len(sleeps) == 2  # no extra sleeps
 
-    with pytest.raises(NetworkError):  # plain exceptions wrapped
-        retry_with_backoff(lambda: 1 / 0, max_retries=0,
+    with pytest.raises(ZeroDivisionError):  # programming errors surface
+        retry_with_backoff(lambda: 1 / 0, max_retries=0,       # unchanged
                            sleeper=sleeps.append)
+
+    with pytest.raises(NetworkError):  # retryable non-taxonomy errors
+        retry_with_backoff(lambda: 1 / 0, max_retries=0,       # get wrapped
+                           sleeper=sleeps.append,
+                           retry_if=lambda e: True)
 
 
 def test_render_js_stub():
