@@ -222,6 +222,10 @@ def main() -> None:
             })
         calib = _cpu_calibration()
         best = max(pairs, key=lambda p: p["efficiency"])
+        effs = sorted(p["efficiency"] for p in pairs)
+        median = round((effs[len(effs) // 2] if len(effs) % 2
+                        else (effs[len(effs) // 2 - 1]
+                              + effs[len(effs) // 2]) / 2), 3)
         print(json.dumps({
             "metric": "scaling",
             "workload": "synthetic crawl, 256000 pages fetched+converted+chunked",
@@ -229,11 +233,13 @@ def main() -> None:
             "sec_8": best["sec_8"], "sec_32": best["sec_32"],
             "pages_per_sec_8": best["pages_per_sec_8"],
             "pages_per_sec_32": best["pages_per_sec_32"],
-            "scaling_efficiency": best["efficiency"],
+            # headline = median across pairs (no cherry-picking under
+            # VM jitter); the best pair is reported alongside
+            "scaling_efficiency": median,
+            "scaling_efficiency_best": best["efficiency"],
             "machine_cpu_ceiling": calib["cpu_efficiency_8_to_32"],
             "efficiency_vs_machine_ceiling": round(
-                best["efficiency"] / max(calib["cpu_efficiency_8_to_32"],
-                                         1e-9), 3),
+                median / max(calib["cpu_efficiency_8_to_32"], 1e-9), 3),
         }))
         return
 

@@ -406,16 +406,13 @@ def _robots_rules(web_factory, host: str):
 def links_explode_batch(batch: pa.Table) -> pa.Table:
     """Docs rows → next-round frontier candidate rows (with per-batch
     pre-dedup to shrink the round's dedup shuffle)."""
+    from .crawl_spec import dedup_candidates
+
     rows = []
     for depth, links in zip(batch.column("depth").to_pylist(),
                             batch.column("links").to_pylist()):
         rows.extend(links_to_frontier_rows(depth, links))
-    best = {}
-    for row in rows:
-        cur = best.get(row["seen_key"])
-        if cur is None or (row["seq_no"], row["loc"]) < (cur["seq_no"], cur["loc"]):
-            best[row["seen_key"]] = row
-    return frontier_rows_to_table(list(best.values()))
+    return frontier_rows_to_table(dedup_candidates(rows))
 
 
 def frontier_rows_to_table(rows: list[dict]) -> pa.Table:
@@ -558,6 +555,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             ).groupby(["host", "salt"]).map_groups(
                 make_salted_preprocessor(shards, web_factory, budget),
                 batch_format="pandas")
+            pre = pre.materialize()  # branched by two filters below —
+            # without this the groupby + seen-probe RPCs would run twice
             contenders = pre.filter(expr="contender == True")
             salted_out = pre.filter(expr="contender == False").map_batches(
                 _mark_deferred_batch, batch_format="pyarrow")
@@ -593,7 +592,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         n_blocks = max(1, min(n_scheduled // cfg.fetch_batch_size + 1,
                               total_cpus * 4))
         marked = (scheduled.repartition(n_blocks)
-                  .map_batches(SeenProbe(shards, mode="mark"),
+                  .map_batches(SeenProbe(shards, mode="mark",
+                                         round_no=round_no),
                                batch_format="pyarrow"))
         chunk_sink = os.path.join(rdir, "chunks")
         if cfg.fetch_mode == "tasks":
@@ -628,7 +628,6 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         # for the flat checkpoint-IO cost that dominates at high core
         # counts
         docs.write_parquet(docs_dir, compression="zstd")
-        docs = rd.read_parquet(docs_dir)
         timings["fetch_convert"] = round(_time.time() - t0, 2)
 
         # chunks were written as a sidecar inside the convert tasks
@@ -689,6 +688,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
 def _restore(out_dir: str, shards, result: CrawlResult):
     """Resume support: restore seen-set from completed rounds' schedule
     checkpoints and return (next_round, frontier Dataset)."""
+    import glob
+
     import ray
     import ray.data as rd
 
@@ -708,10 +709,15 @@ def _restore(out_dir: str, shards, result: CrawlResult):
         result.failed += entry["failed"]
         result.rounds = round_no + 1
 
-        keys = (rd.read_parquet(os.path.join(rdir, "schedule"),
-                                columns=["seen_key", "scheduled"])
-                .filter(expr="scheduled == True")
-                .to_pandas()["seen_key"].tolist())
+        schedule_files = glob.glob(
+            os.path.join(rdir, "schedule", "*.parquet"))
+        if schedule_files:  # empty-schedule rounds write zero files
+            keys = (rd.read_parquet(schedule_files,
+                                    columns=["seen_key", "scheduled"])
+                    .filter(expr="scheduled == True")
+                    .to_pandas()["seen_key"].tolist())
+        else:
+            keys = []
         by_shard: dict[int, list[str]] = {}
         for key in keys:
             by_shard.setdefault(shard_of(key, len(shards)), []).append(key)

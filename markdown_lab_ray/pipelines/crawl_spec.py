@@ -51,6 +51,19 @@ def link_seq_no(dst_url: str) -> int:
     return LINK_SEQ_BASE + zlib.crc32(normalize_url(dst_url).encode())
 
 
+def dedup_candidates(rows: list[dict]) -> list[dict]:
+    """Canonical intra-round dedup: keep the min-(seq_no, loc) row per
+    seen_key — ONE definition shared by the engine's batch pre-dedup,
+    the host-group processor and the sequential oracle (spec rule 2a)."""
+    best: dict[str, dict] = {}
+    for row in rows:
+        cur = best.get(row["seen_key"])
+        if cur is None or (row["seq_no"], row["loc"]) < (cur["seq_no"],
+                                                         cur["loc"]):
+            best[row["seen_key"]] = row
+    return list(best.values())
+
+
 def discover_seed_frontier(resolve_fn, robots_cache, seed_url: str,
                            seed_idx: int,
                            min_priority=None, include_patterns=None,

@@ -17,16 +17,11 @@ from ..kernels.html_kernels import extract_links
 from ..state.politeness import round_budget, schedule_group
 from ..state.robots import LocalRobotsCache
 from ..state.seen import LocalSeen
-from .crawl_spec import discover_seed_frontier, links_to_frontier_rows
-
-
-def _dedup_candidates(rows: list[dict]) -> list[dict]:
-    best: dict[str, dict] = {}
-    for row in rows:
-        cur = best.get(row["seen_key"])
-        if cur is None or (row["seq_no"], row["loc"]) < (cur["seq_no"], cur["loc"]):
-            best[row["seen_key"]] = row
-    return list(best.values())
+from .crawl_spec import (
+    dedup_candidates,
+    discover_seed_frontier,
+    links_to_frontier_rows,
+)
 
 
 def run_crawl_oracle(resolve_fn, seed_urls: list[str],
@@ -52,7 +47,7 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
     for round_no in range(cfg.max_rounds):
         if not candidates:
             break
-        rows = _dedup_candidates(candidates)
+        rows = dedup_candidates(candidates)
         flags = seen.contains_many([r["seen_key"] for r in rows])
         rows = [r for r, is_seen in zip(rows, flags) if not is_seen]
         rows = [r for r in rows if robots.rules_for(r["host"]).allows(r["loc"])]

@@ -93,9 +93,43 @@ def validate_crawled_images(crawl_out_dir: str, images_table: pa.Table,
     joined = refs.map_batches(
         JoinImageTable, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs=dict(table_ref=table_ref))
+        fn_constructor_kwargs=dict(table_ref=table_ref)).materialize()
     matched = joined.filter(expr="found == True")
-    return matched.map_batches(
+    validated = matched.map_batches(
         DecodeValidate, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs=dict(ref_fn=ref_fn))
+
+    def missing_row_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "fmt": pa.nulls(n, pa.string()),
+            "psnr_db": pa.array([0.0] * n, pa.float64()),
+            "pixels_ok": pa.array([False] * n, pa.bool_()),
+            "caption_ok": pa.array([False] * n, pa.bool_()),
+            "phash_decoded": pa.array([0] * n, pa.int64()),
+            "phash": pa.nulls(n, pa.int64()),
+            "page_url": batch.column("page_url"),
+        })
+
+    def conform_validated(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in (("image_id", pa.string()), ("fmt", pa.string()),
+                          ("psnr_db", pa.float64()),
+                          ("pixels_ok", pa.bool_()),
+                          ("caption_ok", pa.bool_()),
+                          ("phash_decoded", pa.int64()),
+                          ("phash", pa.int64()),
+                          ("page_url", pa.string())):
+            col = (batch.column(name) if name in batch.column_names
+                   else pa.nulls(batch.num_rows, typ))
+            cols[name] = col.cast(typ) if col.type != typ else col
+        return pa.table(cols)
+
+    # references that miss the image table are FAILURE rows, not
+    # silently dropped (found=False → pixels_ok/caption_ok False)
+    missing = joined.filter(expr="found == False").map_batches(
+        missing_row_batch, batch_format="pyarrow")
+    return validated.map_batches(conform_validated,
+                                 batch_format="pyarrow").union(missing)

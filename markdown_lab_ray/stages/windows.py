@@ -26,9 +26,11 @@ def sliding_window_explode_batch(batch: pa.Table, window_us: int,
     hi = micros // step_us
     counts = (hi - lo + 1).clip(min=0)
     idx = np.repeat(np.arange(len(micros)), counts)
-    # window ids: for each event, lo..hi
-    offsets = np.concatenate([np.arange(c) for c in counts]) if len(counts) \
-        else np.array([], dtype=np.int64)
+    # window ids: for each event, lo..hi — fully vectorized ramp
+    # (global arange minus each row's segment start)
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     window_ids = np.repeat(lo, counts) + offsets
     out = batch.take(pa.array(idx))
     return out.append_column("window_id", pa.array(window_ids, pa.int64()))

@@ -89,33 +89,41 @@ class CuckooFilter:
 
 class _SeenCore:
     """Filter + exact confirmation; the logic both the actor and the
-    local variant share."""
+    local variant share.  The exact store maps key → the round that
+    marked it, making per-round marking IDEMPOTENT: Ray may re-execute
+    a mark→fetch→write task chain after a worker failure, and the
+    retried batch must see "new" again for keys it itself marked
+    (intra-round dedup guarantees a key lives in exactly one batch per
+    round, so a same-round re-mark can only be a retry)."""
 
     def __init__(self, capacity: int = 1 << 20, seed: int = 42):
         self.filter = CuckooFilter(capacity, seed)
-        self.exact: set[str] = set()
+        self.exact: dict[str, int] = {}
         self.filter_ok = True
 
-    def check_and_add(self, keys: list[str]) -> list[bool]:
+    def _mark(self, key: str, round_no: int) -> None:
+        self.exact[key] = round_no
+        if self.filter_ok and not self.filter.add(key):
+            self.filter_ok = False  # saturated: exact-only from here
+
+    def check_and_add(self, keys: list[str], round_no: int = -1) -> list[bool]:
         """For each key: True iff it was NOT seen before (and mark it
-        seen).  Exactly-once across calls."""
+        seen), OR it was marked in this same ``round_no`` (>= 0) — the
+        task-retry idempotence case.  Exactly-once across rounds."""
         out = []
         for key in keys:
             if self.filter_ok and not self.filter.contains(key):
                 # guaranteed-new fast path
-                self.exact.add(key)
-                if not self.filter.add(key):
-                    self.filter_ok = False  # saturated: exact-only from here
+                self._mark(key, round_no)
                 out.append(True)
             else:
                 # filter positive (or saturated) → exact confirmation
-                if key in self.exact:
-                    out.append(False)
-                else:
-                    self.exact.add(key)
-                    if self.filter_ok and not self.filter.add(key):
-                        self.filter_ok = False
+                marked = self.exact.get(key)
+                if marked is None:
+                    self._mark(key, round_no)
                     out.append(True)
+                else:
+                    out.append(round_no >= 0 and marked == round_no)
         return out
 
     def contains_many(self, keys: list[str]) -> list[bool]:
@@ -131,11 +139,11 @@ class _SeenCore:
         return sorted(self.exact)
 
     def restore(self, keys: list[str]) -> None:
+        """Re-register keys from completed rounds (round -1: can never
+        be a retry target)."""
         for key in keys:
             if key not in self.exact:
-                self.exact.add(key)
-                if self.filter_ok and not self.filter.add(key):
-                    self.filter_ok = False
+                self._mark(key, -1)
 
     def size(self) -> int:
         return len(self.exact)
@@ -170,7 +178,8 @@ class SeenProbe:
     """``map_batches`` stage over the shard actors.
 
     mode="mark": drop rows whose key was already seen AND mark the
-    survivors seen (exactly-once across the whole crawl) — used on the
+    survivors seen (exactly-once across rounds; idempotent within
+    ``round_no`` so Ray task retries don't drop rows) — used on the
     scheduled set.
     mode="filter_unseen": drop seen rows WITHOUT marking — used on
     round candidates before scheduling (deferred rows must stay
@@ -179,11 +188,13 @@ class SeenProbe:
     Groups each batch's keys by shard and issues one actor call per
     shard."""
 
-    def __init__(self, shards, key_col: str = "seen_key", mode: str = "mark"):
+    def __init__(self, shards, key_col: str = "seen_key", mode: str = "mark",
+                 round_no: int = -1):
         assert mode in ("mark", "filter_unseen")
         self.shards = shards
         self.key_col = key_col
         self.mode = mode
+        self.round_no = round_no
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -201,9 +212,12 @@ class SeenProbe:
         refs, idx_lists = [], []
         for shard_id, idxs in by_shard.items():
             shard = self.shards[shard_id]
-            method = (shard.check_and_add if self.mode == "mark"
-                      else shard.contains_many)
-            refs.append(method.remote([keys[i] for i in idxs]))
+            shard_keys = [keys[i] for i in idxs]
+            if self.mode == "mark":
+                refs.append(shard.check_and_add.remote(shard_keys,
+                                                       self.round_no))
+            else:
+                refs.append(shard.contains_many.remote(shard_keys))
             idx_lists.append(idxs)
         for ref, idxs in zip(refs, idx_lists):
             for i, flag in zip(idxs, ray.get(ref)):

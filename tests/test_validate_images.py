@@ -52,3 +52,31 @@ def test_caption_mismatch_detected(ray_session, tmp_path):
                                         ref_fn=reference_pixels_fn(SPEC))
     rows = validated.take_all()
     assert rows and not any(r["caption_ok"] for r in rows)
+
+
+def test_missing_image_refs_become_failure_rows(ray_session, tmp_path):
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.pipelines.validate_images import validate_crawled_images
+
+    out = str(tmp_path / "crawl3")
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), out, CFG)
+    truncated = build_images_table(SPEC).slice(0, 5)  # most ids missing
+    rows = validate_crawled_images(out, truncated,
+                                   ref_fn=reference_pixels_fn(SPEC)).take_all()
+    missing = [r for r in rows if not r["pixels_ok"]]
+    assert missing, "missing table entries must surface as failure rows"
+    assert all(r["page_url"] for r in missing)
+
+
+def test_seen_mark_idempotent_within_round():
+    from markdown_lab_ray.state.seen import LocalSeen
+
+    seen = LocalSeen(1 << 10)
+    # round 3 marks; a task RETRY re-marks the same keys in round 3
+    assert seen.check_and_add(["k1", "k2"], round_no=3) == [True, True]
+    assert seen.check_and_add(["k1", "k2"], round_no=3) == [True, True]
+    # a later round sees them as already-fetched
+    assert seen.check_and_add(["k1", "k3"], round_no=4) == [False, True]
+    # default (-1) marking is never retry-idempotent
+    assert seen.check_and_add(["k9"]) == [True]
+    assert seen.check_and_add(["k9"]) == [False]
