@@ -15,14 +15,63 @@ Scale shapes (ray_guide.md "Aggregation at scale"):
 
 from __future__ import annotations
 
+import logging
 import re
 import zlib
 
 import numpy as np
 import pyarrow as pa
 
+logger = logging.getLogger("markdown_lab_ray.dedup")
+
 _TOKEN_RE = re.compile(r"\w+")
 _MERSENNE = (1 << 61) - 1
+
+# Default per-bucket candidate cap: a degenerate LSH bucket (e.g. 10^6
+# identical boilerplate pages landing on one band key) would otherwise
+# emit C(n,2) pairs.  Capped buckets are counted by a zero-CPU stats
+# actor and reported via ``logger.warning`` — no silent truncation.
+DEFAULT_BUCKET_CAP = 512
+
+
+class CapStats:
+    """Zero-CPU counter actor: accounting for capped LSH buckets.
+
+    Group fns call ``add`` synchronously (``ray.get``) so the totals
+    are visible by the time the dataset is consumed; the pipeline
+    driver then reads and logs them.  Caps are rare, so the ack adds no
+    measurable latency.  Counts are advisory (a Ray task retry could
+    double-count) — the pair OUTPUT is what stays exact."""
+
+    def __init__(self):
+        self.buckets = 0
+        self.dropped_pairs = 0
+
+    def add(self, dropped: int) -> None:
+        self.buckets += 1
+        self.dropped_pairs += int(dropped)
+
+    def get(self):
+        return self.buckets, self.dropped_pairs
+
+
+def new_cap_stats():
+    import ray
+    return ray.remote(num_cpus=0)(CapStats).remote()
+
+
+def report_caps(stats, op_name: str):
+    """Read + log capped-bucket totals, then kill the stats actor.
+    Returns (n_capped_buckets, n_dropped_pairs)."""
+    import ray
+    buckets, dropped = ray.get(stats.get.remote())
+    if dropped:
+        logger.warning(
+            "%s: capped %d degenerate LSH bucket(s) — dropped %d candidate "
+            "pair(s); raise bucket_cap or pre-collapse exact duplicates "
+            "(exact_dedup_ids) if these pairs matter", op_name, buckets, dropped)
+    ray.kill(stats)
+    return buckets, dropped
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -71,37 +120,70 @@ def minhash_signature_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd (golden-ratio) multiplier
+
+
 def band_explode_batch(batch: pa.Table, id_col: str = "doc_id",
                        n_bands: int = 16) -> pa.Table:
-    """Signatures → (band_id, band_key, doc_id) rows for the LSH groupby."""
-    ids, bands, keys = [], [], []
-    for doc_id, sig in zip(batch.column(id_col).to_pylist(),
-                           batch.column("minhash").to_pylist()):
-        rows_per_band = len(sig) // n_bands
+    """Signatures → (band_id, band_key, doc_id) rows for the LSH groupby.
+
+    Vectorized: the list column is flattened to an (n, num_perm) array
+    and each band's key is a polynomial mix of its segment values under
+    native uint64 wraparound — two docs share a bucket iff their band
+    segments are value-equal (modulo a ~2^-64 mix collision)."""
+    n = batch.num_rows
+    empty = pa.table({"band_id": pa.array([], pa.int32()),
+                      "band_key": pa.array([], pa.int64()),
+                      id_col: pa.array([], batch.schema.field(id_col).type)})
+    if n == 0:
+        return empty
+    arr = batch.column("minhash").combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    values = np.asarray(arr.flatten(), dtype=np.int64)
+    num_perm = len(values) // n
+    sig = values.reshape(n, num_perm).astype(np.uint64)
+    rows_per_band = num_perm // n_bands
+    ids = batch.column(id_col)
+    parts = []
+    with np.errstate(over="ignore"):
         for b in range(n_bands):
-            segment = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            key = zlib.crc32(np.array(segment, dtype=np.int64).tobytes())
-            ids.append(doc_id)
-            bands.append(b)
-            keys.append(key)
-    return pa.table({
-        "band_id": pa.array(bands, pa.int32()),
-        "band_key": pa.array(keys, pa.int64()),
-        id_col: pa.array(ids),
-    })
+            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            key = np.zeros(n, dtype=np.uint64)
+            for i in range(rows_per_band):
+                key = key * _BAND_MIX + seg[:, i] + np.uint64(1)
+            parts.append(pa.table({
+                "band_id": pa.array(np.full(n, b, dtype=np.int32)),
+                "band_key": pa.array(key.astype(np.int64)),
+                id_col: ids,
+            }))
+    return pa.concat_tables(parts)
 
 
-def candidate_pairs_group(df, id_col: str = "doc_id"):
-    """Per (band_id, band_key) group → candidate pairs (a < b).  Buckets
-    are tiny in practice; a quadratic emit inside one bucket is the
-    standard LSH shape."""
+def candidate_pairs_group(df, id_col: str = "doc_id",
+                          bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                          stats=None):
+    """Per (band_id, band_key) group → candidate pairs (a < b).
+
+    Buckets are tiny in practice; emission is capped at ``bucket_cap``
+    members (first by sorted id) so a degenerate bucket of n identical
+    docs costs O(cap^2), not C(n,2).  Dropped-pair volume is reported
+    to the ``stats`` CapStats actor when given — never silently."""
     import pandas as pd
-    ids = sorted(df[id_col].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-    pairs = [(ids[i], ids[j]) for i in range(len(ids))
-             for j in range(i + 1, len(ids))]
-    return pd.DataFrame(pairs, columns=["a", "b"])
+    ids = np.sort(df[id_col].unique())
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"a": pd.Series(dtype=ids.dtype),
+                             "b": pd.Series(dtype=ids.dtype)})
+    if bucket_cap is not None and n > bucket_cap:
+        if stats is not None:
+            import ray
+            ray.get(stats.add.remote(n * (n - 1) // 2
+                                     - bucket_cap * (bucket_cap - 1) // 2))
+        ids = ids[:bucket_cap]
+        n = bucket_cap
+    ii, jj = np.triu_indices(n, 1)
+    return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -153,49 +235,67 @@ def hamming64_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def simhash_near_dup_pairs(ds, text_col: str = "text",
                            id_col: str = "doc_id",
-                           hamming_threshold: int = 3):
+                           hamming_threshold: int = 3,
+                           bucket_cap: int | None = DEFAULT_BUCKET_CAP):
     """SimHash near-dup end-to-end: signatures → 4×16-bit band groupby
-    (any pair within Hamming ≤ 3 shares ≥1 band) → candidate pairs →
-    exact Hamming verify against a broadcast id→hash lookup."""
+    (any pair within Hamming ≤ 3 shares ≥1 band) → per-band candidate
+    pairs verified IN the band group (the 64-bit ``simhash`` rides along
+    on the band rows, so there is no driver-side id→hash state) →
+    cross-band dedup of the already-filtered pair set.
+
+    Only the final near-dup pairs reach the driver — O(result), never
+    O(corpus).  Degenerate buckets are capped at ``bucket_cap`` members
+    with the dropped volume logged (CapStats)."""
     import pandas as pd
 
+    stats = new_cap_stats() if bucket_cap is not None else None
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow",
-                          fn_kwargs=dict(text_col=text_col, id_col=id_col)
-                          ).materialize()  # consumed twice below
-    sig_df = sigs.to_pandas()
-    lookup = dict(zip(sig_df[id_col], sig_df["simhash"]))
+                          fn_kwargs=dict(text_col=text_col, id_col=id_col))
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for row in batch.to_pylist():
-            for band in range(4):
-                ids.append(row[id_col])
-                bands.append(band)
-                keys.append(row[f"sim_band{band}"])
-        return pa.table({"band_id": pa.array(bands, pa.int32()),
-                         "band_key": pa.array(keys, pa.int64()),
-                         id_col: pa.array(ids)})
+        n = batch.num_rows
+        parts = []
+        for band in range(4):
+            parts.append(pa.table({
+                "band_id": pa.array(np.full(n, band, dtype=np.int32)),
+                "band_key": batch.column(f"sim_band{band}"),
+                id_col: batch.column(id_col),
+                "simhash": batch.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
 
     def pairs_group(df):
-        ids = sorted(df[id_col].unique())
-        if len(ids) < 2:
+        df = (df.drop_duplicates(subset=[id_col])
+              .sort_values(id_col, kind="mergesort"))
+        n = len(df)
+        if n < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        return pd.DataFrame([(ids[i], ids[j]) for i in range(len(ids))
-                             for j in range(i + 1, len(ids))],
-                            columns=["a", "b"])
+                                 "b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        if bucket_cap is not None and n > bucket_cap:
+            if stats is not None:
+                import ray
+                ray.get(stats.add.remote(n * (n - 1) // 2
+                                         - bucket_cap * (bucket_cap - 1) // 2))
+            df = df.head(bucket_cap)
+            n = bucket_cap
+        ids = df[id_col].to_numpy()
+        sims = df["simhash"].to_numpy(dtype=np.int64)
+        ii, jj = np.triu_indices(n, 1)
+        ham = hamming64_arr(sims[ii], sims[jj])
+        keep = ham <= hamming_threshold
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "hamming": ham[keep]})
 
     pairs = (sigs.map_batches(explode, batch_format="pyarrow")
              .groupby(["band_id", "band_key"])
              .map_groups(pairs_group, batch_format="pandas")
              .to_pandas())
+    if stats is not None:
+        report_caps(stats, "simhash_near_dup_pairs")
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-    a = np.array([lookup[x] for x in pairs["a"]], dtype=np.int64)
-    b = np.array([lookup[x] for x in pairs["b"]], dtype=np.int64)
-    pairs["hamming"] = hamming64_arr(a, b)
-    return (pairs[pairs["hamming"] <= hamming_threshold]
+    return (pairs.drop_duplicates(subset=["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
@@ -237,17 +337,52 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 def minhash_near_dup_pairs(ds, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            n_bands: int = 16, k: int = 3,
-                           jaccard_threshold: float = 0.7, seed: int = 42):
-    """LSH candidate pairs verified by true shingle Jaccard.
+                           jaccard_threshold: float = 0.7, seed: int = 42,
+                           bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                           pre_collapse_exact: bool = False):
+    """LSH candidate pairs verified by true shingle Jaccard — fully
+    distributed:
 
-    Returns a pandas DataFrame (a, b, jaccard) — candidate volume is
-    tiny relative to the corpus; the verify re-reads only candidate
-    texts via a broadcast id→text lookup (fine while candidates fit a
-    node; at larger scale swap for a join against the docs table).
+    1. signatures → band explode → ``groupby(band)`` candidate pairs
+       (capped per bucket, CapStats-logged);
+    2. the distinct candidate ids (pair volume ≪ corpus — the same
+       bound the downstream union-find already assumes) are broadcast
+       once via ``ray.put`` and the docs table is semi-filtered to just
+       those ids in one streaming pass — the corpus text NEVER reaches
+       the driver;
+    3. candidate texts join the exploded pair rows with
+       ``bucketed_hash_join`` (one shuffle over candidate-scale rows);
+    4. Jaccard is re-shingled inside a keyed ``map_groups`` per pair.
+
+    ``pre_collapse_exact=True`` first collapses byte-identical docs to
+    their min-id representative (``exact_dedup_ids``) so boilerplate
+    clusters cost O(n), not C(n,2); exact-dup pairs are then reported by
+    ``exact_dedup``, not here — document-level semantics change, hence
+    opt-in.
     """
     import pandas as pd
+    import pyarrow.compute as pc
     import ray
 
+    from .joins import bucketed_hash_join
+
+    if pre_collapse_exact:
+        keep = exact_dedup_ids(ds, text_col=text_col, id_col=id_col)
+        keep_ids = np.sort(np.concatenate(
+            [b[id_col].to_numpy() for b in
+             keep.iter_batches(batch_format="pandas", batch_size=65536)]))
+        keep_ref = ray.put(keep_ids)
+
+        def semi(batch: pa.Table, ref) -> pa.Table:
+            # ray.get of a shared plasma object is zero-copy per batch
+            mask = pc.is_in(batch.column(id_col),
+                            value_set=pa.array(ray.get(ref)))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(semi, batch_format="pyarrow",
+                            fn_kwargs=dict(ref=keep_ref))
+
+    stats = new_cap_stats() if bucket_cap is not None else None
     sigs = ds.map_batches(minhash_signature_batch, batch_format="pyarrow",
                           fn_kwargs=dict(text_col=text_col, id_col=id_col,
                                          num_perm=num_perm, k=k, seed=seed))
@@ -255,29 +390,67 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
                              fn_kwargs=dict(id_col=id_col, n_bands=n_bands))
     pairs_ds = bands.groupby(["band_id", "band_key"]).map_groups(
         candidate_pairs_group, batch_format="pandas",
-        fn_kwargs=dict(id_col=id_col))
+        fn_kwargs=dict(id_col=id_col, bucket_cap=bucket_cap, stats=stats))
+    # candidate (a, b) id pairs only — ints, bounded by candidate volume
     pairs = pairs_ds.to_pandas()
+    if stats is not None:
+        report_caps(stats, "minhash_near_dup_pairs")
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     pairs = pairs.drop_duplicates().reset_index(drop=True)
 
-    # single materialization: two separate to_pandas() runs could return
-    # blocks in different orders (preserve_order is off) and misalign
-    # ids with texts
-    docs_df = ds.to_pandas()
-    texts_ref = ray.put(dict(zip(docs_df[id_col], docs_df[text_col])))
+    # broadcast the candidate id set; semi-filter docs in one streaming
+    # pass (no shuffle of the corpus, no driver text materialization)
+    cand_ids = np.unique(pairs[["a", "b"]].to_numpy())
+    ids_ref = ray.put(cand_ids)
 
-    @ray.remote
-    def verify(chunk, ref):
-        lookup = ref
-        return [jaccard(lookup[a], lookup[b], k) for a, b in chunk]
+    def semi_filter(batch: pa.Table, ref) -> pa.Table:
+        import ray as _ray
+        # zero-copy read of the broadcast id set from the object store
+        mask = pc.is_in(batch.column(id_col),
+                        value_set=pa.array(_ray.get(ref)))
+        return batch.select([id_col, text_col]).filter(mask)
 
-    chunks = np.array_split(pairs[["a", "b"]].to_numpy(), max(1, len(pairs) // 512))
-    scores = []
-    for res in ray.get([verify.remote(c, texts_ref) for c in chunks if len(c)]):
-        scores.extend(res)
-    pairs["jaccard"] = scores
-    return pairs[pairs["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    cand_docs = ds.map_batches(semi_filter, batch_format="pyarrow",
+                               fn_kwargs=dict(ref=ids_ref))
+
+    # explode pairs to (a, b, doc_id) rows and join texts on doc_id
+    import ray.data as rd
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    exploded = rd.from_pandas(pd.DataFrame({
+        "a": np.concatenate([a, a]),
+        "b": np.concatenate([b, b]),
+        id_col: np.concatenate([a, b]),
+    }))
+    joined = bucketed_hash_join(exploded, cand_docs, key=id_col,
+                                n_buckets=16)
+
+    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": pd.Series(dtype=df["a"].dtype),
+               "b": pd.Series(dtype=df["b"].dtype),
+               "jaccard": pd.Series(dtype="float64")}
+        if len(df) != 2:
+            return pd.DataFrame(out)
+        a_id = df["a"].iloc[0]
+        ta = df.loc[df[id_col] == a_id, text_col].iloc[0]
+        tb = df.loc[df[id_col] != a_id, text_col].iloc[0]
+        score = jaccard(ta, tb, k)
+        if score < jaccard_threshold:
+            return pd.DataFrame(out)
+        return pd.DataFrame({"a": [a_id], "b": [df["b"].iloc[0]],
+                             "jaccard": [score]})
+
+    verified = (joined.groupby(["a", "b"])
+                .map_groups(verify_group, batch_format="pandas")
+                .to_pandas())
+    if verified.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    # the join's wide schema holds nulls on the docs-side rows, which
+    # promotes int id columns to float64 in pandas — restore the dtype
+    verified["a"] = verified["a"].astype(pairs["a"].dtype)
+    verified["b"] = verified["b"].astype(pairs["b"].dtype)
+    return verified.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def connected_components(pairs, ids) -> dict:

@@ -230,54 +230,80 @@ class FrameSample:
 
 
 def phash_band_batch(batch: pa.Table, n_bands: int = 4) -> pa.Table:
-    """(image_id, phash) → (band_id, band_key, image_id) rows for the
-    near-dup groupby: 4×16-bit bands of the 64-bit hash — images within
-    Hamming distance 3 share at least one band (SURVEY §2.6 A6)."""
-    ids = batch.column("image_id").to_pylist()
-    hashes = np.array(batch.column("phash").to_pylist(), dtype=np.int64
-                      ).astype(np.uint64)
+    """(image_id, phash) → (band_id, band_key, image_id, phash) rows for
+    the near-dup groupby: 4×16-bit bands of the 64-bit hash — images
+    within Hamming distance 3 share at least one band (SURVEY §2.6 A6).
+    The full ``phash`` rides along so the Hamming verify happens inside
+    the band group with no driver-side lookup."""
+    n = batch.num_rows
+    hashes = np.asarray(batch.column("phash").combine_chunks(),
+                        dtype=np.int64).astype(np.uint64)
     bits = 64 // n_bands
     mask = np.uint64((1 << bits) - 1)
-    out_ids, out_band, out_key = [], [], []
+    parts = []
     for band in range(n_bands):
         keys = (hashes >> np.uint64(band * bits)) & mask
-        out_ids.extend(ids)
-        out_band.extend([band] * len(ids))
-        out_key.extend(keys.astype(np.int64).tolist())
-    return pa.table({
-        "band_id": pa.array(out_band, pa.int32()),
-        "band_key": pa.array(out_key, pa.int64()),
-        "image_id": pa.array(out_ids, pa.string()),
-    })
+        parts.append(pa.table({
+            "band_id": pa.array(np.full(n, band, dtype=np.int32)),
+            "band_key": pa.array(keys.astype(np.int64)),
+            "image_id": batch.column("image_id"),
+            "phash": batch.column("phash"),
+        }))
+    return pa.concat_tables(parts)
 
 
-def phash_near_dup_pairs(ds, hamming_threshold: int = 6):
-    """Image near-dup: band bucket groupby → candidate pairs → verified
-    by true Hamming distance against a broadcast id→phash lookup."""
+def phash_near_dup_pairs(ds, hamming_threshold: int = 6,
+                         bucket_cap: int | None = None):
+    """Image near-dup: band bucket groupby → candidate pairs verified by
+    true Hamming distance IN the band group (``phash`` rides the band
+    rows — no driver-side id→hash state); cross-band dedup of the
+    already-filtered pair set is O(result).  ``bucket_cap`` (default
+    from dedup.DEFAULT_BUCKET_CAP) bounds degenerate buckets with the
+    dropped volume logged via CapStats."""
     import pandas as pd
-    import ray
+
+    from .dedup import (
+        DEFAULT_BUCKET_CAP,
+        hamming64_arr,
+        new_cap_stats,
+        report_caps,
+    )
+
+    if bucket_cap is None:
+        bucket_cap = DEFAULT_BUCKET_CAP
+    stats = new_cap_stats()
 
     def pairs_group(df):
-        ids = sorted(df["image_id"].unique())
-        if len(ids) < 2:
+        df = (df.drop_duplicates(subset=["image_id"])
+              .sort_values("image_id", kind="mergesort"))
+        n = len(df)
+        if n < 2:
             return pd.DataFrame({"a": pd.Series(dtype=str),
-                                 "b": pd.Series(dtype=str)})
-        return pd.DataFrame(
-            [(ids[i], ids[j]) for i in range(len(ids))
-             for j in range(i + 1, len(ids))], columns=["a", "b"])
+                                 "b": pd.Series(dtype=str),
+                                 "hamming": pd.Series(dtype="int64")})
+        if n > bucket_cap:
+            import ray
+            ray.get(stats.add.remote(n * (n - 1) // 2
+                                     - bucket_cap * (bucket_cap - 1) // 2))
+            df = df.head(bucket_cap)
+            n = bucket_cap
+        ids = df["image_id"].to_numpy()
+        hashes = df["phash"].to_numpy(dtype=np.int64)
+        ii, jj = np.triu_indices(n, 1)
+        ham = hamming64_arr(hashes[ii], hashes[jj])
+        keep = ham <= hamming_threshold
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "hamming": ham[keep]})
 
     bands = ds.select_columns(["image_id", "phash"]).map_batches(
         phash_band_batch, batch_format="pyarrow")
     pairs = bands.groupby(["band_id", "band_key"]).map_groups(
         pairs_group, batch_format="pandas").to_pandas()
+    report_caps(stats, "phash_near_dup_pairs")
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-    lookup_df = ds.select_columns(["image_id", "phash"]).to_pandas()
-    lookup = dict(zip(lookup_df["image_id"], lookup_df["phash"]))
-    pairs["hamming"] = [hamming64(int(lookup[a]), int(lookup[b]))
-                        for a, b in pairs[["a", "b"]].to_numpy()]
-    return pairs[pairs["hamming"] <= hamming_threshold].reset_index(drop=True)
+    return (pairs.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 class DecodeValidate:
