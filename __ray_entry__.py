@@ -94,17 +94,21 @@ def q_segment_sales(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    dim = pa.Table.from_pandas(cust.to_pandas(), preserve_index=False)
+    lookup_ref = ray.put(dim)
 
     class AttachSegment:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            # the dim table is shipped ONCE via ray.put and joined with
+            # Arrow's vectorized hash join per batch (no per-row Python
+            # probe); row order may change — the groupby downstream
+            # doesn't care
+            self.dim = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            segs = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
-            return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            return b.join(self.dim, keys="o_custkey",
+                          right_keys="c_custkey", join_type="left outer")
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (ds.map_batches(AttachSegment, batch_format="pyarrow",
@@ -467,15 +471,22 @@ def q_region_customers(sf_dir: str):
     region = _read(sf_dir, "region").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    dim = pa.table({
+        "n_nationkey": pa.array(list(n2r.keys())).cast(
+            pa.from_numpy_dtype(nation["n_nationkey"].dtype)),
+        "r_name": pa.array([r2name[v] for v in n2r.values()], pa.string()),
+    })
+    lookup_ref = ray.put(dim)
 
     class AttachRegion:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            # chained dims pre-joined on the driver (both tiny), then
+            # shipped once and probed with Arrow's vectorized hash join
+            self.dim = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in b["c_nationkey"].to_pylist()]
-            return b.append_column("r_name", pa.array(names, pa.string()))
+            return b.join(self.dim, keys="c_nationkey",
+                          right_keys="n_nationkey", join_type="left outer")
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     out = (ds.map_batches(AttachRegion, batch_format="pyarrow",
@@ -593,9 +604,181 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_customer_no_orders(sf_dir: str):
+    """Anti join, large×large path: customers with no large (>300k)
+    order, via the bucketed membership join (one shuffle; the right
+    side ships keys only; the filter is pushed below the join)."""
+    import pandas as pd
+
+    from markdown_lab_ray.stages.joins import bucketed_anti_join
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+              .filter(expr="o_totalprice > 300000.0")
+              .select_columns(["o_custkey"])
+              .map_batches(rename, batch_format="pyarrow"))
+    out = bucketed_anti_join(cust, orders, key="c_custkey", n_buckets=16)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object"),
+                             "c_acctbal": pd.Series(dtype="float64")})
+    df["c_acctbal"] = df["c_acctbal"].round(2)
+    return df
+
+
+SQL_CUSTOMER_NO_ORDERS = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Exact-dup cluster labels via DISTRIBUTED connected components
+    (alternating large-star/small-star over md5-group edges) — the
+    scale path for dedup cluster assignment; oracled against the SQL
+    window-min over identical texts."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from markdown_lab_ray.stages.dedup import connected_components_distributed
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+    from markdown_lab_ray.stages.text import add_text_hash_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.map_batches(add_text_hash_batch, batch_format="pyarrow"
+                              ).select_columns(["text_md5", "doc_id"])
+    reps = hashed.groupby("text_md5").aggregate(Min("doc_id",
+                                                    alias_name="rep"))
+    edges = (bucketed_hash_join(hashed, reps, key="text_md5", n_buckets=16)
+             .filter(expr="doc_id != rep")
+             .map_batches(lambda b: pa.table({
+                 "u": pc.cast(b["doc_id"], pa.int64()),
+                 "v": pc.cast(b["rep"], pa.int64())}),
+                 batch_format="pyarrow"))
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    labels = connected_components_distributed(edges, ids_ds=ids)
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+
+SQL_DEDUP_CLUSTERS = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+FROM documents
+"""
+
+
+def q_render_format_counts(sf_dir: str):
+    """Per-format rendered-document counts over the three-format render
+    fan-out (M7/M9/M10 plumbing, SQL-checkable projection)."""
+    from ray.data.aggregate import Count
+
+    from markdown_lab_ray.pipelines.convert import documents_pages
+    from markdown_lab_ray.stages.convert import parse_batch, render_batch
+
+    docs = documents_pages(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow")
+    parts = [docs.map_batches(render_batch, batch_format="pyarrow",
+                              fn_kwargs=dict(fmt=fmt))
+             for fmt in ("markdown", "json", "xml")]
+    out = parts[0].union(parts[1]).union(parts[2])
+    return (out.filter(expr="payload != ''")
+            .groupby("format").aggregate(Count(alias_name="n_docs")))
+
+
+SQL_RENDER_FORMAT_COUNTS = """
+SELECT fmt AS format, count(*) AS n_docs
+FROM documents
+CROSS JOIN (SELECT unnest(['markdown', 'json', 'xml']) AS fmt)
+GROUP BY fmt
+"""
+
+
+def q_orders_monthly(sf_dir: str):
+    """Calendar-month tumbling aggregate over order dates."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_month(b: pa.Table) -> pa.Table:
+        month = pc.cast(pc.strftime(b["o_orderdate"], format="%Y%m"),
+                        pa.int64())
+        return b.append_column("month", month)
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    out = (ds.map_batches(add_month, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_raw")))
+    df = out.to_pandas()
+    df["total_price"] = df.pop("total_raw").round(2)
+    return df
+
+
+SQL_ORDERS_MONTHLY = """
+SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY month
+"""
+
+
+def q_events_percentile(sf_dir: str):
+    """Exact per-key percentiles (p50/p95, linear interpolation —
+    matches SQL percentile_cont) via sorted per-group compute."""
+    import pandas as pd
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round(float(np.percentile(vals, 50)), 6)],
+            "p95": [round(float(np.percentile(vals, 95)), 6)],
+        })
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+
+
+SQL_EVENTS_PERCENTILE = """
+SELECT event_type,
+       round(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------
+
+
+def q_frontier_freshness(sf_dir: str):
+    """HEAD-probe freshness check over a synthetic frontier (S2): per
+    (host, status) counts + total content length — no body ever crosses
+    the object store."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from markdown_lab_ray.pipelines.crawl import fetch_head_batch
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=4, pages_per_host=10)
+    rows = [{"host": spec.host(h),
+             "loc": f"https://{spec.host(h)}/page/{p}",
+             "method": "HEAD"}
+            for h in range(spec.n_hosts)
+            for p in range(spec.pages_per_host + 2)]  # +2 → some 404s
+    probed = rd.from_items(rows, override_num_blocks=4).map_batches(
+        fetch_head_batch, batch_format="pyarrow",
+        fn_kwargs=dict(web_factory=lambda: SyntheticWeb(spec)))
+    return (probed.groupby(["host", "status"])
+            .aggregate(Count(alias_name="n_urls"),
+                       Sum("content_length", alias_name="total_bytes")))
 
 
 def q_phash_near_dup(sf_dir: str):
@@ -838,7 +1021,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_sales": q_hash_join_sales,
         "distinct_segments": q_distinct_segments,
         "supplier_stats": q_supplier_stats,
+        "customer_no_orders": q_customer_no_orders,
+        "dedup_clusters": q_dedup_clusters,
+        "render_format_counts": q_render_format_counts,
+        "orders_monthly": q_orders_monthly,
+        "events_percentile": q_events_percentile,
         # rows-only (non-SQL-expressible)
+        "frontier_freshness": q_frontier_freshness,
         "phash_near_dup": q_phash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "image_transform": q_image_transform,
@@ -880,4 +1069,9 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_sales": SQL_HASH_JOIN_SALES,
         "distinct_segments": SQL_DISTINCT_SEGMENTS,
         "supplier_stats": SQL_SUPPLIER_STATS,
+        "customer_no_orders": SQL_CUSTOMER_NO_ORDERS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "render_format_counts": SQL_RENDER_FORMAT_COUNTS,
+        "orders_monthly": SQL_ORDERS_MONTHLY,
+        "events_percentile": SQL_EVENTS_PERCENTILE,
     }

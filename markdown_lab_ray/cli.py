@@ -20,7 +20,11 @@ import argparse
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _ensure_ray(num_cpus: int | None = None):
+    global _OWNS_RAY
     import ray
 
     if not ray.is_initialized():
@@ -29,6 +33,7 @@ def _ensure_ray(num_cpus: int | None = None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        _OWNS_RAY = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
@@ -85,9 +90,17 @@ def cmd_crawl(args) -> int:
     from .pipelines.crawl import run_crawl_ray
     from .sources.synth import SiteSpec, SyntheticWeb
 
-    cfg = EngineConfig.from_env(
+    flag_overrides = {k: v for k, v in dict(
         requests_per_second=args.rps, max_rounds=args.max_rounds,
-        max_depth=args.max_depth)
+        max_depth=args.max_depth).items() if v is not None}
+    if args.config:
+        # precedence: file < env < explicit flags
+        cfg = EngineConfig.from_file(args.config)
+        layered = {**EngineConfig.env_overrides(), **flag_overrides}
+        if layered:
+            cfg = cfg.update(**layered)
+    else:
+        cfg = EngineConfig.from_env(**flag_overrides)
 
     if args.synthetic:
         spec = SiteSpec(n_hosts=args.hosts, pages_per_host=args.pages)
@@ -111,6 +124,78 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """Inspect a crawl output directory: per-round manifests + totals
+    (reference cli.py status surface; works on finished, killed and
+    resumed runs — no Ray session needed)."""
+    import glob
+    import json
+    import os
+
+    out_dir = args.out
+    rounds_glob = os.path.join(out_dir, "rounds", "round=*")
+    round_dirs = sorted(glob.glob(rounds_glob),
+                        key=lambda p: int(p.rsplit("=", 1)[1]))
+    if not os.path.isdir(out_dir) or (
+            not round_dirs and not os.path.exists(
+                os.path.join(out_dir, "_CRAWL.json"))):
+        print(f"status: no crawl output at {out_dir}", file=sys.stderr)
+        return 2
+
+    totals = {"scheduled": 0, "fetched": 0, "failed": 0, "deferred": 0}
+    print(f"{'round':>5} {'scheduled':>9} {'fetched':>8} {'failed':>7} "
+          f"{'deferred':>8}  state")
+    for rdir in round_dirs:
+        round_no = int(rdir.rsplit("=", 1)[1])
+        manifest = os.path.join(rdir, "_MANIFEST.json")
+        if not os.path.exists(manifest):
+            print(f"{round_no:>5} {'-':>9} {'-':>8} {'-':>7} {'-':>8}  "
+                  "PARTIAL (no manifest — will be discarded on resume)")
+            continue
+        with open(manifest) as f:
+            entry = json.load(f)
+        for key in totals:
+            totals[key] += entry.get(key, 0)
+        timings = entry.get("timings") or {}
+        t = (" ".join(f"{k}={v}s" for k, v in timings.items())
+             if args.timings else "")
+        print(f"{round_no:>5} {entry.get('scheduled', 0):>9} "
+              f"{entry.get('fetched', 0):>8} {entry.get('failed', 0):>7} "
+              f"{entry.get('deferred', 0):>8}  complete {t}")
+
+    crawl_json = os.path.join(out_dir, "_CRAWL.json")
+    state = "FINISHED" if os.path.exists(crawl_json) else "IN PROGRESS/KILLED"
+    print(f"total {totals['scheduled']:>9} {totals['fetched']:>8} "
+          f"{totals['failed']:>7} {totals['deferred']:>8}  [{state}]")
+    return 0
+
+
+def cmd_sitemap(args) -> int:
+    """Sitemap-only discovery export: robots → sitemap recursion →
+    filters → frontier lines (no fetching; reference sitemap command)."""
+    from .pipelines.crawl_spec import discover_seed_frontier
+    from .kernels.sitemap import export_frontier_lines
+    from .sources.synth import SiteSpec, SyntheticWeb
+    from .state.robots import LocalRobotsCache
+
+    spec = SiteSpec(n_hosts=args.hosts, pages_per_host=args.pages)
+    web = SyntheticWeb(spec)
+    robots = LocalRobotsCache(web.resolve)
+    rows = []
+    for i, seed in enumerate(args.seed or spec.seed_urls()):
+        rows.extend(discover_seed_frontier(
+            web.resolve, robots, seed, i,
+            min_priority=args.min_priority, limit=args.limit))
+    text = export_frontier_lines(rows)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"wrote {len(rows)} urls to {args.out}")
+    else:
+        print(text, end="")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="markdown_lab_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -129,21 +214,45 @@ def main(argv=None) -> int:
     p = sub.add_parser("crawl", help="BSP crawl over a resolver")
     p.add_argument("--out", required=True)
     p.add_argument("--seeds", help="links.txt (default: all synthetic hosts)")
+    p.add_argument("--config", help="json/yaml EngineConfig file "
+                   "(flags override file values)")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--hosts", type=int, default=9)
     p.add_argument("--pages", type=int, default=40)
-    p.add_argument("--rps", type=float, default=1.0)
-    p.add_argument("--max-rounds", type=int, default=5)
-    p.add_argument("--max-depth", type=int, default=2)
+    p.add_argument("--rps", type=float)
+    p.add_argument("--max-rounds", type=int)
+    p.add_argument("--max-depth", type=int)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_crawl)
 
+    p = sub.add_parser("status", help="inspect a crawl output dir "
+                       "(rounds, counts, partial/resume state)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--timings", action="store_true",
+                   help="show per-phase round timings")
+    p.set_defaults(fn=cmd_status)
+
+    p = sub.add_parser("sitemap", help="sitemap-only discovery export "
+                       "(no fetching)")
+    p.add_argument("--seed", action="append",
+                   help="seed URL (repeatable; default: all hosts)")
+    p.add_argument("--hosts", type=int, default=9)
+    p.add_argument("--pages", type=int, default=40)
+    p.add_argument("--min-priority", type=float)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_sitemap)
+
     args = parser.parse_args(argv)
     code = args.fn(args)
+    # only tear down a session WE started — an embedding caller (tests,
+    # a driver) keeps its own session
+    global _OWNS_RAY
     import ray
-    if ray.is_initialized():
+    if _OWNS_RAY and ray.is_initialized():
         ray.shutdown()
+        _OWNS_RAY = False
     return code
 
 

@@ -56,9 +56,101 @@ class EngineConfig:
     seed: int = 42
     extra: dict = field(default_factory=dict)
 
+    def validate(self) -> "EngineConfig":
+        """Reference-parity constraint checks (core/config.py:71-117:
+        positive rps/timeout/retries, overlap < size, known output
+        format).  Called by the file/dict/update constructors; direct
+        dataclass construction stays unchecked for test flexibility."""
+        if self.requests_per_second <= 0:
+            raise ValueError("requests_per_second must be positive")
+        if self.timeout <= 0:
+            raise ValueError("timeout must be positive")
+        if self.max_retries < 0:
+            raise ValueError("max_retries must be non-negative")
+        if self.chunk_size <= 0:
+            raise ValueError("chunk_size must be positive")
+        if not 0 <= self.chunk_overlap < self.chunk_size:
+            raise ValueError("chunk_overlap must be in [0, chunk_size)")
+        if self.default_output_format not in ("markdown", "json", "xml"):
+            raise ValueError("default_output_format must be 'markdown', "
+                             "'json', or 'xml'")
+        if self.fetch_mode not in ("actors", "tasks"):
+            raise ValueError("fetch_mode must be 'actors' or 'tasks'")
+        return self
+
     @classmethod
-    def from_env(cls, **overrides) -> "EngineConfig":
-        """Build a config applying ``MARKDOWN_LAB_<FIELD>`` env overrides."""
+    def from_dict(cls, config_dict: dict) -> "EngineConfig":
+        """Reference ``from_dict`` (core/config.py:153-163); unknown
+        keys are rejected by the dataclass constructor."""
+        return cls(**config_dict).validate()
+
+    @classmethod
+    def from_file(cls, config_path) -> "EngineConfig":
+        """Load json/yaml config by suffix (reference
+        core/config.py:166-202 semantics: FileNotFoundError for a
+        missing path, ImportError without PyYAML, ValueError for an
+        unsupported suffix)."""
+        import pathlib
+
+        path = pathlib.Path(config_path)
+        if not path.exists():
+            raise FileNotFoundError(f"Configuration file not found: {path}")
+        suffix = path.suffix.lower()
+        if suffix == ".json":
+            import json
+            with open(path) as f:
+                config_dict = json.load(f)
+        elif suffix in (".yml", ".yaml"):
+            try:
+                import yaml
+            except ImportError as exc:
+                raise ImportError("PyYAML is required to load YAML "
+                                  "configuration files") from exc
+            with open(path) as f:
+                config_dict = yaml.safe_load(f)
+        else:
+            raise ValueError(
+                f"Unsupported configuration file format: {path.suffix}")
+        return cls.from_dict(config_dict or {})
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+        return asdict(self)
+
+    def save_to_file(self, config_path) -> None:
+        """Write json/yaml by suffix (reference core/config.py:215-245)."""
+        import pathlib
+
+        path = pathlib.Path(config_path)
+        suffix = path.suffix.lower()
+        if suffix == ".json":
+            import json
+            with open(path, "w") as f:
+                json.dump(self.to_dict(), f, indent=2)
+        elif suffix in (".yml", ".yaml"):
+            try:
+                import yaml
+            except ImportError as exc:
+                raise ImportError("PyYAML is required to save YAML "
+                                  "configuration files") from exc
+            with open(path, "w") as f:
+                yaml.dump(self.to_dict(), f, default_flow_style=False)
+        else:
+            raise ValueError(
+                f"Unsupported configuration file format: {path.suffix}")
+
+    def update(self, **kwargs) -> "EngineConfig":
+        """New instance with the given fields replaced (reference
+        core/config.py:247-262 — immutable update, not in-place)."""
+        config_dict = self.to_dict()
+        config_dict.update(kwargs)
+        return self.from_dict(config_dict)
+
+    @classmethod
+    def env_overrides(cls) -> dict:
+        """The ``MARKDOWN_LAB_<FIELD>`` env values present right now,
+        typed — reusable by any layered construction (file → env →
+        flags)."""
         kwargs = {}
         for f in fields(cls):
             env_key = f"MARKDOWN_LAB_{f.name.upper()}"
@@ -72,6 +164,12 @@ class EngineConfig:
                     kwargs[f.name] = raw.lower() in ("1", "true", "yes")
                 elif f.name != "extra":
                     kwargs[f.name] = raw
+        return kwargs
+
+    @classmethod
+    def from_env(cls, **overrides) -> "EngineConfig":
+        """Build a config applying ``MARKDOWN_LAB_<FIELD>`` env overrides."""
+        kwargs = cls.env_overrides()
         kwargs.update(overrides)
         return cls(**kwargs)
 

@@ -169,20 +169,61 @@ class FetchStage:
         statuses, htmls = [], []
         hosts = (batch.column("host").to_pylist()
                  if "host" in batch.column_names else None)
+        methods = (batch.column("method").to_pylist()
+                   if "method" in batch.column_names else None)
         for i, loc in enumerate(batch.column("loc").to_pylist()):
             if self.pacing_rps > 0 and not (
                     hasattr(self.web, "has_fresh") and self.web.has_fresh(loc)):
                 # cache hits don't touch the network → no pacing needed
+                # (a HEAD is still a request — it IS paced)
                 self._pace(hosts[i] if hosts else "")
-            status, body = self.web.resolve(loc)
-            statuses.append(status)
-            htmls.append(body if isinstance(body, str) else "")
+            if methods is not None and methods[i] == "HEAD":
+                # reference client.head (client.py:100-114): status +
+                # headers only, never a body
+                status, _headers = _head(self.web, loc)
+                statuses.append(status)
+                htmls.append("")
+            else:
+                status, body = self.web.resolve(loc)
+                statuses.append(status)
+                htmls.append(body if isinstance(body, str) else "")
         return batch.append_column(
             "status", pa.array(statuses, pa.int32())
         ).append_column("html", pa.array(htmls, pa.string()))
 
 
 _WEB_CACHE: dict[str, object] = {}
+
+
+def _head(web, loc: str):
+    """HEAD against a resolver: use its native ``head`` when present
+    (real clients / SyntheticWeb), else fall back to resolve-and-drop
+    (correct status, body discarded)."""
+    target = getattr(web, "resolve_fn", None) or web  # unwrap CachedResolver
+    if hasattr(target, "__self__") and hasattr(target.__self__, "head"):
+        return target.__self__.head(loc)
+    if hasattr(web, "head"):
+        return web.head(loc)
+    status, body = (web.resolve(loc) if hasattr(web, "resolve")
+                    else web(loc))
+    length = (len(body.encode()) if isinstance(body, str) else len(body))
+    return status, {"content-length": length}
+
+
+def fetch_head_batch(batch: pa.Table, web_factory) -> pa.Table:
+    """Task-pool HEAD tier: frontier rows → +status, content_length —
+    link-checking / freshness probes without ever shipping a body
+    (reference S2).  Use on rows with ``method == "HEAD"`` or any
+    frontier slice."""
+    web = _worker_cached(_WEB_CACHE, web_factory, lambda f: f())
+    statuses, lengths = [], []
+    for loc in batch.column("loc").to_pylist():
+        status, headers = _head(web, loc)
+        statuses.append(status)
+        lengths.append(int(headers.get("content-length", -1)))
+    return batch.append_column(
+        "status", pa.array(statuses, pa.int32())
+    ).append_column("content_length", pa.array(lengths, pa.int64()))
 
 
 def _write_chunk_sidecar(docs_tbl: pa.Table, chunk_sink: str,
@@ -571,13 +612,62 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 batch_format="pandas"
             ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                           ).materialize()
-        schedule.write_parquet(os.path.join(rdir, "schedule"))
         timings["schedule"] = round(_time.time() - t0, 2)
+
+        # checkpoint writes run CONCURRENTLY with the fetch/convert
+        # phase (VERDICT r01 #3: the schedule is already materialized,
+        # so its parquet write — and the deferred rows' persistence into
+        # frontier_next — need not serialize with the round's hot
+        # phase).  The round manifest is only written after ALL threads
+        # join, so resume semantics are unchanged: a crash mid-round
+        # leaves no _MANIFEST.json and the partial round is discarded.
+        import threading
+
+        from ray.data._internal.datasource.parquet_datasink import (
+            ParquetDatasink,
+        )
+
+        ckpt_errors: list[BaseException] = []
+        ckpt_threads: list[threading.Thread] = []
+
+        def _bg(fn):
+            def run():
+                try:
+                    fn()
+                except BaseException as exc:  # re-raised at join
+                    ckpt_errors.append(exc)
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            ckpt_threads.append(t)
+
+        def _bg_write(ds_, path):
+            # construct the sink NOW, on the main thread: datasink
+            # construction resolves paths/filesystems, and Ray's
+            # resolution path attempts an fsspec-http import that is not
+            # safe under concurrent first-import (aiohttp is absent in
+            # this container, so the failing import re-executes every
+            # time and a concurrent from-import can observe the
+            # partially-initialized module).  Serial construction +
+            # concurrent execution avoids the race entirely.
+            sink = ParquetDatasink(path)
+            _bg(lambda: ds_.write_datasink(sink))
+
+        def _join_ckpt():
+            for t in ckpt_threads:
+                t.join()
+            if ckpt_errors:
+                raise ckpt_errors[0]
 
         scheduled = schedule.filter(expr="scheduled == True")
         deferred = schedule.filter(expr="scheduled == False")
         n_scheduled = scheduled.count()
+        n_deferred = schedule.count() - n_scheduled
+        next_dir = os.path.join(rdir, "frontier_next")
+
+        _bg_write(schedule, os.path.join(rdir, "schedule"))
+
         if n_scheduled == 0:
+            _join_ckpt()
             entry = {"round": round_no, "scheduled": 0, "fetched": 0,
                      "failed": 0, "deferred": 0}
             result.manifest.append(entry)
@@ -585,6 +675,11 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
                 json.dump(entry, f)
             break
+
+        # deferred rows land in frontier_next immediately (the links
+        # part appends to the same directory after docs complete)
+        _bg_write(deferred.map_batches(conform_frontier_batch,
+                                       batch_format="pyarrow"), next_dir)
 
         # e. mark seen + fetch + convert; docs checkpoint is the fork point
         # repartition first: schedule blocks mirror host groups, which can
@@ -636,19 +731,17 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         timings["chunks"] = 0.0
 
         t0 = _time.time()
-        next_frontier = deferred.map_batches(conform_frontier_batch,
-                                             batch_format="pyarrow")
         if cfg.max_depth > 0:
+            # links part APPENDS to frontier_next (the deferred part was
+            # written concurrently with the fetch above; write_parquet
+            # part-file names are unique per call)
             link_src = rd.read_parquet(
                 docs_dir, columns=["depth", "links", "status"]).filter(
                 expr=f"status == 200 and depth < {cfg.max_depth}")
-            new_rows = link_src.map_batches(links_explode_batch,
-                                            batch_format="pyarrow")
-            next_frontier = next_frontier.union(
-                new_rows.map_batches(conform_frontier_batch,
-                                     batch_format="pyarrow"))
-        next_dir = os.path.join(rdir, "frontier_next")
-        next_frontier.write_parquet(next_dir)
+            (link_src.map_batches(links_explode_batch,
+                                  batch_format="pyarrow")
+             .map_batches(conform_frontier_batch, batch_format="pyarrow")
+             .write_parquet(next_dir))
         timings["links_frontier"] = round(_time.time() - t0, 2)
 
         # metrics + manifest — one pass over the pruned status column
@@ -664,10 +757,13 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                      .to_pandas())
         ok = int(status_df["ok"].sum())
         total = int(status_df["n"].sum())
+        t0 = _time.time()
+        _join_ckpt()  # all checkpoint writes durable before the manifest
+        timings["checkpoint_wait"] = round(_time.time() - t0, 2)
         entry = {
             "round": round_no, "scheduled": total, "fetched": ok,
             "failed": total - ok,
-            "deferred": deferred.count(),
+            "deferred": n_deferred,
             "timings": timings,
         }
         result.manifest.append(entry)

@@ -314,3 +314,16 @@ class SyntheticWeb:
         if path == "/":
             return 200, page_html(self.spec, host_i, 0)
         return 404, ""
+
+    def head(self, url: str):
+        """HEAD: status + headers, no body (reference client.py:100-114).
+        Synthetic headers derive from the body the GET would return."""
+        status, body = self.resolve(url)
+        if isinstance(body, bytes):
+            ctype = "application/octet-stream"
+            length = len(body)
+        else:
+            ctype = ("application/xml" if url.endswith(".xml")
+                     else "text/html")
+            length = len(body.encode())
+        return status, {"content-type": ctype, "content-length": length}

@@ -453,10 +453,189 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
     return verified.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def connected_components_distributed(edges_ds, ids_ds=None,
+                                     max_iters: int = 64):
+    """Distributed connected components over an edge Dataset (u, v) —
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), which converges in
+    O(log^2 n) rounds on any graph (union-find needs the whole edge set
+    on one machine; plain min-label propagation needs O(diameter)
+    rounds — a chain graph would never finish).
+
+    Each iteration is two keyed shuffles over edge rows only.  Returns
+    a Dataset (node, label) with label = component minimum; ``ids_ds``
+    (single-column Dataset of node ids) adds singleton nodes to the
+    output.  Use the driver-side ``connected_components`` when the pair
+    set comfortably fits one machine — it's one pass, no shuffles."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .joins import bucketed_hash_join
+
+    schema = edges_ds.schema()
+    node_t = schema.types[0] if schema is not None else pa.int64()
+    empty = pa.table({"u": pa.array([], node_t), "v": pa.array([], node_t)})
+
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([batch.column("u").combine_chunks(),
+                                   batch.column("v").combine_chunks()]),
+            "v": pa.concat_arrays([batch.column("v").combine_chunks(),
+                                   batch.column("u").combine_chunks()]),
+        })
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("u"), batch.column("v")
+        return pa.table({"u": pc.max_element_wise(u, v),
+                         "v": pc.min_element_wise(u, v)})
+
+    def _attach_min(edge_ds):
+        """(u, v) edges + per-u neighbor minimum — the groupby is a
+        NATIVE hash aggregate (not per-node map_groups: a 10^8-node
+        graph would mean 10^8 tiny pandas groups) and the attach is the
+        existing bucketed join; everything downstream is row-wise."""
+        mins = edge_ds.groupby("u").aggregate(Min("v", alias_name="mn"))
+        return bucketed_hash_join(edge_ds, mins, key="u",
+                                  n_buckets=16), mins
+
+    edge_schema = pa.schema([("u", node_t), ("v", node_t)])
+
+    def large_star_rows(batch: pa.Table) -> pa.Table:
+        # for each symmetric edge (u, v) with v > u: emit (v, m(u))
+        # where m(u) = min(u, min-neighbor(u)).  The cast undoes the
+        # join's pandas null-padding promotion (int64 → double).
+        m = pc.min_element_wise(batch.column("u"), batch.column("mn"))
+        keep = pc.greater(batch.column("v"), batch.column("u"))
+        return (pa.table({"u": batch.column("v"), "v": m})
+                .filter(keep).cast(edge_schema))
+
+    def small_star_rows(batch: pa.Table) -> pa.Table:
+        # oriented u > v: for each edge emit (v, m(u)) unless v == m(u)
+        m = batch.column("mn")
+        keep = pc.invert(pc.equal(batch.column("v"), m))
+        return (pa.table({"u": batch.column("v"), "v": m})
+                .filter(keep).cast(edge_schema))
+
+    def mins_to_edges(batch: pa.Table) -> pa.Table:
+        # small-star also links each node u to m(u) directly
+        return pa.table({"u": batch.column("u"),
+                         "v": batch.column("mn")}).cast(edge_schema)
+
+    def checksum(ds):
+        def partial(batch: pa.Table) -> pa.Table:
+            hu = pd.util.hash_array(batch.column("u").to_pandas().to_numpy())
+            hv = pd.util.hash_array(batch.column("v").to_pandas().to_numpy())
+            with np.errstate(over="ignore"):
+                s = int((hu * np.uint64(3) + hv).sum(dtype=np.uint64))
+            return pa.table({"s": pa.array([s], pa.uint64()),
+                             "n": pa.array([batch.num_rows], pa.int64())})
+        df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        with np.errstate(over="ignore"):
+            return (int(df["n"].sum()),
+                    int(df["s"].to_numpy(dtype=np.uint64)
+                        .sum(dtype=np.uint64)))
+
+    def local_star(batch: pa.Table) -> pa.Table:
+        """Per-block union-find contraction: replace the block's edges
+        by its local spanning stars.  Python union-find is the per-task
+        work (no vectorized form exists); it collapses each block's
+        components to diameter 1, so the global loop needs ~log(#blocks)
+        iterations instead of ~log(#nodes) — no driver state involved."""
+        if batch.num_rows == 0:
+            return empty
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(batch.column("u").to_pylist(),
+                        batch.column("v").to_pylist()):
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out_u = [x for x in parent if find(x) != x]
+        out_v = [find(x) for x in out_u]
+        return pa.table({"u": pa.array(out_u, node_t),
+                         "v": pa.array(out_v, node_t)})
+
+    edges = edges_ds.map_batches(local_star,
+                                 batch_format="pyarrow").materialize()
+    prev = None
+    n_edges = edges.count()
+    target_blocks = max(8, min(edges.num_blocks(), 64))
+    converged = n_edges == 0
+    from ray.data.aggregate import Count
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["u", "v"])
+
+    for _ in range(max_iters if n_edges else 0):
+        # large star (materialize the shared intermediates — both joins
+        # consume their input twice via union branches; without this
+        # each iteration re-executes its front half several times)
+        symmed = edges.map_batches(sym, batch_format="pyarrow"
+                                   ).repartition(target_blocks).materialize()
+        joined, _ = _attach_min(symmed)
+        large = (joined.map_batches(large_star_rows, batch_format="pyarrow")
+                 .map_batches(orient, batch_format="pyarrow")
+                 .repartition(target_blocks).materialize())
+        # small star
+        joined2, mins2 = _attach_min(large)
+        # distinct edges (native hash aggregate — keeps the edge set
+        # bounded and makes the fixpoint checksum well-defined; row
+        # multiplicities would otherwise oscillate and never converge);
+        # the repartition stops block counts compounding per iteration
+        edges = (joined2.map_batches(small_star_rows, batch_format="pyarrow")
+                 .union(mins2.map_batches(mins_to_edges,
+                                          batch_format="pyarrow"))
+                 .groupby(["u", "v"]).aggregate(Count(alias_name="__c"))
+                 .map_batches(drop_count, batch_format="pyarrow")
+                 .repartition(target_blocks)
+                 .materialize())
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        logger.warning("connected_components_distributed: no fixpoint "
+                       "after %d iterations", max_iters)
+
+    # final star edges (node → component min) + the roots themselves
+    # (a component's min never appears as a source) + singletons
+    def star_labels(b: pa.Table) -> pa.Table:
+        u = b.column("u").combine_chunks()
+        v = b.column("v").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v]),
+                         "label": pa.concat_arrays([v, v])})
+
+    labels = edges.map_batches(star_labels, batch_format="pyarrow")
+    if ids_ds is not None:
+        id_name = ids_ds.schema().names[0]
+        selfloops = ids_ds.map_batches(
+            lambda b: pa.table({"node": b.column(id_name),
+                                "label": b.column(id_name)}),
+            batch_format="pyarrow")
+        labels = labels.union(selfloops)
+    return labels.groupby("node").aggregate(Min("label", alias_name="label"))
+
+
 def connected_components(pairs, ids) -> dict:
     """Min-label union-find over near-dup pairs (driver-side: the pair
-    set is small; the distributed alternative is iterated min-label
-    propagation via groupby)."""
+    set is small; ``connected_components_distributed`` is the scale
+    path for edge sets beyond one machine)."""
     parent = {i: i for i in ids}
 
     def find(x):

@@ -14,9 +14,18 @@ for genuinely large×large.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
+
+
+def _bucket_ids(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Vectorized, process-stable bucket assignment for a key column
+    (pandas ``hash_array`` = siphash with a fixed key — deterministic
+    across worker processes, no per-row Python hashing)."""
+    import pandas as pd
+
+    keys = col.to_pandas().to_numpy()
+    return (pd.util.hash_array(keys) % np.uint64(n_buckets)).astype(np.int32)
 
 
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
@@ -40,18 +49,19 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
                                ("__side", pa.string())])
 
     def tag(batch: pa.Table, side: str) -> pa.Table:
-        keys = batch.column(key).to_pylist()
-        buckets = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+        n = batch.num_rows
+        buckets = _bucket_ids(batch.column(key), n_buckets)
         cols = {}
         for fld in wide:
             if fld.name == "__bucket":
-                cols[fld.name] = pa.array(buckets, pa.int32())
+                cols[fld.name] = pa.array(buckets)
             elif fld.name == "__side":
-                cols[fld.name] = pa.array([side] * len(keys), pa.string())
+                cols[fld.name] = pa.array(
+                    np.full(n, side, dtype=object), pa.string())
             elif fld.name in batch.column_names:
                 cols[fld.name] = batch.column(fld.name)
             else:
-                cols[fld.name] = pa.nulls(batch.num_rows, fld.type)
+                cols[fld.name] = pa.nulls(n, fld.type)
         return pa.table(cols, schema=wide)
 
     left_tagged = left_ds.map_batches(tag, batch_format="pyarrow",
@@ -68,3 +78,66 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     both = left_tagged.union(right_tagged)
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pandas")
+
+
+def _bucketed_membership_join(left_ds, right_ds, key: str,
+                              n_buckets: int, keep_matched: bool):
+    """Shared semi/anti shape: tag both sides with a bucket, union only
+    (left row, right KEY) rows — the right side ships keys alone, never
+    its payload — and keep/drop left rows by membership per bucket.
+    One shuffle; B bounds per-task memory (same contract as
+    ``bucketed_hash_join``)."""
+    import pandas as pd
+
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_fields = list(zip(left_schema.names, left_schema.types))
+    wide = pa.schema(left_fields + [("__bucket", pa.int32()),
+                                    ("__side", pa.string())])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {name: batch.column(name) for name, _ in left_fields}
+        cols["__bucket"] = pa.array(_bucket_ids(batch.column(key), n_buckets))
+        cols["__side"] = pa.array(np.full(n, "l", dtype=object), pa.string())
+        return pa.table(cols, schema=wide)
+
+    def tag_right_keys(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key)
+        n = batch.num_rows
+        cols = {}
+        for name, typ in left_fields:
+            cols[name] = keys.cast(typ) if name == key else pa.nulls(n, typ)
+        cols["__bucket"] = pa.array(_bucket_ids(keys, n_buckets))
+        cols["__side"] = pa.array(np.full(n, "r", dtype=object), pa.string())
+        return pa.table(cols, schema=wide)
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = (right_ds.select_columns([key])
+                    .map_batches(tag_right_keys, batch_format="pyarrow"))
+
+    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == "l"]
+        right_keys = df.loc[df["__side"] == "r", key].unique()
+        mask = lhs[key].isin(right_keys)
+        return lhs[mask if keep_matched else ~mask][left_cols]
+
+    both = left_tagged.union(right_tagged)
+    return both.groupby("__bucket").map_groups(filter_bucket,
+                                               batch_format="pandas")
+
+
+def bucketed_anti_join(left_ds, right_ds, key: str, n_buckets: int = 32):
+    """Left rows with NO matching ``key`` on the right (the frontier
+    ANTI url_seen shape generalized to two large Datasets; reference
+    J1 semantics as a standalone operator)."""
+    return _bucketed_membership_join(left_ds, right_ds, key, n_buckets,
+                                     keep_matched=False)
+
+
+def bucketed_semi_join(left_ds, right_ds, key: str, n_buckets: int = 32):
+    """Left rows WITH a matching ``key`` on the right (no right-side
+    payload shipped or duplicated — unlike an inner join, left rows are
+    never multiplied)."""
+    return _bucketed_membership_join(left_ds, right_ds, key, n_buckets,
+                                     keep_matched=True)

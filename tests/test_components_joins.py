@@ -1,0 +1,104 @@
+"""Round-2 operators: distributed connected components (large-star /
+small-star), bucketed anti/semi joins, seeded sampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def test_cc_distributed_chain_matches_union_find(ray_session):
+    """VERDICT r01 #9: a 10^5-edge chain graph (the worst case for
+    plain min-label propagation — O(diameter) rounds) must match the
+    driver-side union-find exactly."""
+    from markdown_lab_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    n = 100_000
+    edges = pd.DataFrame({"u": np.arange(n), "v": np.arange(1, n + 1)})
+    out = connected_components_distributed(
+        _rd().from_pandas(edges).repartition(8)).to_pandas()
+    uf = connected_components(list(zip(edges.u, edges.v)),
+                              list(range(n + 1)))
+    got = dict(zip(out.node, out.label))
+    assert len(got) == n + 1
+    assert got == uf
+    assert set(out.label.unique()) == {0}
+
+
+def test_cc_distributed_components_and_singletons(ray_session):
+    from markdown_lab_ray.stages.dedup import connected_components_distributed
+
+    edges = pd.DataFrame({"u": [5, 6, 1], "v": [6, 7, 2]})
+    ids = _rd().from_pandas(pd.DataFrame({"doc_id": range(10)}))
+    out = connected_components_distributed(
+        _rd().from_pandas(edges), ids_ds=ids).to_pandas()
+    got = dict(zip(out.node, out.label))
+    # components {5,6,7}→5, {1,2}→1; everything else is a singleton
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4,
+                   5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+
+def test_cc_distributed_empty_edges(ray_session):
+    from markdown_lab_ray.stages.dedup import connected_components_distributed
+
+    edges = _rd().from_pandas(pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                            "v": pd.Series(dtype="int64")}))
+    ids = _rd().from_pandas(pd.DataFrame({"doc_id": [3, 1, 2]}))
+    out = connected_components_distributed(edges, ids_ds=ids).to_pandas()
+    assert dict(zip(out.node, out.label)) == {1: 1, 2: 2, 3: 3}
+
+
+@pytest.mark.parametrize("kind", ["anti", "semi"])
+def test_bucketed_membership_joins_match_pandas(ray_session, kind):
+    from markdown_lab_ray.stages.joins import (
+        bucketed_anti_join,
+        bucketed_semi_join,
+    )
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 200),
+                         "payload": np.arange(200)})
+    right = pd.DataFrame({"k": rng.randint(25, 75, 100),
+                          "other": np.arange(100)})
+    fn = bucketed_anti_join if kind == "anti" else bucketed_semi_join
+    got = (fn(_rd().from_pandas(left), _rd().from_pandas(right), key="k",
+              n_buckets=8).to_pandas()
+           .sort_values(["k", "payload"]).reset_index(drop=True))
+    mask = left["k"].isin(right["k"].unique())
+    want = (left[~mask if kind == "anti" else mask]
+            .sort_values(["k", "payload"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_semi_join_never_multiplies_left_rows(ray_session):
+    from markdown_lab_ray.stages.joins import bucketed_semi_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "payload": [10, 11, 20]})
+    right = pd.DataFrame({"k": [1] * 5})  # 5 matches must not fan out
+    got = bucketed_semi_join(_rd().from_pandas(left),
+                             _rd().from_pandas(right), key="k").to_pandas()
+    assert sorted(got["payload"].tolist()) == [10, 11]
+
+
+def test_random_sample_seeded_determinism(ray_session):
+    from markdown_lab_ray.stages.sample import random_sample
+
+    ds = _rd().range(10_000)
+    a = random_sample(ds, 0.1, seed=7).to_pandas()["id"].tolist()
+    b = random_sample(_rd().range(10_000), 0.1, seed=7
+                      ).to_pandas()["id"].tolist()
+    c = random_sample(_rd().range(10_000), 0.1, seed=8
+                      ).to_pandas()["id"].tolist()
+    assert a == b
+    assert a != c
+    assert 500 < len(a) < 1500  # ~10%
+
+    with pytest.raises(ValueError):
+        random_sample(ds, 1.5)
