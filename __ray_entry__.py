@@ -682,8 +682,10 @@ def q_render_format_counts(sf_dir: str):
     from markdown_lab_ray.pipelines.convert import documents_pages
     from markdown_lab_ray.stages.convert import parse_batch, render_batch
 
+    # materialize the parsed docs once — three lazy branches would
+    # re-read + re-parse the whole corpus per format
     docs = documents_pages(sf_dir).map_batches(
-        parse_batch, batch_format="pyarrow")
+        parse_batch, batch_format="pyarrow").materialize()
     parts = [docs.map_batches(render_batch, batch_format="pyarrow",
                               fn_kwargs=dict(fmt=fmt))
              for fmt in ("markdown", "json", "xml")]
@@ -977,8 +979,9 @@ def q_render_formats(sf_dir: str):
     from markdown_lab_ray.pipelines.convert import documents_pages
     from markdown_lab_ray.stages.convert import parse_batch, render_batch
 
+    # one parse, materialized — the three render branches share it
     docs = documents_pages(sf_dir).map_batches(
-        parse_batch, batch_format="pyarrow")
+        parse_batch, batch_format="pyarrow").materialize()
     md = docs.map_batches(render_batch, batch_format="pyarrow",
                           fn_kwargs=dict(fmt="markdown"))
     js = docs.map_batches(render_batch, batch_format="pyarrow",

@@ -90,17 +90,22 @@ def cmd_crawl(args) -> int:
     from .pipelines.crawl import run_crawl_ray
     from .sources.synth import SiteSpec, SyntheticWeb
 
+    # historical CLI defaults (rps=1.0, 5 rounds, depth 2) apply only
+    # when no config file is given — precedence: CLI defaults < file <
+    # env < explicit flags
+    cli_defaults = dict(requests_per_second=1.0, max_rounds=5, max_depth=2)
     flag_overrides = {k: v for k, v in dict(
         requests_per_second=args.rps, max_rounds=args.max_rounds,
         max_depth=args.max_depth).items() if v is not None}
     if args.config:
-        # precedence: file < env < explicit flags
         cfg = EngineConfig.from_file(args.config)
         layered = {**EngineConfig.env_overrides(), **flag_overrides}
         if layered:
             cfg = cfg.update(**layered)
     else:
-        cfg = EngineConfig.from_env(**flag_overrides)
+        cfg = EngineConfig(**{**cli_defaults,
+                              **EngineConfig.env_overrides(),
+                              **flag_overrides})
 
     if args.synthetic:
         spec = SiteSpec(n_hosts=args.hosts, pages_per_host=args.pages)
@@ -196,6 +201,32 @@ def cmd_sitemap(args) -> int:
     return 0
 
 
+def cmd_config(args) -> int:
+    """Show / save / validate the effective engine config (reference
+    cli.py config subcommand surface).  Precedence: file < env."""
+    import json as _json
+
+    from .config import EngineConfig
+
+    try:
+        if args.load:
+            cfg = EngineConfig.from_file(args.load)
+            env = EngineConfig.env_overrides()
+            if env:
+                cfg = cfg.update(**env)
+        else:
+            cfg = EngineConfig.from_env().validate()
+        if args.save:
+            cfg.save_to_file(args.save)
+            print(f"wrote {args.save}")
+        else:
+            print(_json.dumps(cfg.to_dict(), indent=2))
+    except (ValueError, FileNotFoundError, ImportError) as exc:
+        print(f"config: {exc}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="markdown_lab_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -244,14 +275,23 @@ def main(argv=None) -> int:
     p.add_argument("--out")
     p.set_defaults(fn=cmd_sitemap)
 
+    p = sub.add_parser("config", help="show/save/validate engine config "
+                       "(file < env precedence)")
+    p.add_argument("--load", help="json/yaml config file to load first")
+    p.add_argument("--save", help="write the effective config here "
+                   "(.json/.yaml)")
+    p.set_defaults(fn=cmd_config)
+
     args = parser.parse_args(argv)
     code = args.fn(args)
     # only tear down a session WE started — an embedding caller (tests,
-    # a driver) keeps its own session
+    # a driver) keeps its own session; Ray-free commands (status,
+    # sitemap, config) never pay the ray import at all
     global _OWNS_RAY
-    import ray
-    if _OWNS_RAY and ray.is_initialized():
-        ray.shutdown()
+    if _OWNS_RAY:
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
         _OWNS_RAY = False
     return code
 

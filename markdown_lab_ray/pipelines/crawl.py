@@ -172,12 +172,15 @@ class FetchStage:
         methods = (batch.column("method").to_pylist()
                    if "method" in batch.column_names else None)
         for i, loc in enumerate(batch.column("loc").to_pylist()):
-            if self.pacing_rps > 0 and not (
-                    hasattr(self.web, "has_fresh") and self.web.has_fresh(loc)):
-                # cache hits don't touch the network → no pacing needed
-                # (a HEAD is still a request — it IS paced)
+            is_head = methods is not None and methods[i] == "HEAD"
+            # cache hits don't touch the network → no pacing needed;
+            # a HEAD always touches the network (it bypasses the payload
+            # cache), so it is ALWAYS paced
+            if self.pacing_rps > 0 and (is_head or not (
+                    hasattr(self.web, "has_fresh")
+                    and self.web.has_fresh(loc))):
                 self._pace(hosts[i] if hosts else "")
-            if methods is not None and methods[i] == "HEAD":
+            if is_head:
                 # reference client.head (client.py:100-114): status +
                 # headers only, never a body
                 status, _headers = _head(self.web, loc)
@@ -623,9 +626,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         # leaves no _MANIFEST.json and the partial round is discarded.
         import threading
 
-        from ray.data._internal.datasource.parquet_datasink import (
-            ParquetDatasink,
-        )
+        try:
+            # Ray-internal module (2.49): lets the sink be constructed
+            # on the main thread, with only the execution in a thread.
+            # Guarded: if a Ray upgrade moves it, degrade to serialized
+            # main-thread writes (correct, just loses the overlap).
+            from ray.data._internal.datasource.parquet_datasink import (
+                ParquetDatasink,
+            )
+        except ImportError:
+            ParquetDatasink = None
 
         ckpt_errors: list[BaseException] = []
         ckpt_threads: list[threading.Thread] = []
@@ -649,6 +659,9 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             # time and a concurrent from-import can observe the
             # partially-initialized module).  Serial construction +
             # concurrent execution avoids the race entirely.
+            if ParquetDatasink is None:
+                ds_.write_parquet(path)  # fallback: serial, no overlap
+                return
             sink = ParquetDatasink(path)
             _bg(lambda: ds_.write_datasink(sink))
 

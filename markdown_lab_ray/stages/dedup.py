@@ -430,16 +430,17 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
         out = {"a": pd.Series(dtype=df["a"].dtype),
                "b": pd.Series(dtype=df["b"].dtype),
                "jaccard": pd.Series(dtype="float64")}
-        if len(df) != 2:
+        a_id, b_id = df["a"].iloc[0], df["b"].iloc[0]
+        # select by role, first match each — robust to duplicate doc_id
+        # rows in a dirty corpus (the join multiplies the group then)
+        ta = df.loc[df[id_col] == a_id, text_col]
+        tb = df.loc[df[id_col] == b_id, text_col]
+        if ta.empty or tb.empty:
             return pd.DataFrame(out)
-        a_id = df["a"].iloc[0]
-        ta = df.loc[df[id_col] == a_id, text_col].iloc[0]
-        tb = df.loc[df[id_col] != a_id, text_col].iloc[0]
-        score = jaccard(ta, tb, k)
+        score = jaccard(ta.iloc[0], tb.iloc[0], k)
         if score < jaccard_threshold:
             return pd.DataFrame(out)
-        return pd.DataFrame({"a": [a_id], "b": [df["b"].iloc[0]],
-                             "jaccard": [score]})
+        return pd.DataFrame({"a": [a_id], "b": [b_id], "jaccard": [score]})
 
     verified = (joined.groupby(["a", "b"])
                 .map_groups(verify_group, batch_format="pandas")

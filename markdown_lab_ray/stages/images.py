@@ -252,14 +252,18 @@ def phash_band_batch(batch: pa.Table, n_bands: int = 4) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+_SENTINEL = object()
+
+
 def phash_near_dup_pairs(ds, hamming_threshold: int = 6,
-                         bucket_cap: int | None = None):
+                         bucket_cap=_SENTINEL):
     """Image near-dup: band bucket groupby → candidate pairs verified by
     true Hamming distance IN the band group (``phash`` rides the band
     rows — no driver-side id→hash state); cross-band dedup of the
     already-filtered pair set is O(result).  ``bucket_cap`` (default
-    from dedup.DEFAULT_BUCKET_CAP) bounds degenerate buckets with the
-    dropped volume logged via CapStats."""
+    dedup.DEFAULT_BUCKET_CAP; pass ``None`` for uncapped, same contract
+    as the dedup operators) bounds degenerate buckets with the dropped
+    volume logged via CapStats."""
     import pandas as pd
 
     from .dedup import (
@@ -269,9 +273,9 @@ def phash_near_dup_pairs(ds, hamming_threshold: int = 6,
         report_caps,
     )
 
-    if bucket_cap is None:
+    if bucket_cap is _SENTINEL:
         bucket_cap = DEFAULT_BUCKET_CAP
-    stats = new_cap_stats()
+    stats = new_cap_stats() if bucket_cap is not None else None
 
     def pairs_group(df):
         df = (df.drop_duplicates(subset=["image_id"])
@@ -281,7 +285,7 @@ def phash_near_dup_pairs(ds, hamming_threshold: int = 6,
             return pd.DataFrame({"a": pd.Series(dtype=str),
                                  "b": pd.Series(dtype=str),
                                  "hamming": pd.Series(dtype="int64")})
-        if n > bucket_cap:
+        if bucket_cap is not None and n > bucket_cap:
             import ray
             ray.get(stats.add.remote(n * (n - 1) // 2
                                      - bucket_cap * (bucket_cap - 1) // 2))
@@ -299,7 +303,8 @@ def phash_near_dup_pairs(ds, hamming_threshold: int = 6,
         phash_band_batch, batch_format="pyarrow")
     pairs = bands.groupby(["band_id", "band_key"]).map_groups(
         pairs_group, batch_format="pandas").to_pandas()
-    report_caps(stats, "phash_near_dup_pairs")
+    if stats is not None:
+        report_caps(stats, "phash_near_dup_pairs")
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     return (pairs.drop_duplicates(subset=["a", "b"])

@@ -21,11 +21,51 @@ import pyarrow as pa
 def _bucket_ids(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
     """Vectorized, process-stable bucket assignment for a key column
     (pandas ``hash_array`` = siphash with a fixed key — deterministic
-    across worker processes, no per-row Python hashing)."""
+    across worker processes, no per-row Python hashing).
+
+    Hashing is REPRESENTATION-normalized before the hash: every integer
+    key casts to int64 first (a null in one batch would otherwise
+    promote that batch to float64 in pandas and hash every key
+    differently from the other side, silently emptying the join)."""
     import pandas as pd
 
-    keys = col.to_pandas().to_numpy()
+    if pa.types.is_integer(col.type):
+        # fill_null value only affects which bucket null keys land in —
+        # they never match anything in the per-bucket merge anyway
+        arr = col.cast(pa.int64()).fill_null(-(1 << 63))
+        keys = arr.to_numpy(zero_copy_only=False) if isinstance(
+            arr, pa.Array) else arr.combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keys = np.asarray(keys, dtype=np.int64)
+    elif pa.types.is_floating(col.type):
+        keys = np.asarray(col.cast(pa.float64()).to_pandas().to_numpy(),
+                          dtype=np.float64)
+    else:
+        keys = col.to_pandas().to_numpy()
     return (pd.util.hash_array(keys) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Ray Dataset schema type to a pyarrow DataType —
+    pandas-block datasets report numpy dtypes / python classes."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (str, object):
+        return pa.string()
+    if t in (bytes,):
+        return pa.binary()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
+def _pad_column(n: int, typ: pa.DataType):
+    """Filler column for the wide union schema.  Integer columns are
+    padded with ZEROS, not nulls: a null int column becomes float64 in
+    pandas, silently corrupting ids above 2^53 on the real rows of the
+    SAME column (the padding rows themselves are never read — each side
+    only projects its own columns inside the bucket join)."""
+    if pa.types.is_integer(typ):
+        return pa.array(np.zeros(n, dtype=np.int64)).cast(typ)
+    return pa.nulls(n, typ)
 
 
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
@@ -42,9 +82,10 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     if overlap:
         raise ValueError(f"column collision (rename first): {sorted(overlap)}")
 
-    fields = list(zip(left_schema.names, left_schema.types)) + [
-        (n, t) for n, t in zip(right_schema.names, right_schema.types)
-        if n != key]
+    fields = [(n, _pa_type(t)) for n, t in
+              zip(left_schema.names, left_schema.types)] + [
+        (n, _pa_type(t)) for n, t in
+        zip(right_schema.names, right_schema.types) if n != key]
     wide = pa.schema(fields + [("__bucket", pa.int32()),
                                ("__side", pa.string())])
 
@@ -61,7 +102,7 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
             elif fld.name in batch.column_names:
                 cols[fld.name] = batch.column(fld.name)
             else:
-                cols[fld.name] = pa.nulls(n, fld.type)
+                cols[fld.name] = _pad_column(n, fld.type)
         return pa.table(cols, schema=wide)
 
     left_tagged = left_ds.map_batches(tag, batch_format="pyarrow",
@@ -91,7 +132,8 @@ def _bucketed_membership_join(left_ds, right_ds, key: str,
 
     left_schema = left_ds.schema()
     left_cols = list(left_schema.names)
-    left_fields = list(zip(left_schema.names, left_schema.types))
+    left_fields = [(n, _pa_type(t)) for n, t in
+                   zip(left_schema.names, left_schema.types)]
     wide = pa.schema(left_fields + [("__bucket", pa.int32()),
                                     ("__side", pa.string())])
 
@@ -107,7 +149,8 @@ def _bucketed_membership_join(left_ds, right_ds, key: str,
         n = batch.num_rows
         cols = {}
         for name, typ in left_fields:
-            cols[name] = keys.cast(typ) if name == key else pa.nulls(n, typ)
+            cols[name] = (keys.cast(typ) if name == key
+                          else _pad_column(n, typ))
         cols["__bucket"] = pa.array(_bucket_ids(keys, n_buckets))
         cols["__side"] = pa.array(np.full(n, "r", dtype=object), pa.string())
         return pa.table(cols, schema=wide)

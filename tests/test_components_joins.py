@@ -102,3 +102,44 @@ def test_random_sample_seeded_determinism(ray_session):
 
     with pytest.raises(ValueError):
         random_sample(ds, 1.5)
+
+
+def test_bucketed_join_int_keys_with_nulls(ray_session):
+    """Review finding: a null in an int key column promoted the batch
+    to float64 in pandas, hashing every key differently from the other
+    side — matching rows then never shared a bucket.  Bucket ids must
+    be representation-normalized."""
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                         "payload": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [1, 2, 4], "other": [100, 200, 400]})
+    got = bucketed_hash_join(_rd().from_pandas(left),
+                             _rd().from_pandas(right), key="k",
+                             n_buckets=8).to_pandas()
+    assert sorted(got["payload"].tolist()) == [10, 20, 40]
+
+
+def test_bucketed_join_preserves_large_int64_ids(ray_session):
+    """Review finding: null-padded int columns became float64, silently
+    corrupting ids above 2^53.  Large ids must round-trip exactly."""
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    big = (1 << 62) + 12345  # loses precision in float64
+    left = pd.DataFrame({"k": [1, 2], "big_id": [big, big + 1]})
+    right = pd.DataFrame({"k": [1, 2], "other": ["x", "y"]})
+    got = bucketed_hash_join(_rd().from_pandas(left),
+                             _rd().from_pandas(right), key="k",
+                             n_buckets=4).to_pandas()
+    assert sorted(got["big_id"].tolist()) == [big, big + 1]
+
+
+def test_cc_distributed_preserves_large_int64_labels(ray_session):
+    from markdown_lab_ray.stages.dedup import connected_components_distributed
+
+    big = (1 << 62) + 777
+    edges = pd.DataFrame({"u": [big, big + 1], "v": [big + 1, big + 2]})
+    out = connected_components_distributed(
+        _rd().from_pandas(edges)).to_pandas()
+    got = dict(zip(out.node, out.label))
+    assert got == {big: big, big + 1: big, big + 2: big}

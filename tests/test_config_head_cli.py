@@ -158,3 +158,21 @@ def test_sitemap_cli_export(tmp_path, capsys):
     lines = out.read_text().strip().splitlines()
     urls = [line for line in lines if line.startswith("http")]
     assert urls and all("example" in u for u in urls)
+
+
+def test_config_cli_show_save_load(tmp_path, capsys, monkeypatch):
+    from markdown_lab_ray.cli import main
+
+    monkeypatch.setenv("MARKDOWN_LAB_CHUNK_SIZE", "750")
+    assert main(["config"]) == 0
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["chunk_size"] == 750
+
+    out = tmp_path / "engine.yaml"
+    assert main(["config", "--save", str(out)]) == 0
+    capsys.readouterr()
+    monkeypatch.delenv("MARKDOWN_LAB_CHUNK_SIZE")
+    assert main(["config", "--load", str(out)]) == 0
+    assert json.loads(capsys.readouterr().out)["chunk_size"] == 750
+
+    assert main(["config", "--load", str(tmp_path / "nope.json")]) == 2
