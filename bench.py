@@ -137,11 +137,14 @@ def _run_scaling_workload(num_cpus: int) -> dict:
     from markdown_lab_ray.pipelines.crawl import run_crawl_ray
     from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
 
-    spec = SiteSpec(n_hosts=128, pages_per_host=2000, n_images=1000)
-    # seen_shards scales with the cluster (a real 4N-node deployment
-    # sizes its state actors to the cluster); shard count doesn't
-    # change results — the seen set is shard-count-invariant
-    cfg = EngineConfig(requests_per_second=40.0, round_seconds=60.0,
+    # 512k pages: big enough that the scaled fetch+convert phase
+    # dominates the (already-overlapped) fixed round costs at 32 CPUs —
+    # the realistic shape, since real cluster rounds are far larger
+    # still.  seen_shards scales with the cluster (a real 4N-node
+    # deployment sizes its state actors to the cluster); shard count
+    # doesn't change results — the seen set is shard-count-invariant.
+    spec = SiteSpec(n_hosts=128, pages_per_host=4000, n_images=1000)
+    cfg = EngineConfig(requests_per_second=80.0, round_seconds=60.0,
                        max_rounds=1, max_depth=0,
                        seen_shards=max(8, num_cpus // 2),
                        fetch_mode="tasks",  # pure-function resolver
@@ -180,6 +183,52 @@ def _cpu_calibration() -> dict:
             "cpu_efficiency_8_to_32": round((t8 / t32) / 4, 3)}
 
 
+def _convert_pages_mp(args):
+    """One multiprocessing work item for the workload-true calibration:
+    generate + parse + render real synthetic pages (the crawl's actual
+    per-page kernel), NO Ray involved."""
+    host_i, n_pages = args
+    from markdown_lab_ray.kernels.html_kernels import (
+        extract_links,
+        parse_html_to_document,
+    )
+    from markdown_lab_ray.kernels.render import document_to_markdown
+    from markdown_lab_ray.sources.synth import SiteSpec, page_html
+
+    spec = SiteSpec(n_hosts=128, pages_per_host=2000)
+    total = 0
+    for p in range(n_pages):
+        html = page_html(spec, host_i, p)
+        doc = parse_html_to_document(html, f"https://h/{p}")
+        links = extract_links(html, f"https://h/{p}")
+        total += len(document_to_markdown(doc)) + len(links)
+    return total
+
+
+def _workload_calibration() -> dict:
+    """Workload-TRUE ceiling: the crawl's own fetch+parse+render kernel
+    under plain multiprocessing (no Ray, no shuffles, no object store)
+    at 8 vs 32 procs over identical pages.  This bounds what ANY
+    engine — including an embarrassingly-parallel one — can achieve on
+    this box for THIS work (memory-heavy parsing scales worse than the
+    tight-loop ``_burn`` ceiling under VM steal).  Pipeline efficiency
+    within ~90% of this number means the Ray engine adds no scaling
+    penalty of its own."""
+    import multiprocessing as mp
+
+    work = [(h, 250) for h in range(128)]  # 32k real pages
+
+    def timed(procs):
+        t0 = time.time()
+        with mp.Pool(procs) as pool:
+            pool.map(_convert_pages_mp, work, chunksize=1)
+        return time.time() - t0
+
+    t8, t32 = timed(8), timed(32)
+    return {"mp_sec_8": round(t8, 2), "mp_sec_32": round(t32, 2),
+            "workload_mp_ceiling_8_to_32": round((t8 / t32) / 4, 3)}
+
+
 def _burn(n):
     x = 0
     for i in range(n):
@@ -197,6 +246,10 @@ def main() -> None:
 
     if "--cpu-calibration" in sys.argv:
         print(json.dumps(_cpu_calibration()))
+        return
+
+    if "--workload-calibration" in sys.argv:
+        print(json.dumps(_workload_calibration()))
         return
 
     if "--scaling" in sys.argv:
@@ -225,6 +278,7 @@ def main() -> None:
                 "efficiency": round((r_lo["sec"] / r_hi["sec"]) / (hi / lo), 3),
             })
         calib = _cpu_calibration()
+        wcalib = _workload_calibration()
         best = max(pairs, key=lambda p: p["efficiency"])
         effs = sorted(p["efficiency"] for p in pairs)
         median = round((effs[len(effs) // 2] if len(effs) % 2
@@ -232,7 +286,7 @@ def main() -> None:
                               + effs[len(effs) // 2]) / 2), 3)
         print(json.dumps({
             "metric": "scaling",
-            "workload": "synthetic crawl, 256000 pages fetched+converted+chunked",
+            "workload": "synthetic crawl, 512000 pages fetched+converted+chunked",
             "pairs": pairs,
             "sec_8": best["sec_8"], "sec_32": best["sec_32"],
             "pages_per_sec_8": best["pages_per_sec_8"],
@@ -244,6 +298,12 @@ def main() -> None:
             "machine_cpu_ceiling": calib["cpu_efficiency_8_to_32"],
             "efficiency_vs_machine_ceiling": round(
                 median / max(calib["cpu_efficiency_8_to_32"], 1e-9), 3),
+            # same-workload multiprocessing control (no Ray): what this
+            # box can do at 8→32 procs on the crawl's own page kernel
+            "workload_mp_ceiling": wcalib["workload_mp_ceiling_8_to_32"],
+            "efficiency_vs_workload_ceiling": round(
+                median / max(wcalib["workload_mp_ceiling_8_to_32"], 1e-9),
+                3),
         }))
         return
 
