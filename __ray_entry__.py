@@ -754,6 +754,80 @@ FROM events GROUP BY event_type
 """
 
 
+def q_knn_multi(sf_dir: str):
+    """Batched multi-query exact k-NN: a 3-row query matrix broadcast
+    once, one matmul per batch scores all queries (input_hint's
+    broadcast-query-matrix shape)."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import knn_brute_force_multi
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).filter(
+        pc.is_in(pc.field("vec_id"), pa.array([0, 1, 2])))
+    order = np.argsort(qtab.column("vec_id").to_numpy())
+    queries = np.stack([np.asarray(qtab.column("embedding")[int(i)].as_py(),
+                                   dtype=np.float64) for i in order])
+    query_ids = qtab.column("vec_id").to_numpy()[order].tolist()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute_force_multi(ds, queries, query_ids, k=10)
+
+
+SQL_KNN_MULTI = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT query_id, vec_id, score FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      q.qe), 6) AS score,
+         row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+                 e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id)
+WHERE rn <= 10
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Standalone n-gram Jaccard near-dup scorer: every document's
+    word-trigram set vs document 0 (exact string shingles — collision-
+    free, hence SQL-oracle-able, unlike the hashed minhash path)."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.dedup import ngram_jaccard_vs_ref_batch
+
+    ref = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]).filter(
+        pc.equal(pc.field("doc_id"), 0))
+    ref_text = ref.column("text")[0].as_py()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ngram_jaccard_vs_ref_batch,
+                          batch_format="pyarrow",
+                          fn_kwargs=dict(ref_text=ref_text, k=3))
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(
+                  generate_series(1, len(w) - 2),
+                  i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+         END AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+        FROM documents)
+),
+ref AS (SELECT s AS rs FROM sh WHERE doc_id = 0)
+SELECT sh.doc_id,
+       round(len(list_intersect(sh.s, ref.rs)) * 1.0 /
+             len(list_distinct(sh.s || ref.rs)), 6) AS jaccard_ref
+FROM sh, ref
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------
@@ -1029,6 +1103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_format_counts": q_render_format_counts,
         "orders_monthly": q_orders_monthly,
         "events_percentile": q_events_percentile,
+        "knn_multi": q_knn_multi,
+        "ngram_jaccard": q_ngram_jaccard,
         # rows-only (non-SQL-expressible)
         "frontier_freshness": q_frontier_freshness,
         "phash_near_dup": q_phash_near_dup,
@@ -1077,4 +1153,6 @@ def oracle_sql() -> dict[str, str]:
         "render_format_counts": SQL_RENDER_FORMAT_COUNTS,
         "orders_monthly": SQL_ORDERS_MONTHLY,
         "events_percentile": SQL_EVENTS_PERCENTILE,
+        "knn_multi": SQL_KNN_MULTI,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
     }

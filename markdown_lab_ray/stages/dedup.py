@@ -186,6 +186,33 @@ def candidate_pairs_group(df, id_col: str = "doc_id",
     return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
 
+def shingle_strings(text: str, k: int = 3) -> set:
+    """Distinct word k-shingle STRINGS (not hashes) — the exact-set
+    variant used where an oracle compares against SQL shingles (hash
+    collisions would otherwise make the comparison probabilistic).
+    Mirrors ``_shingle_hashes`` semantics: under k words → one shingle
+    of all words joined (possibly the empty string)."""
+    words = _TOKEN_RE.findall((text or "").lower())
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def ngram_jaccard_vs_ref_batch(batch: pa.Table, ref_text: str, k: int = 3,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> pa.Table:
+    """Per-doc word-k-gram Jaccard similarity against one reference
+    text (standalone n-gram-Jaccard near-dup scorer; the reference
+    shingle set is built once per task from the broadcast text)."""
+    ref = shingle_strings(ref_text, k)
+    sims = []
+    for text in batch.column(text_col).to_pylist():
+        s = shingle_strings(text, k)
+        sims.append(round(len(s & ref) / len(s | ref), 6))
+    return pa.table({id_col: batch.column(id_col),
+                     "jaccard_ref": pa.array(sims, pa.float64())})
+
+
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
     if not sa and not sb:

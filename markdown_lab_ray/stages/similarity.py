@@ -93,6 +93,58 @@ def knn_brute_force(ds, query_vec, k: int = 10, id_col: str = "vec_id",
             .head(k).reset_index(drop=True))
 
 
+def partial_topk_multi_batch(batch: pa.Table, queries, query_ids,
+                             k: int = 10, id_col: str = "vec_id",
+                             emb_col: str = "embedding") -> pa.Table:
+    """Per-batch top-k for a (q × d) query MATRIX: one matmul scores
+    every query at once; rows (query_id, vec_id, score).  The per-batch
+    cut uses the same total order as the final answer — (rounded score
+    desc, id asc) — so merging partials is exact, ties included."""
+    mat = _embedding_matrix(batch, emb_col)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if mat.shape[0] == 0:
+        return empty
+    queries = np.asarray(queries, dtype=np.float64)
+    mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                             1e-12)
+    q_n = queries / np.maximum(np.linalg.norm(queries, axis=1,
+                                              keepdims=True), 1e-12)
+    scores = np.round(mat_n @ q_n.T, 6)  # (n, q)
+    ids = np.asarray(batch.column(id_col).to_pandas(), dtype=np.int64)
+    out_q, out_id, out_s = [], [], []
+    for j, qid in enumerate(query_ids):
+        col = scores[:, j]
+        keep = ids != qid  # a query never returns itself
+        order = np.lexsort((ids[keep], -col[keep]))[:k]
+        sel_ids = ids[keep][order]
+        out_q.extend([qid] * len(order))
+        out_id.extend(sel_ids.tolist())
+        out_s.extend(col[keep][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(out_id, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def knn_brute_force_multi(ds, queries, query_ids, k: int = 10,
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding"):
+    """Batched multi-query exact cosine top-k (the broadcast-query-
+    matrix shape from the input_hint): queries ship once in fn_kwargs,
+    each batch scores all queries with a single matmul, the driver
+    merges q × k partial rows only."""
+    partials = ds.map_batches(
+        partial_topk_multi_batch, batch_format="pyarrow",
+        fn_kwargs=dict(queries=np.asarray(queries, dtype=np.float64),
+                       query_ids=list(query_ids), k=k, id_col=id_col,
+                       emb_col=emb_col))
+    df = partials.to_pandas()
+    return (df.sort_values(["query_id", "score", id_col],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+
+
 class HyperplaneBucketer:
     """Adds an LSH bucket key: sign bits of n_planes random projections
     (seeded, broadcast-free — planes regenerate per actor)."""

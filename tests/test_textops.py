@@ -169,3 +169,54 @@ def test_knn_ivf_recall(ray_session):
     overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
     assert approx["vec_id"].tolist()[0] == exact["vec_id"].tolist()[0]
     assert overlap >= 4
+
+
+def test_knn_multi_matches_single_query(ray_session):
+    """Multi-query brute force must agree with the single-query path
+    per query (same rounding + tie-break order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import (
+        knn_brute_force,
+        knn_brute_force_multi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tab = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = np.stack([np.asarray(tab.column("embedding")[i].as_py())
+                        for i in (0, 1)])
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    multi = knn_brute_force_multi(ds, queries, [0, 1], k=5)
+    for qid in (0, 1):
+        single = knn_brute_force(
+            rd.read_parquet(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            queries[qid], k=5, exclude_ids=[qid])
+        part = multi[multi["query_id"] == qid]
+        assert part["vec_id"].tolist() == single["vec_id"].tolist()
+        assert part["score"].tolist() == single["score"].tolist()
+
+
+def test_ngram_jaccard_identity_and_disjoint(ray_session):
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.dedup import ngram_jaccard_vs_ref_batch
+
+    ref = "alpha beta gamma delta epsilon"
+    batch = pa.table({"doc_id": [1, 2, 3, 4],
+                      "text": [ref,                      # identical → 1.0
+                               "one two three four",     # disjoint → 0.0
+                               "alpha beta gamma zeta",  # partial
+                               ""]})                     # empty-shingle
+    out = ngram_jaccard_vs_ref_batch(batch, ref)
+    sims = dict(zip(out.column("doc_id").to_pylist(),
+                    out.column("jaccard_ref").to_pylist()))
+    assert sims[1] == 1.0
+    assert sims[2] == 0.0
+    # ref shingles: {abg, bgd, gde}; doc3: {abg, bgz} → 1/4
+    assert sims[3] == 0.25
+    assert sims[4] == 0.0  # {''} vs 3 real shingles
