@@ -833,6 +833,54 @@ FROM sh, ref
 # ---------------------------------------------------------------------------
 
 
+def q_minhash_clusters(sf_dir: str):
+    """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
+    Jaccard verify → DISTRIBUTED connected components → (doc_id,
+    cluster_id) for every document (the full dedup-cluster pipeline a
+    training-data run would use; union-find never sees the edge set)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import (
+        connected_components_distributed,
+        minhash_near_dup_pairs,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+    edges = rd.from_pandas(pairs[["a", "b"]].rename(
+        columns={"a": "u", "b": "v"}))
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    labels = connected_components_distributed(edges, ids_ds=ids)
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling actor stage over synthetic fake-container
+    videos: k stills + per-frame phash per video (multimodal §binary
+    plumbing; decode itself is the documented fake codec)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.images import (
+        FrameSample,
+        fake_video_encode,
+        synth_pixels,
+    )
+
+    rows = []
+    for v in range(24):
+        frames = np.stack([synth_pixels(f"vid{v:03d}_f{i}", 24, 16)
+                           for i in range(6)])
+        rows.append({"video_id": f"vid{v:03d}",
+                     "bytes": fake_video_encode(frames)})
+    ds = rd.from_items(rows, override_num_blocks=4)
+    return ds.map_batches(FrameSample, batch_format="pyarrow",
+                          batch_size=8, concurrency=(1, 2),
+                          fn_constructor_kwargs=dict(k=3)
+                          ).drop_columns(["still"])
+
+
 def q_frontier_freshness(sf_dir: str):
     """HEAD-probe freshness check over a synthetic frontier (S2): per
     (host, status) counts + total content length — no body ever crosses
@@ -1106,6 +1154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": q_knn_multi,
         "ngram_jaccard": q_ngram_jaccard,
         # rows-only (non-SQL-expressible)
+        "minhash_clusters": q_minhash_clusters,
+        "video_frames": q_video_frames,
         "frontier_freshness": q_frontier_freshness,
         "phash_near_dup": q_phash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,

@@ -269,7 +269,8 @@ def main() -> None:
         # and efficiency normalized by the machine ceiling.
         lo, hi = 8, 32
         pairs = []
-        for _ in range(2):
+        n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+        for _ in range(n_pairs):
             r_lo, r_hi = run_at(lo), run_at(hi)
             pairs.append({
                 "sec_8": r_lo["sec"], "sec_32": r_hi["sec"],

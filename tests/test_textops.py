@@ -220,3 +220,27 @@ def test_ngram_jaccard_identity_and_disjoint(ray_session):
     # ref shingles: {abg, bgd, gde}; doc3: {abg, bgz} → 1/4
     assert sims[3] == 0.25
     assert sims[4] == 0.0  # {''} vs 3 real shingles
+
+
+def test_minhash_clusters_query_matches_union_find(ray_session):
+    """The full near-dup clustering pipeline (LSH pairs → distributed
+    CC) must agree with driver-side union-find over the same pairs."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from markdown_lab_ray.stages.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mc = entry.queries()["minhash_clusters"](sf).to_pandas()
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+    ids = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]
+                          ).to_pandas()["doc_id"].tolist()
+    uf = connected_components(list(zip(pairs.a, pairs.b)), ids)
+    assert dict(zip(mc.doc_id, mc.cluster_id)) == uf
