@@ -143,3 +143,23 @@ def test_cc_distributed_preserves_large_int64_labels(ray_session):
         _rd().from_pandas(edges)).to_pandas()
     got = dict(zip(out.node, out.label))
     assert got == {big: big, big + 1: big, big + 2: big}
+
+
+def test_cc_distributed_random_graph_matches_union_find(ray_session):
+    from markdown_lab_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rng = np.random.RandomState(123)
+    n_nodes = 3000
+    edges = pd.DataFrame({
+        "u": rng.randint(0, n_nodes, 4000),
+        "v": rng.randint(0, n_nodes, 4000),
+    })
+    edges = edges[edges.u != edges.v].reset_index(drop=True)
+    out = connected_components_distributed(
+        _rd().from_pandas(edges).repartition(4)).to_pandas()
+    touched = sorted(set(edges.u) | set(edges.v))
+    uf = connected_components(list(zip(edges.u, edges.v)), touched)
+    assert dict(zip(out.node, out.label)) == uf
