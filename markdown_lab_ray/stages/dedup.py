@@ -204,11 +204,17 @@ def ngram_jaccard_vs_ref_batch(batch: pa.Table, ref_text: str, k: int = 3,
     """Per-doc word-k-gram Jaccard similarity against one reference
     text (standalone n-gram-Jaccard near-dup scorer; the reference
     shingle set is built once per task from the broadcast text)."""
+    import math
+
     ref = shingle_strings(ref_text, k)
     sims = []
     for text in batch.column(text_col).to_pylist():
         s = shingle_strings(text, k)
-        sims.append(round(len(s & ref) / len(s | ref), 6))
+        value = len(s & ref) / len(s | ref)
+        # half-AWAY-from-zero to 6 places (SQL round semantics; python
+        # round() is banker's and differs on exact .5 ulp cases like
+        # 2/256 = 0.0078125)
+        sims.append(math.floor(value * 1e6 + 0.5) / 1e6)
     return pa.table({id_col: batch.column(id_col),
                      "jaccard_ref": pa.array(sims, pa.float64())})
 
