@@ -274,13 +274,17 @@ def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
     bucketer = HyperplaneBucketer(dim, n_planes, seed, emb_col)
     query = np.asarray(query_vec, dtype=np.float64)
     q_key = int(bucketer.key_for(query[None, :])[0])
-    probe_keys = {q_key}
-    if probe_hamming >= 1:
-        probe_keys |= {q_key ^ (1 << b) for b in range(n_planes)}
-    if probe_hamming >= 2:
-        for b1 in range(n_planes):
-            for b2 in range(b1 + 1, n_planes):
-                probe_keys.add(q_key ^ (1 << b1) ^ (1 << b2))
+    # all keys within probe_hamming bit flips (general radius — the
+    # round-1 version silently capped at radius 2; probe_hamming ==
+    # n_planes now means an exhaustive scan, tested against brute force)
+    from itertools import combinations
+    probe_keys = set()
+    for radius in range(min(probe_hamming, n_planes) + 1):
+        for bits in combinations(range(n_planes), radius):
+            key = q_key
+            for b in bits:
+                key ^= (1 << b)
+            probe_keys.add(key)
 
     def bucket_batch(batch: pa.Table) -> pa.Table:
         # plane construction is trivial (dim × n_planes draws) — stateless

@@ -244,3 +244,56 @@ def test_minhash_clusters_query_matches_union_find(ray_session):
                           ).to_pandas()["doc_id"].tolist()
     uf = connected_components(list(zip(pairs.a, pairs.b)), ids)
     assert dict(zip(mc.doc_id, mc.cluster_id)) == uf
+
+
+def test_knn_lsh_exhaustive_probe_equals_brute_force(ray_session):
+    """With the probe radius covering every bucket, the LSH path scans
+    everything and must return exactly the brute-force top-k."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import (
+        knn_brute_force,
+        knn_lsh_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tab = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    dim = len(tab.column("embedding")[0])
+    query = np.asarray(tab.column("embedding")[0].as_py(), dtype=np.float64)
+
+    def ds():
+        return rd.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    approx = knn_lsh_bucketed(ds(), query, dim=dim, k=10, n_planes=4,
+                              probe_hamming=4)  # radius = all 16 buckets
+    exact = knn_brute_force(ds(), query, k=10)
+    assert approx["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert approx["score"].tolist() == exact["score"].tolist()
+
+
+def test_knn_ivf_full_probe_equals_brute_force(ray_session):
+    """Probing every IVF list is an exhaustive scan — must equal brute
+    force exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    tab = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    query = np.asarray(tab.column("embedding")[0].as_py(), dtype=np.float64)
+
+    def ds():
+        return rd.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    approx = knn_ivf(ds(), query, k=10, n_lists=4, n_probe=4)
+    exact = knn_brute_force(ds(), query, k=10)
+    assert approx["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert approx["score"].tolist() == exact["score"].tolist()
