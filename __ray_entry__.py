@@ -817,7 +817,10 @@ WITH sh AS (
                   generate_series(1, len(w) - 2),
                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
          END AS s
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+  -- [\p{L}\p{N}_] mirrors Python's Unicode-aware \w (RE2's bare \w is
+  -- ASCII-only and would tokenize non-ASCII words differently)
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS w
         FROM documents)
 ),
 ref AS (SELECT s AS rs FROM sh WHERE doc_id = 0)

@@ -66,9 +66,14 @@ def partial_topk_batch(batch: pa.Table, query, k: int = 10,
     if mat.shape[0] == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    scores = cosine_scores(mat, np.asarray(query, dtype=np.float64))
+    scores = np.round(
+        cosine_scores(mat, np.asarray(query, dtype=np.float64)), 6)
     k = min(k, len(scores))
-    top = np.argpartition(-scores, k - 1)[:k]
+    # cut under the FINAL total order — (rounded score desc, id asc) —
+    # so a batch-local cut can never drop a row the global merge would
+    # keep on a rounding tie (argpartition on unrounded scores could)
+    ids = np.asarray(batch.column(id_col).to_pandas())
+    top = np.lexsort((ids, -scores))[:k]
     return pa.table({
         id_col: batch.column(id_col).take(pa.array(top)),
         "score": pa.array(scores[top], pa.float64()),
@@ -274,27 +279,29 @@ def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
     bucketer = HyperplaneBucketer(dim, n_planes, seed, emb_col)
     query = np.asarray(query_vec, dtype=np.float64)
     q_key = int(bucketer.key_for(query[None, :])[0])
-    # all keys within probe_hamming bit flips (general radius — the
-    # round-1 version silently capped at radius 2; probe_hamming ==
-    # n_planes now means an exhaustive scan, tested against brute force)
-    from itertools import combinations
-    probe_keys = set()
-    for radius in range(min(probe_hamming, n_planes) + 1):
-        for bits in combinations(range(n_planes), radius):
-            key = q_key
-            for b in bits:
-                key ^= (1 << b)
-            probe_keys.add(key)
 
     def bucket_batch(batch: pa.Table) -> pa.Table:
         # plane construction is trivial (dim × n_planes draws) — stateless
         # task keeps the stage fusible with the read
         return HyperplaneBucketer(dim, n_planes, seed, emb_col)(batch)
 
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        # any Hamming radius, O(rows) vectorized popcount — never an
+        # enumerated key list (2^n_planes keys would hang the driver at
+        # large n_planes; the round-1 expr-filter also silently capped
+        # the radius at 2).  probe_hamming >= n_planes = exhaustive
+        # scan, tested equal to brute force.
+        keys = np.asarray(batch.column("lsh_bucket").to_pandas(),
+                          dtype=np.int64)
+        x = (keys ^ np.int64(q_key)).astype(np.uint64)
+        dist = np.zeros(len(x), dtype=np.int64)
+        for _ in range(max(n_planes, 1)):
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        return batch.filter(pa.array(dist <= probe_hamming))
+
     bucketed = ds.map_batches(bucket_batch, batch_format="pyarrow")
-    keys_list = sorted(probe_keys)
-    candidates = bucketed.filter(
-        expr=f"lsh_bucket in {keys_list}")
+    candidates = bucketed.map_batches(probe_filter, batch_format="pyarrow")
     partials = candidates.map_batches(
         partial_topk_batch, batch_format="pyarrow",
         fn_kwargs=dict(query=query, k=k, id_col=id_col, emb_col=emb_col))
