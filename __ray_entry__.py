@@ -836,6 +836,20 @@ FROM sh, ref
 # ---------------------------------------------------------------------------
 
 
+def q_events_quantile_sketch(sf_dir: str):
+    """Approximate per-type percentiles via the mergeable histogram
+    sketch — the single-pass scale path beside the exact
+    ``events_percentile`` (which needs per-group sorts).  Rows-only:
+    approximation, bounded by one bin width, tested vs exact numpy."""
+    from markdown_lab_ray.stages.sketch import histogram_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = histogram_quantiles(ds, "event_type", "value",
+                              qs=(0.5, 0.95), n_bins=4096)
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return df
+
+
 def q_minhash_clusters(sf_dir: str):
     """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
     Jaccard verify → DISTRIBUTED connected components → (doc_id,
@@ -1157,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": q_knn_multi,
         "ngram_jaccard": q_ngram_jaccard,
         # rows-only (non-SQL-expressible)
+        "events_quantile_sketch": q_events_quantile_sketch,
         "minhash_clusters": q_minhash_clusters,
         "video_frames": q_video_frames,
         "frontier_freshness": q_frontier_freshness,

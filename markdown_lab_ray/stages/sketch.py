@@ -1,0 +1,100 @@
+"""Mergeable sketches for single-pass approximate statistics at scale.
+
+Exact per-key percentiles (``events_percentile`` query) need every
+group's values in one place — a keyed shuffle plus per-group sort.  At
+100 TB that is the expensive path; the scale path is a MERGEABLE sketch
+computed per batch inside ``map_batches`` and combined associatively:
+no shuffle of the raw values, only fixed-size sketch states travel.
+
+``histogram_quantiles`` uses a deterministic fixed-bin histogram sketch:
+pass 1 aggregates (min, max) per key (native, tiny), pass 2 bins every
+value into ``n_bins`` uniform buckets per key and sums the counts —
+both passes stream; the error bound is one bin width
+((max−min)/n_bins), verified in tests against exact numpy quantiles.
+Deterministic by construction (no sampling), so results are stable
+across block orders and retries — unlike a reservoir or a greedy
+t-digest whose state depends on merge order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _bin_counts_batch(batch: pa.Table, key_col: str, value_col: str,
+                      bounds: dict, n_bins: int) -> pa.Table:
+    """Per-batch partial sketch: rows (key, flattened bin counts)."""
+    import pandas as pd
+
+    keys = batch.column(key_col).to_pandas()
+    vals = np.asarray(batch.column(value_col).to_pandas(),
+                      dtype=np.float64)
+    out_keys, out_counts = [], []
+    for key, idx in pd.Series(range(len(keys))).groupby(keys).groups.items():
+        lo, hi = bounds[key]
+        width = max(hi - lo, 1e-300)
+        v = vals[np.asarray(idx)]
+        bins = np.minimum(((v - lo) / width * n_bins).astype(np.int64),
+                          n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins)
+        out_keys.append(key)
+        out_counts.append(counts.tolist())
+    return pa.table({
+        key_col: pa.array(out_keys),
+        "counts": pa.array(out_counts, pa.list_(pa.int64())),
+    })
+
+
+def _merge_quantiles_group(df, qs, bounds, n_bins):
+    """Merge a key's partial count vectors and read quantiles off the
+    cumulative histogram (linear interpolation inside the bin)."""
+    import pandas as pd
+
+    key = df.iloc[0, 0]
+    counts = np.sum(np.stack([np.asarray(c) for c in df["counts"]]), axis=0)
+    lo, hi = bounds[key]
+    width = (hi - lo) / n_bins if hi > lo else 0.0
+    total = counts.sum()
+    cum = np.cumsum(counts)
+    row = {df.columns[0]: key}
+    for q in qs:
+        if total == 0:
+            row[f"p{int(q * 100)}"] = float("nan")
+            continue
+        target = q * (total - 1)
+        b = int(np.searchsorted(cum, target + 1))
+        b = min(b, n_bins - 1)
+        inside = cum[b] - counts[b]
+        frac = ((target - inside) / counts[b]) if counts[b] else 0.0
+        row[f"p{int(q * 100)}"] = lo + (b + min(max(frac, 0.0), 1.0)) * width
+    return pd.DataFrame([row])
+
+
+def histogram_quantiles(ds, key_col: str, value_col: str,
+                        qs=(0.5, 0.95), n_bins: int = 4096):
+    """Approximate per-key quantiles via the two-pass histogram sketch.
+
+    Error ≤ one bin width ((max−min)/n_bins) per key.  Shuffles only
+    (key, n_bins-int64) sketch rows — never the raw values.  Returns a
+    Dataset with one row per key: (key, p50, p95, ...).
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    minmax = (ds.groupby(key_col)
+              .aggregate(Min(value_col, alias_name="lo"),
+                         Max(value_col, alias_name="hi")).to_pandas())
+    bounds = {k: (float(lo), float(hi)) for k, lo, hi in
+              zip(minmax[key_col], minmax["lo"], minmax["hi"])}
+    bounds_ref = ray.put(bounds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        return _bin_counts_batch(batch, key_col, value_col,
+                                 _ray.get(bounds_ref), n_bins)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(
+        _merge_quantiles_group, batch_format="pandas",
+        fn_kwargs=dict(qs=tuple(qs), bounds=bounds, n_bins=n_bins))

@@ -91,3 +91,47 @@ def test_fused_on_dataset(ray_session):
     rows = ds.take_all()
     assert len(rows) == 5
     assert all(r["n_chunks"] > 0 for r in rows)
+
+
+def test_histogram_quantiles_within_bin_width(ray_session):
+    """Sketch quantiles must sit within one bin width of exact numpy
+    quantiles per key, and be deterministic across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sketch import histogram_quantiles
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 30_000),
+        "v": np.concatenate([rng.normal(10, 3, 15_000),
+                             rng.exponential(5, 15_000)]),
+    })
+    out = (histogram_quantiles(rd.from_pandas(df).repartition(8),
+                               "k", "v", qs=(0.5, 0.95), n_bins=2048)
+           .to_pandas().set_index("k"))
+    out2 = (histogram_quantiles(rd.from_pandas(df).repartition(3),
+                                "k", "v", qs=(0.5, 0.95), n_bins=2048)
+            .to_pandas().set_index("k"))
+    for key, g in df.groupby("k"):
+        width = (g["v"].max() - g["v"].min()) / 2048
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            exact = np.percentile(g["v"].to_numpy(), q * 100)
+            assert abs(out.loc[key, col] - exact) <= width * 1.5, (key, col)
+            # deterministic regardless of block layout
+            assert out.loc[key, col] == out2.loc[key, col]
+
+
+def test_histogram_quantiles_constant_and_single_row(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sketch import histogram_quantiles
+
+    df = pd.DataFrame({"k": ["x"] * 100 + ["y"],
+                       "v": [7.0] * 100 + [3.5]})
+    out = (histogram_quantiles(rd.from_pandas(df), "k", "v", qs=(0.5,))
+           .to_pandas().set_index("k"))
+    assert out.loc["x", "p50"] == 7.0
+    assert out.loc["y", "p50"] == 3.5
