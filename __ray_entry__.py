@@ -854,18 +854,21 @@ def q_minhash_clusters(sf_dir: str):
     """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
     Jaccard verify → DISTRIBUTED connected components → (doc_id,
     cluster_id) for every document (the full dedup-cluster pipeline a
-    training-data run would use; union-find never sees the edge set)."""
-    import ray.data as rd
-
+    training-data run would use).  The pair set stays a Dataset from
+    banding through CC — zero ``to_pandas`` anywhere on the path; the
+    driver only ever holds the broadcast candidate-id array."""
     from markdown_lab_ray.stages.dedup import (
         connected_components_distributed,
         minhash_near_dup_pairs,
     )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
-    edges = rd.from_pandas(pairs[["a", "b"]].rename(
-        columns={"a": "u", "b": "v"}))
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5,
+                                   as_dataset=True)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"u": b["a"].combine_chunks().cast(pa.int64()),
+                            "v": b["b"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
     ids = _read(sf_dir, "documents", ["doc_id"])
     labels = connected_components_distributed(edges, ids_ds=ids)
     return labels.map_batches(

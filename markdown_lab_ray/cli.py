@@ -103,9 +103,11 @@ def cmd_crawl(args) -> int:
         if layered:
             cfg = cfg.update(**layered)
     else:
+        # validate() so bad flags/env (e.g. --rps -1) are rejected the
+        # same way the --config path rejects them
         cfg = EngineConfig(**{**cli_defaults,
                               **EngineConfig.env_overrides(),
-                              **flag_overrides})
+                              **flag_overrides}).validate()
 
     if args.synthetic:
         spec = SiteSpec(n_hosts=args.hosts, pages_per_host=args.pages)

@@ -23,10 +23,15 @@ Scale notes (10^10-URL frontier):
 from __future__ import annotations
 
 import json
+import logging
 import os
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+
+logger = logging.getLogger("markdown_lab_ray.crawl")
+
+_WARNED_SERIAL_CKPT = False
 
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links, parse_html_to_document
@@ -357,18 +362,22 @@ def _probe_contains(shards, keys: list[str]) -> list[bool]:
     return flags
 
 
+def _group_to_arrow(df, schema: pa.Schema) -> pa.Table:
+    """Group-fn output → Arrow block with the fixed schema.  The
+    schedule stages return Arrow (not pandas) so string columns leave
+    the group fn Arrow-typed: pandas object-dtype blocks defeat Ray's
+    block-size estimator (``cannot call vectorize on size 0 inputs`` on
+    every empty group) and make block accounting inaccurate."""
+    return _conform(pa.Table.from_pandas(df, preserve_index=False), schema)
+
+
 def make_host_processor(shards, web_factory, budget: int):
     """The fused per-host round step (ONE groupby instead of three):
     intra-round dedup (same seen_key ⟹ same host, so host groups see
     all duplicates) → URL-seen contains-filter → robots allow →
-    politeness schedule.  Returns the scheduled/deferred frame."""
-    import pandas as pd
-
-    empty = pd.DataFrame({name: pd.Series(dtype=d) for name, d in [
-        ("loc", "object"), ("lastmod", "object"), ("changefreq", "object"),
-        ("priority", "float64"), ("host", "object"), ("depth", "int64"),
-        ("seq_no", "int64"), ("seen_key", "object"),
-        ("scheduled", "bool"), ("fetch_order", "int64")]})
+    politeness schedule.  Returns the scheduled/deferred rows as an
+    Arrow block."""
+    empty = _SCHEDULE_PA_SCHEMA.empty_table()
 
     def process(df):
         df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
@@ -382,7 +391,8 @@ def make_host_processor(shards, web_factory, budget: int):
         df = df[keep]
         if df.empty:
             return empty
-        return schedule_group(df, budget)
+        return _group_to_arrow(schedule_group(df, budget),
+                               _SCHEDULE_PA_SCHEMA)
 
     return process
 
@@ -404,15 +414,9 @@ def make_salted_preprocessor(shards, web_factory, budget: int):
     the union of per-salt top-budgets); the rest defer immediately.
     Bounds any single pandas group to ~|host rows| / n_salts, so a
     10^6-URL host can't blow up one scheduler task (SURVEY §7.5)."""
-    import pandas as pd
-
     import numpy as np
 
-    empty = pd.DataFrame({name: pd.Series(dtype=d) for name, d in [
-        ("loc", "object"), ("lastmod", "object"), ("changefreq", "object"),
-        ("priority", "float64"), ("host", "object"), ("depth", "int64"),
-        ("seq_no", "int64"), ("seen_key", "object"), ("salt", "int32"),
-        ("contender", "bool")]})
+    empty = _SALTED_PA_SCHEMA.empty_table()
 
     def process(df):
         df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
@@ -425,7 +429,9 @@ def make_salted_preprocessor(shards, web_factory, budget: int):
         if df.empty:
             return empty
         ordered = order_key_frame(df)
-        return ordered.assign(contender=np.arange(len(ordered)) < budget)
+        return _group_to_arrow(
+            ordered.assign(contender=np.arange(len(ordered)) < budget),
+            _SALTED_PA_SCHEMA)
 
     return process
 
@@ -434,7 +440,8 @@ def make_host_finalizer(budget: int):
     """Stage 2: schedule the per-host contender union (plain
     ``schedule_group`` — seen/robots already applied in stage 1)."""
     def process(df):
-        return schedule_group(df, budget)
+        return _group_to_arrow(schedule_group(df, budget),
+                               _SCHEDULE_PA_SCHEMA)
 
     return process
 
@@ -484,6 +491,11 @@ def _conform(batch: pa.Table, schema: pa.Schema) -> pa.Table:
 _SCHEDULE_PA_SCHEMA = pa.schema(
     list(_FRONTIER_PA_SCHEMA)
     + [pa.field("scheduled", pa.bool_()), pa.field("fetch_order", pa.int64())])
+
+# salted pre-stage output: frontier rows + their salt + contender flag
+_SALTED_PA_SCHEMA = pa.schema(
+    list(_FRONTIER_PA_SCHEMA)
+    + [pa.field("salt", pa.int32()), pa.field("contender", pa.bool_())])
 
 
 def conform_frontier_batch(batch: pa.Table) -> pa.Table:
@@ -636,6 +648,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             )
         except ImportError:
             ParquetDatasink = None
+            global _WARNED_SERIAL_CKPT
+            if not _WARNED_SERIAL_CKPT:
+                _WARNED_SERIAL_CKPT = True
+                # loud once: without this, a Ray upgrade that moves the
+                # module would silently drop the checkpoint-IO overlap
+                # (correctness unchanged, but checkpoint_wait regresses)
+                logger.warning(
+                    "ray.data._internal...parquet_datasink not importable "
+                    "— checkpoint writes fall back to serialized "
+                    "main-thread write_parquet (no fetch overlap)")
 
         ckpt_errors: list[BaseException] = []
         ckpt_threads: list[threading.Thread] = []
@@ -794,18 +816,44 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
     return result
 
 
+class _RestorePush:
+    """``map_batches`` stage for the resume path: each batch pushes its
+    seen-keys to the owning shard actors from INSIDE the map task, so
+    the driver never holds more than block metadata — O(batch) keys per
+    task instead of an O(all-scheduled-URLs) driver list.  Restore is
+    idempotent per shard (``_SeenCore.restore`` skips known keys), so
+    Ray task retries are safe."""
+
+    def __init__(self, shards):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..state.seen import shard_of
+
+        keys = batch.column("seen_key").to_pylist()
+        by_shard: dict[int, list[str]] = {}
+        for key in keys:
+            by_shard.setdefault(shard_of(key, len(self.shards)), []).append(key)
+        ray.get([self.shards[s].restore.remote(ks)
+                 for s, ks in by_shard.items()])
+        return pa.table({"n": pa.array([len(keys)], pa.int64())})
+
+
 def _restore(out_dir: str, shards, result: CrawlResult):
     """Resume support: restore seen-set from completed rounds' schedule
-    checkpoints and return (next_round, frontier Dataset)."""
+    checkpoints and return (next_round, frontier Dataset).  The key
+    push is a streaming ``map_batches`` pass over ALL completed rounds'
+    schedule files at once — keys travel storage → map task → shard
+    actor without a driver materialization."""
     import glob
 
-    import ray
     import ray.data as rd
-
-    from ..state.seen import shard_of
 
     round_no = 0
     frontier = None
+    schedule_files: list[str] = []
     while True:
         rdir = _round_dir(out_dir, round_no)
         manifest = os.path.join(rdir, "_MANIFEST.json")
@@ -817,23 +865,18 @@ def _restore(out_dir: str, shards, result: CrawlResult):
         result.fetched += entry["fetched"]
         result.failed += entry["failed"]
         result.rounds = round_no + 1
-
-        schedule_files = glob.glob(
-            os.path.join(rdir, "schedule", "*.parquet"))
-        if schedule_files:  # empty-schedule rounds write zero files
-            keys = (rd.read_parquet(schedule_files,
-                                    columns=["seen_key", "scheduled"])
-                    .filter(expr="scheduled == True")
-                    .to_pandas()["seen_key"].tolist())
-        else:
-            keys = []
-        by_shard: dict[int, list[str]] = {}
-        for key in keys:
-            by_shard.setdefault(shard_of(key, len(shards)), []).append(key)
-        ray.get([shards[s].restore.remote(ks) for s, ks in by_shard.items()])
-
+        # empty-schedule rounds write zero files
+        schedule_files.extend(glob.glob(
+            os.path.join(rdir, "schedule", "*.parquet")))
         frontier = _read_frontier(os.path.join(rdir, "frontier_next"))
         round_no += 1
+
+    if schedule_files:
+        # consuming the count forces every push before scheduling resumes
+        (rd.read_parquet(schedule_files, columns=["seen_key", "scheduled"])
+         .filter(expr="scheduled == True")
+         .map_batches(_RestorePush(shards), batch_format="pyarrow")
+         .count())
 
     # drop any manifest-less (partial) round dirs beyond the last
     # complete round so they can't pollute read_crawl_order even if the

@@ -327,7 +327,12 @@ def simhash_near_dup_pairs(ds, text_col: str = "text",
     if stats is not None:
         report_caps(stats, "simhash_near_dup_pairs")
     if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        # explicit dtypes: bare [] lists default to float64, and an
+        # all-empty corpus would then produce a float edge set that
+        # mismatches int64 id schemas downstream
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
     return (pairs.drop_duplicates(subset=["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
 
@@ -367,25 +372,55 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             .drop_columns(["text_md5"]))
 
 
+def pair_bucket_ids(a: np.ndarray, b: np.ndarray,
+                    n_pair_buckets: int) -> np.ndarray:
+    """Process-stable bucket id per candidate pair — groups the verify
+    stage by ``hash(a, b) % B`` so B bounded groups each verify many
+    pairs vectorized, instead of one tiny pandas group per pair (at
+    millions of candidates the per-group overhead would dominate)."""
+    import pandas as pd
+
+    ha = pd.util.hash_array(np.ascontiguousarray(a))
+    hb = pd.util.hash_array(np.ascontiguousarray(b))
+    with np.errstate(over="ignore"):
+        mixed = ha * _BAND_MIX + hb
+    return (mixed % np.uint64(n_pair_buckets)).astype(np.int32)
+
+
 def minhash_near_dup_pairs(ds, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            n_bands: int = 16, k: int = 3,
                            jaccard_threshold: float = 0.7, seed: int = 42,
                            bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-                           pre_collapse_exact: bool = False):
+                           pre_collapse_exact: bool = False,
+                           as_dataset: bool = False,
+                           n_pair_buckets: int = 64):
     """LSH candidate pairs verified by true shingle Jaccard — fully
-    distributed:
+    distributed, with the candidate PAIR SET staying a Dataset
+    end-to-end (no driver round-trip between banding and verify):
 
     1. signatures → band explode → ``groupby(band)`` candidate pairs
        (capped per bucket, CapStats-logged);
-    2. the distinct candidate ids (pair volume ≪ corpus — the same
-       bound the downstream union-find already assumes) are broadcast
-       once via ``ray.put`` and the docs table is semi-filtered to just
-       those ids in one streaming pass — the corpus text NEVER reaches
-       the driver;
-    3. candidate texts join the exploded pair rows with
+    2. cross-band pair dedup via a native keyed aggregate (the pair
+       Dataset is materialized in the OBJECT STORE — it feeds three
+       consumers below, never the driver);
+    3. the distinct candidate ids (≤ 2·pairs ints, ≪ corpus — the same
+       bound the downstream components path assumes) come off a
+       ``unique()`` pass and are broadcast once via ``ray.put``; the
+       docs table is semi-filtered to just those ids in one streaming
+       pass — the corpus text NEVER reaches the driver;
+    4. pairs explode to (a, b, pair_bucket, doc_id) rows inside
+       ``map_batches``; candidate texts attach via
        ``bucketed_hash_join`` (one shuffle over candidate-scale rows);
-    4. Jaccard is re-shingled inside a keyed ``map_groups`` per pair.
+    5. Jaccard verifies per PAIR BUCKET (``hash(a,b) % n_pair_buckets``)
+       — each of the B groups verifies all its pairs in one pass,
+       shingling each distinct doc once, instead of one pandas group
+       per pair.
+
+    Returns pandas (a, b, jaccard) sorted by (a, b); with
+    ``as_dataset=True`` returns the verified pair Dataset instead so a
+    downstream consumer (``connected_components_distributed``) can keep
+    streaming — zero ``to_pandas`` anywhere on that path.
 
     ``pre_collapse_exact=True`` first collapses byte-identical docs to
     their min-id representative (``exact_dedup_ids``) so boilerplate
@@ -396,6 +431,8 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
     import pandas as pd
     import pyarrow.compute as pc
     import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
 
     from .joins import bucketed_hash_join
 
@@ -415,26 +452,40 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
         ds = ds.map_batches(semi, batch_format="pyarrow",
                             fn_kwargs=dict(ref=keep_ref))
 
+    def _empty_result():
+        frame = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        return rd.from_pandas(frame) if as_dataset else frame
+
     stats = new_cap_stats() if bucket_cap is not None else None
     sigs = ds.map_batches(minhash_signature_batch, batch_format="pyarrow",
                           fn_kwargs=dict(text_col=text_col, id_col=id_col,
                                          num_perm=num_perm, k=k, seed=seed))
     bands = sigs.map_batches(band_explode_batch, batch_format="pyarrow",
                              fn_kwargs=dict(id_col=id_col, n_bands=n_bands))
-    pairs_ds = bands.groupby(["band_id", "band_key"]).map_groups(
+    # cross-band dedup with a NATIVE keyed aggregate; materialize() pins
+    # the (tiny, 2-int-per-row) pair set in the object store because it
+    # has multiple consumers below — without it each branch would
+    # re-execute the whole signature+banding pipeline
+    pairs_dd = (bands.groupby(["band_id", "band_key"]).map_groups(
         candidate_pairs_group, batch_format="pandas",
         fn_kwargs=dict(id_col=id_col, bucket_cap=bucket_cap, stats=stats))
-    # candidate (a, b) id pairs only — ints, bounded by candidate volume
-    pairs = pairs_ds.to_pandas()
-    if stats is not None:
+        .groupby(["a", "b"]).aggregate(Count(alias_name="__c"))
+        .map_batches(lambda b: b.select(["a", "b"]),
+                     batch_format="pyarrow")
+        .materialize())
+    if stats is not None:  # group fns have all run post-materialize
         report_caps(stats, "minhash_near_dup_pairs")
-    if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    if pairs_dd.count() == 0:
+        return _empty_result()
 
-    # broadcast the candidate id set; semi-filter docs in one streaming
-    # pass (no shuffle of the corpus, no driver text materialization)
-    cand_ids = np.unique(pairs[["a", "b"]].to_numpy())
+    # distinct candidate ids off a unique() pass — only the id ARRAY
+    # (≤ 2·pairs ints) touches the driver, for the one-time broadcast
+    cand_ids = np.sort(np.asarray(pairs_dd.map_batches(
+        lambda b: pa.table({"cid": pa.concat_arrays(
+            [b["a"].combine_chunks(), b["b"].combine_chunks()])}),
+        batch_format="pyarrow").unique("cid")))
     ids_ref = ray.put(cand_ids)
 
     def semi_filter(batch: pa.Table, ref) -> pa.Table:
@@ -447,44 +498,59 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
     cand_docs = ds.map_batches(semi_filter, batch_format="pyarrow",
                                fn_kwargs=dict(ref=ids_ref))
 
-    # explode pairs to (a, b, doc_id) rows and join texts on doc_id
-    import ray.data as rd
-    a = pairs["a"].to_numpy()
-    b = pairs["b"].to_numpy()
-    exploded = rd.from_pandas(pd.DataFrame({
-        "a": np.concatenate([a, a]),
-        "b": np.concatenate([b, b]),
-        id_col: np.concatenate([a, b]),
-    }))
+    # explode pairs to (a, b, pair_bucket, doc_id) rows — in map_batches,
+    # never on the driver — and join texts on doc_id
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a").combine_chunks().to_numpy(
+            zero_copy_only=False))
+        b = np.asarray(batch.column("b").combine_chunks().to_numpy(
+            zero_copy_only=False))
+        pb = pair_bucket_ids(a, b, n_pair_buckets)
+        return pa.table({
+            "a": np.concatenate([a, a]),
+            "b": np.concatenate([b, b]),
+            "pb": np.concatenate([pb, pb]),
+            id_col: np.concatenate([a, b]),
+        })
+
+    exploded = pairs_dd.map_batches(explode_pairs, batch_format="pyarrow")
     joined = bucketed_hash_join(exploded, cand_docs, key=id_col,
                                 n_buckets=16)
 
-    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": pd.Series(dtype=df["a"].dtype),
-               "b": pd.Series(dtype=df["b"].dtype),
-               "jaccard": pd.Series(dtype="float64")}
-        a_id, b_id = df["a"].iloc[0], df["b"].iloc[0]
-        # select by role, first match each — robust to duplicate doc_id
-        # rows in a dirty corpus (the join multiplies the group then)
-        ta = df.loc[df[id_col] == a_id, text_col]
-        tb = df.loc[df[id_col] == b_id, text_col]
-        if ta.empty or tb.empty:
-            return pd.DataFrame(out)
-        score = jaccard(ta.iloc[0], tb.iloc[0], k)
-        if score < jaccard_threshold:
-            return pd.DataFrame(out)
-        return pd.DataFrame({"a": [a_id], "b": [b_id], "jaccard": [score]})
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one group per pair BUCKET: shingle each distinct doc once,
+        # then verify every pair in the bucket off the cached sets
+        docs = df.drop_duplicates(subset=[id_col])
+        shingles = {i: set(_shingle_hashes(t, k))
+                    for i, t in zip(docs[id_col], docs[text_col])}
+        out_a, out_b, out_j = [], [], []
+        prs = df[["a", "b"]].drop_duplicates()
+        for a_id, b_id in zip(prs["a"], prs["b"]):
+            sa = shingles.get(a_id)
+            sb = shingles.get(b_id)
+            if sa is None or sb is None:  # id missing from the corpus
+                continue
+            score = len(sa & sb) / len(sa | sb)  # sets are never empty
+            if score >= jaccard_threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(score)
+        return pd.DataFrame({
+            "a": pd.array(np.asarray(out_a, dtype=np.int64),
+                          dtype=df["a"].dtype),
+            "b": pd.array(np.asarray(out_b, dtype=np.int64),
+                          dtype=df["b"].dtype),
+            "jaccard": pd.array(out_j, dtype="float64"),
+        })
 
-    verified = (joined.groupby(["a", "b"])
-                .map_groups(verify_group, batch_format="pandas")
-                .to_pandas())
-    if verified.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    # the join's wide schema holds nulls on the docs-side rows, which
-    # promotes int id columns to float64 in pandas — restore the dtype
-    verified["a"] = verified["a"].astype(pairs["a"].dtype)
-    verified["b"] = verified["b"].astype(pairs["b"].dtype)
-    return verified.sort_values(["a", "b"]).reset_index(drop=True)
+    verified = joined.groupby("pb").map_groups(verify_bucket,
+                                               batch_format="pandas")
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()  # O(result): final near-dup pairs only
+    if out.empty:
+        return _empty_result()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def connected_components_distributed(edges_ds, ids_ds=None,

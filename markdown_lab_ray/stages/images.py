@@ -306,7 +306,11 @@ def phash_near_dup_pairs(ds, hamming_threshold: int = 6,
     if stats is not None:
         report_caps(stats, "phash_near_dup_pairs")
     if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        # explicit dtypes (image ids are strings): bare [] would infer
+        # float64 and break downstream schema unions on empty corpora
+        return pd.DataFrame({"a": pd.Series(dtype=str),
+                             "b": pd.Series(dtype=str),
+                             "hamming": pd.Series(dtype="int64")})
     return (pairs.drop_duplicates(subset=["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
 

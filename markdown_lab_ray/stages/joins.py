@@ -18,7 +18,39 @@ import numpy as np
 import pyarrow as pa
 
 
-def _bucket_ids(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+def _key_class(t: pa.DataType) -> str:
+    """Coarse hash-representation class of a key type."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    return "other"
+
+
+def _common_key_class(left_t: pa.DataType, right_t: pa.DataType,
+                      key: str) -> str:
+    """The hash class BOTH sides must use so equal logical keys hash to
+    the same bucket.  int+float promotes to float64 (ids above 2^53 are
+    inherently lossy under such a join — match the key types upstream
+    if that matters); any other cross-class mix (e.g. string vs int)
+    cannot represent-normalize and raises instead of silently returning
+    an empty join."""
+    a, b = _key_class(left_t), _key_class(right_t)
+    if a == b:
+        return a
+    if {a, b} == {"int", "float"}:
+        return "float"
+    raise TypeError(
+        f"join key {key!r} has incompatible types across sides: "
+        f"{left_t} vs {right_t} — cast one side first")
+
+
+def _bucket_ids(col: pa.ChunkedArray, n_buckets: int,
+                hash_as: str | None = None) -> np.ndarray:
     """Vectorized, process-stable bucket assignment for a key column
     (pandas ``hash_array`` = siphash with a fixed key — deterministic
     across worker processes, no per-row Python hashing).
@@ -26,9 +58,13 @@ def _bucket_ids(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
     Hashing is REPRESENTATION-normalized before the hash: every integer
     key casts to int64 first (a null in one batch would otherwise
     promote that batch to float64 in pandas and hash every key
-    differently from the other side, silently emptying the join)."""
+    differently from the other side, silently emptying the join).
+    ``hash_as`` (from ``_common_key_class``) forces one representation
+    when the two sides' key types differ in class (int vs float)."""
     import pandas as pd
 
+    if hash_as == "float" and not pa.types.is_floating(col.type):
+        col = col.cast(pa.float64())
     if pa.types.is_integer(col.type):
         # fill_null value only affects which bucket null keys land in —
         # they never match anything in the per-bucket merge anyway
@@ -88,10 +124,14 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         zip(right_schema.names, right_schema.types) if n != key]
     wide = pa.schema(fields + [("__bucket", pa.int32()),
                                ("__side", pa.string())])
+    hash_as = _common_key_class(
+        _pa_type(dict(zip(left_schema.names, left_schema.types))[key]),
+        _pa_type(dict(zip(right_schema.names, right_schema.types))[key]),
+        key)
 
     def tag(batch: pa.Table, side: str) -> pa.Table:
         n = batch.num_rows
-        buckets = _bucket_ids(batch.column(key), n_buckets)
+        buckets = _bucket_ids(batch.column(key), n_buckets, hash_as)
         cols = {}
         for fld in wide:
             if fld.name == "__bucket":
@@ -136,11 +176,15 @@ def _bucketed_membership_join(left_ds, right_ds, key: str,
                    zip(left_schema.names, left_schema.types)]
     wide = pa.schema(left_fields + [("__bucket", pa.int32()),
                                     ("__side", pa.string())])
+    right_key_t = _pa_type(dict(zip(right_ds.schema().names,
+                                    right_ds.schema().types))[key])
+    hash_as = _common_key_class(dict(left_fields)[key], right_key_t, key)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {name: batch.column(name) for name, _ in left_fields}
-        cols["__bucket"] = pa.array(_bucket_ids(batch.column(key), n_buckets))
+        cols["__bucket"] = pa.array(
+            _bucket_ids(batch.column(key), n_buckets, hash_as))
         cols["__side"] = pa.array(np.full(n, "l", dtype=object), pa.string())
         return pa.table(cols, schema=wide)
 
@@ -151,7 +195,7 @@ def _bucketed_membership_join(left_ds, right_ds, key: str,
         for name, typ in left_fields:
             cols[name] = (keys.cast(typ) if name == key
                           else _pad_column(n, typ))
-        cols["__bucket"] = pa.array(_bucket_ids(keys, n_buckets))
+        cols["__bucket"] = pa.array(_bucket_ids(keys, n_buckets, hash_as))
         cols["__side"] = pa.array(np.full(n, "r", dtype=object), pa.string())
         return pa.table(cols, schema=wide)
 
@@ -184,3 +228,88 @@ def bucketed_semi_join(left_ds, right_ds, key: str, n_buckets: int = 32):
     never multiplied)."""
     return _bucketed_membership_join(left_ds, right_ds, key, n_buckets,
                                      keep_matched=True)
+
+
+def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
+                       right_on: str, n_buckets: int = 32,
+                       how: str = "inner"):
+    """As-of join: each left row picks the single right row with the
+    same ``key`` and the greatest ``right_on`` ≤ its ``left_on``
+    (backward direction — the "latest state as of this timestamp"
+    lookup).  ``how="inner"`` drops unmatched left rows; ``"left"``
+    keeps them with nulls.
+
+    Shape: same ONE-shuffle bucketed pattern as ``bucketed_hash_join``
+    (bucket by key hash, union, ``groupby(bucket)``), with the per-
+    bucket merge a vectorized ``pd.merge_asof`` (both sides sorted by
+    their ``on`` column inside the bucket).  Partitioning assumption:
+    rows of one key must fit one bucket task — salt-split is NOT valid
+    here (the as-of lookup needs a key's full right-side history), so
+    hot keys need their right side pre-compacted (e.g. one row per
+    (key, ts) via a keyed aggregate) before the join.
+
+    Determinism: ties on ``right_on`` (several right rows at the exact
+    as-of instant) resolve to the LAST in (``right_on``, then input
+    order) — pre-aggregate the right side to unique (key, ts) rows if
+    tie order matters (the oracle query does).  ``on`` columns must be
+    numeric or datetime, same class both sides."""
+    import pandas as pd
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"column collision (rename first): {sorted(overlap)}")
+
+    fields = [(n, _pa_type(t)) for n, t in
+              zip(left_schema.names, left_schema.types)] + [
+        (n, _pa_type(t)) for n, t in
+        zip(right_schema.names, right_schema.types) if n != key]
+    wide = pa.schema(fields + [("__bucket", pa.int32()),
+                               ("__side", pa.string())])
+    hash_as = _common_key_class(
+        _pa_type(dict(zip(left_schema.names, left_schema.types))[key]),
+        _pa_type(dict(zip(right_schema.names, right_schema.types))[key]),
+        key)
+
+    def tag(batch: pa.Table, side: str) -> pa.Table:
+        n = batch.num_rows
+        buckets = _bucket_ids(batch.column(key), n_buckets, hash_as)
+        cols = {}
+        for fld in wide:
+            if fld.name == "__bucket":
+                cols[fld.name] = pa.array(buckets)
+            elif fld.name == "__side":
+                cols[fld.name] = pa.array(
+                    np.full(n, side, dtype=object), pa.string())
+            elif fld.name in batch.column_names:
+                cols[fld.name] = batch.column(fld.name)
+            else:
+                cols[fld.name] = _pad_column(n, fld.type)
+        return pa.table(cols, schema=wide)
+
+    left_tagged = left_ds.map_batches(tag, batch_format="pyarrow",
+                                      fn_kwargs=dict(side="l"))
+    right_tagged = right_ds.map_batches(tag, batch_format="pyarrow",
+                                        fn_kwargs=dict(side="r"))
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = (df[df["__side"] == "l"][left_cols]
+               .sort_values(left_on, kind="mergesort"))
+        rhs = (df[df["__side"] == "r"][[key] + [c for c in right_cols
+                                               if c != key]]
+               .sort_values(right_on, kind="mergesort")
+               .assign(__m=1))
+        merged = pd.merge_asof(lhs, rhs, left_on=left_on, right_on=right_on,
+                               by=key, direction="backward")
+        if how == "inner":
+            merged = merged[merged["__m"].notna()]
+        return merged.drop(columns="__m")
+
+    both = left_tagged.union(right_tagged)
+    return both.groupby("__bucket").map_groups(asof_bucket,
+                                               batch_format="pandas")

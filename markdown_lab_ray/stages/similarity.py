@@ -194,8 +194,21 @@ def knn_ivf(ds, query_vec, k: int = 10, n_lists: int = 16, n_probe: int = 4,
     sample (driver-side k-means — at real scale this is a one-off
     training job), assign every row to its nearest centroid inside
     ``map_batches`` (centroids broadcast via closure), and scan only the
-    ``n_probe`` lists nearest to the query."""
-    sample = ds.limit(sample_size).to_pandas()
+    ``n_probe`` lists nearest to the query.
+
+    The training sample is a seeded BERNOULLI sample over the whole
+    dataset (``random_sample`` → limit), not the first blocks —
+    parquet storage order is typically clustered, and first-block
+    sampling would train centroids on one cluster and mis-assign the
+    rest (verified by test_similarity_ivf_sample)."""
+    from .sample import random_sample
+
+    n_rows = ds.count()
+    # 3x oversample so the limit() almost surely fills sample_size
+    frac = min(1.0, (3.0 * sample_size) / max(n_rows, 1))
+    sample = random_sample(ds, frac, seed=seed).limit(sample_size).to_pandas()
+    if sample.empty:  # degenerate tiny input
+        sample = ds.limit(sample_size).to_pandas()
     mat = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
     centroids = _kmeans_lite(mat, n_lists, seed=seed)
 

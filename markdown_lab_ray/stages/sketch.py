@@ -46,14 +46,18 @@ def _bin_counts_batch(batch: pa.Table, key_col: str, value_col: str,
     })
 
 
-def _merge_quantiles_group(df, qs, bounds, n_bins):
+def _merge_quantiles_group(df, qs, bounds_ref, n_bins):
     """Merge a key's partial count vectors and read quantiles off the
-    cumulative histogram (linear interpolation inside the bin)."""
+    cumulative histogram (linear interpolation inside the bin).
+    ``bounds_ref`` is the ``ray.put`` handle of the bounds dict — passed
+    as a ref so high-cardinality key sets aren't pickled into every
+    group task spec (they're read zero-copy from the object store)."""
     import pandas as pd
+    import ray
 
     key = df.iloc[0, 0]
     counts = np.sum(np.stack([np.asarray(c) for c in df["counts"]]), axis=0)
-    lo, hi = bounds[key]
+    lo, hi = ray.get(bounds_ref)[key]
     width = (hi - lo) / n_bins if hi > lo else 0.0
     total = counts.sum()
     cum = np.cumsum(counts)
@@ -78,6 +82,15 @@ def histogram_quantiles(ds, key_col: str, value_col: str,
     Error ≤ one bin width ((max−min)/n_bins) per key.  Shuffles only
     (key, n_bins-int64) sketch rows — never the raw values.  Returns a
     Dataset with one row per key: (key, p50, p95, ...).
+
+    Driver-memory bound: the per-key (lo, hi) bounds dict lives on the
+    driver between the two passes — O(#distinct keys) × ~100 bytes, so
+    ~1 GB at 10^7 keys.  That covers every realistic "percentile per
+    category/host/event-type" workload (tested at 10^4 keys); a
+    key space beyond driver memory needs the bounds attached via
+    ``joins.bucketed_hash_join`` instead of the broadcast dict.  Both
+    passes read the dict zero-copy from the object store (one
+    ``ray.put``, the ref shared by partial and merge stages).
     """
     import ray
     from ray.data.aggregate import Max, Min
@@ -97,4 +110,4 @@ def histogram_quantiles(ds, key_col: str, value_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(
         _merge_quantiles_group, batch_format="pandas",
-        fn_kwargs=dict(qs=tuple(qs), bounds=bounds, n_bins=n_bins))
+        fn_kwargs=dict(qs=tuple(qs), bounds_ref=bounds_ref, n_bins=n_bins))
