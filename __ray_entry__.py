@@ -831,6 +831,257 @@ FROM sh, ref
 """
 
 
+SQL_LANG_ID = r"""
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(substr(text, 1, 200), '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+    WHEN regexp_matches(substr(text, 1, 200), '[\x{0400}-\x{04FF}]') THEN 'ru'
+    -- first language in (en, de, fr, es) order reaching the max hit
+    -- count == the kernel's strict-greater update loop
+    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+    WHEN h_fr >= h_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM (
+  SELECT doc_id, text,
+    len(list_intersect(w, ['the','and','of','a','to','in','is','it','that',
+                           'for'])) AS h_en,
+    len(list_intersect(w, ['der','die','das','und','ist','ein','zu','den',
+                           'von','mit'])) AS h_de,
+    len(list_intersect(w, ['le','la','les','et','de','un','une','est','que',
+                           'pour'])) AS h_fr,
+    len(list_intersect(w, ['el','la','los','de','y','un','una','es','que',
+                           'por'])) AS h_es
+  FROM (SELECT doc_id, text,
+               list_distinct(regexp_split_to_array(
+                   trim(lower(text)), '\s+')) AS w
+        FROM documents))
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality-gate pipeline: keep documents whose composite quality
+    score ≥ 0.6 (the filter step of a training-data curation run; the
+    score formula is quality_batch's documented composite)."""
+    from markdown_lab_ray.stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["quality"], pa.scalar(0.6)))
+        q = t["quality"].to_numpy(zero_copy_only=False)
+        # half-AWAY-from-zero (SQL round); np/pyarrow round are banker's
+        return pa.table({"doc_id": t["doc_id"],
+                         "quality": pa.array(np.floor(q * 1e6 + 0.5) / 1e6,
+                                             pa.float64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = r"""
+WITH scored AS (
+  SELECT doc_id,
+         -- identical op order to quality_batch: 0.25·len_norm
+         -- + 0.25·(1-punct) + 0.25·stop_norm + 0.25·(1-digit), clipped
+         greatest(least(
+             0.25 * least(n_words / 100.0, 1.0)
+             + 0.25 * (1 - punct_ratio)
+             + 0.25 * least(stop_ratio / 0.4, 1.0)
+             + 0.25 * (1 - digit_ratio), 1.0), 0.0) AS quality
+  FROM (
+    SELECT doc_id,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+          AS n_words,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                * 1.0 / length(text) END AS punct_ratio,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                * 1.0 / length(text) END AS digit_ratio,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> list_contains(
+                        ['the','and','of','a','to','in','is','it','that',
+                         'for','der','die','das','und','ist','ein','zu',
+                         'den','von','mit','le','la','les','et','de','un',
+                         'une','est','que','pour','el','los','y','una',
+                         'es','por'], x)))
+                * 1.0 / array_length(regexp_split_to_array(trim(text),
+                                                           '\s+')) END
+          AS stop_ratio
+    FROM documents))
+SELECT doc_id, round(quality, 6) AS quality
+FROM scored WHERE quality >= 0.6
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event picks its user's latest order state as of
+    the event time (``bucketed_asof_join`` — one keyed shuffle,
+    per-bucket vectorized backward merge).  The order side pre-compacts
+    to one row per (custkey, orderdate) via a native keyed Max so as-of
+    ties are deterministic on both engines."""
+    from ray.data.aggregate import Max
+
+    from markdown_lab_ray.stages.joins import bucketed_asof_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "user_id": b["user_id"],
+                            "ts_us": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    right = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+             .map_batches(
+        lambda b: pa.table({"user_id": b["o_custkey"],
+                            "odate_us": pc.cast(b["o_orderdate"],
+                                                pa.int64()),
+                            "price": b["o_totalprice"]}),
+        batch_format="pyarrow")
+        .groupby(["user_id", "odate_us"])
+        .aggregate(Max("price", alias_name="max_price")))
+    out = bucketed_asof_join(left, right, key="user_id",
+                             left_on="ts_us", right_on="odate_us",
+                             n_buckets=16)
+
+    def proj(b: pa.Table) -> pa.Table:
+        p = b["max_price"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "asof_date_us": b["odate_us"].combine_chunks().cast(pa.int64()),
+            "asof_price": pa.array(np.floor(p * 100 + 0.5) / 100,
+                                   pa.float64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS odate_us,
+         max(o_totalprice) AS max_price
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, r.odate_us AS asof_date_us,
+       round(r.max_price, 2) AS asof_price
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) e
+ASOF JOIN r ON e.user_id = r.user_id AND e.ts_us >= r.odate_us
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus-wide term-frequency top-20: per-batch Counter partials
+    (the combiner — term cardinality ≪ token count, so the keyed
+    shuffle moves (term, partial_count) rows, never tokens) → one
+    small keyed Sum → global sort + limit."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r"\w+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b["text"].to_pylist():
+            c.update(pat.findall((t or "").lower()))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n_partial": pa.array(list(c.values()), pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("n_partial", alias_name="n")))
+    return agg.sort(["n", "term"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_TERMS = r"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+'))
+          AS term
+      FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment by content-independent
+    hash (the split step of a training-data pipeline): bucket =
+    first two hex chars of md5(doc_id-as-string); train below 'cc'
+    (≈80%), val below 'e6' (≈10%), else test.  Pure map — no shuffle,
+    stable under any repartitioning or resume."""
+    import hashlib
+
+    def assign(b: pa.Table) -> pa.Table:
+        splits = []
+        for i in b["doc_id"].to_pylist():
+            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            splits.append("train" if h < "cc" else
+                          "val" if h < "e6" else "test")
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(splits, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+SQL_TRAIN_SPLIT = """
+SELECT doc_id,
+       CASE WHEN h < 'cc' THEN 'train'
+            WHEN h < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      FROM documents)
+"""
+
+
+# interval table for the range join — a parameter of the query (tiny,
+# broadcast), not data
+_VALUE_BANDS = (("low", 0.0, 5.0), ("mid", 5.0, 20.0),
+                ("high", 20.0, 100.0), ("extreme", 100.0, float("inf")))
+
+
+def q_range_join_events(sf_dir: str):
+    """Range join: events against a tiny [lo, hi) interval table →
+    per-band count/sum.  Scale shape: the interval table broadcasts
+    (vectorized ``np.searchsorted`` per batch — no shuffle for the
+    join itself); rows outside every band drop (inner semantics)."""
+    from ray.data.aggregate import Count, Sum
+
+    edges = np.array([b[1] for b in _VALUE_BANDS], dtype=np.float64)
+    labels = np.array([b[0] for b in _VALUE_BANDS], dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        keep = idx >= 0  # hi edges are +inf-terminated, lo bound is real
+        t = b.filter(pa.array(keep))
+        return t.append_column(
+            "band", pa.array(labels[idx[keep]], pa.string()))
+
+    ds = _read(sf_dir, "events", ["value"])
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_raw")))
+    df = out.to_pandas()
+    df["sum_value"] = df.pop("sum_raw").round(2)
+    return df
+
+
+SQL_RANGE_JOIN_EVENTS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', 0.0, 5.0), ('mid', 5.0, 20.0),
+  ('high', 20.0, 100.0), ('extreme', 100.0, 1e308))
+SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------
@@ -1173,6 +1424,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentile": q_events_percentile,
         "knn_multi": q_knn_multi,
         "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality_filter": q_quality_filter,
+        "asof_join": q_asof_join,
+        "top_terms": q_top_terms,
+        "range_join_events": q_range_join_events,
+        "train_split": q_train_split,
         # rows-only (non-SQL-expressible)
         "events_quantile_sketch": q_events_quantile_sketch,
         "minhash_clusters": q_minhash_clusters,
@@ -1192,7 +1449,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash_near_dup,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "lang_id": q_lang_id,
         "render_formats": q_render_formats,
     }
 
@@ -1226,4 +1482,10 @@ def oracle_sql() -> dict[str, str]:
         "events_percentile": SQL_EVENTS_PERCENTILE,
         "knn_multi": SQL_KNN_MULTI,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "lang_id": SQL_LANG_ID,
+        "quality_filter": SQL_QUALITY_FILTER,
+        "asof_join": SQL_ASOF_JOIN,
+        "top_terms": SQL_TOP_TERMS,
+        "range_join_events": SQL_RANGE_JOIN_EVENTS,
+        "train_split": SQL_TRAIN_SPLIT,
     }

@@ -480,12 +480,18 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
     if pairs_dd.count() == 0:
         return _empty_result()
 
-    # distinct candidate ids off a unique() pass — only the id ARRAY
-    # (≤ 2·pairs ints) touches the driver, for the one-time broadcast
-    cand_ids = np.sort(np.asarray(pairs_dd.map_batches(
+    # distinct candidate ids off a keyed-distinct pass (native groupby
+    # Count — Ray 2.49's Dataset.unique() aggregate mis-merges numpy
+    # accumulators) — only the id ARRAY (≤ 2·pairs ints) touches the
+    # driver, for the one-time broadcast
+    cid_ds = (pairs_dd.map_batches(
         lambda b: pa.table({"cid": pa.concat_arrays(
             [b["a"].combine_chunks(), b["b"].combine_chunks()])}),
-        batch_format="pyarrow").unique("cid")))
+        batch_format="pyarrow")
+        .groupby("cid").aggregate(Count(alias_name="__n")))
+    cand_ids = np.sort(np.concatenate(
+        [b["cid"].to_numpy() for b in
+         cid_ds.iter_batches(batch_format="pandas", batch_size=65536)]))
     ids_ref = ray.put(cand_ids)
 
     def semi_filter(batch: pa.Table, ref) -> pa.Table:
