@@ -1385,6 +1385,144 @@ def q_render_formats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ordered analytics (stages/analytics.py) — window-function family
+# ---------------------------------------------------------------------------
+
+def q_rolling_sum(sf_dir: str):
+    """Trailing 7-event spend per user in exact integer cents (rolling
+    window over event time — ROW_NUMBER-frame SUM)."""
+    from markdown_lab_ray.stages.analytics import rolling_sum_cents
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return rolling_sum_cents(ds, window=7)
+
+
+SQL_ROLLING_SUM = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS roll_sum_cents
+FROM events
+"""
+
+
+def q_event_gaps(sf_dir: str):
+    """Inter-event gap per user in exact integer microseconds (LAG)."""
+    from markdown_lab_ray.stages.analytics import lag_deltas
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return lag_deltas(ds)
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id, epoch_us(ts) - epoch_us(prev_ts) AS delta_us
+FROM (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events)
+WHERE prev_ts IS NOT NULL
+"""
+
+
+def q_order_ranks(sf_dir: str):
+    """ROW_NUMBER per order priority by descending price (in-group
+    rank with deterministic key tie-break)."""
+    from markdown_lab_ray.stages.analytics import rank_in_group
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return rank_in_group(ds, key_col="o_orderpriority",
+                         order_col="o_totalprice", id_col="o_orderkey")
+
+
+SQL_ORDER_RANKS = """
+SELECT o_orderpriority, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Long → wide pivot: per-user count of each event type (partial
+    crosstab combiner, one shuffle over partials)."""
+    from markdown_lab_ray.stages.analytics import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ds, key_col="user_id", cat_col="event_type",
+                        categories=_EVENT_TYPES)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_sales_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): count + 2-dp price sum at
+    every level; raw rows shuffled once, coarser levels re-aggregate
+    the finest aggregate."""
+    from markdown_lab_ray.stages.analytics import rollup_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return rollup_agg(ds, cols=("o_orderpriority", "o_orderstatus"),
+                      value_col="o_totalprice", count_col="n_orders",
+                      sum_col="sum_price")
+
+
+SQL_SALES_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+       COUNT(*)                         AS n_orders,
+       ROUND(SUM(o_totalprice), 2)      AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (bin = floor(v/25));
+    per-batch unique-count partials, shuffle moves (bin, n) rows only."""
+    from markdown_lab_ray.stages.analytics import histogram_counts
+
+    ds = _read(sf_dir, "events", ["value"])
+    return histogram_counts(ds, value_col="value", bin_width=25.0)
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event type via the two-level
+    distinct pattern (batch pair-dedup → pair shuffle → count)."""
+    from markdown_lab_ray.stages.analytics import distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_count(ds, key_col="event_type",
+                          distinct_col="user_id", out_col="n_users")
+
+
+SQL_USERS_PER_TYPE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1430,6 +1568,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "range_join_events": q_range_join_events,
         "train_split": q_train_split,
+        "rolling_sum": q_rolling_sum,
+        "event_gaps": q_event_gaps,
+        "order_ranks": q_order_ranks,
+        "pivot_events": q_pivot_events,
+        "sales_rollup": q_sales_rollup,
+        "value_histogram": q_value_histogram,
+        "users_per_type": q_users_per_type,
         # rows-only (non-SQL-expressible)
         "events_quantile_sketch": q_events_quantile_sketch,
         "minhash_clusters": q_minhash_clusters,
@@ -1488,4 +1633,11 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": SQL_TOP_TERMS,
         "range_join_events": SQL_RANGE_JOIN_EVENTS,
         "train_split": SQL_TRAIN_SPLIT,
+        "rolling_sum": SQL_ROLLING_SUM,
+        "event_gaps": SQL_EVENT_GAPS,
+        "order_ranks": SQL_ORDER_RANKS,
+        "pivot_events": SQL_PIVOT_EVENTS,
+        "sales_rollup": SQL_SALES_ROLLUP,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "users_per_type": SQL_USERS_PER_TYPE,
     }

@@ -1,0 +1,240 @@
+"""Ordered analytics over keyed tables: rolling windows, lag deltas,
+in-group ranks, pivots, rollup aggregates, distinct counts.
+
+Ray Data has no SQL window functions; each operator here is the
+Ray-Data-first composition of the two scale-safe shapes:
+
+* **partial-aggregate → tiny keyed shuffle** (pivot, histogram,
+  distinct-count, rollup): a vectorized ``map_batches`` combiner
+  collapses each block to per-key partials first, so the only shuffle
+  moves O(keys × blocks) partial rows, never raw events.  This is the
+  pre-aggregation pattern SURVEY §7.5 mandates for wide ops at 100 TB.
+* **one keyed shuffle → sorted ``map_groups``** (rolling, lag, rank):
+  true event order is only needed *within* a key, so the group fn
+  sorts its own group and emits exact ordered results.  Partitioning
+  assumption (same as the sessionize query documents): one key's
+  history fits one worker.  Hot keys would need the salt-and-two-stage
+  treatment the crawl scheduler uses (pipelines/crawl.py).
+
+The reference has no analytics module — these are the training-data
+pipeline additions (SURVEY §2.8 extension); every operator has a DuckDB
+oracle twin in ``__ray_entry__.py``.
+
+Exactness: ``events.value`` is 2-decimal currency, so rolling sums are
+computed in integer cents (bit-exact vs SQL, no float-rounding parity
+games); counts/ranks/deltas are int64 end-to-end; only the rollup's
+price sum is a float (rounded to 2 places, same as the passing
+``segment_sales`` oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    """2-decimal currency doubles → exact int64 cents (half-away-from-
+    zero, matching SQL ``round(value*100)`` for the positive values the
+    events table holds)."""
+    return np.floor(np.asarray(values, dtype=np.float64) * 100.0 + 0.5).astype(
+        np.int64)
+
+
+def rolling_sum_cents(ds, window: int = 7, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      id_col: str = "event_id"):
+    """Trailing ``window``-row sum per key in exact integer cents.
+    One keyed shuffle; the cumsum-difference inside the group fn is
+    O(rows), fully vectorized.  Output: (key, id, roll_sum_cents)."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        cents = _cents(g[value_col].to_numpy())
+        csum = np.cumsum(cents)
+        out = csum.copy()
+        out[window:] = csum[window:] - csum[:-window]
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "roll_sum_cents": out,
+        })
+
+    return ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+
+
+def lag_deltas(ds, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id"):
+    """Inter-event gap in exact integer microseconds per key (the
+    LAG() building block: inter-arrival analysis, bot detection).
+    First event of each key is dropped (no predecessor).
+    Output: (key, id, delta_us)."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy()[1:],
+            id_col: g[id_col].to_numpy()[1:],
+            "delta_us": np.diff(us),
+        })
+
+    return ds.groupby(key_col).map_groups(gaps, batch_format="pandas")
+
+
+def rank_in_group(ds, key_col: str, order_col: str, id_col: str,
+                  descending: bool = True, rank_col: str = "rn"):
+    """ROW_NUMBER() per key: deterministic total order inside each
+    group via (order_col, id_col) tie-break.  Output keeps the input's
+    (key, id) plus the 1-based rank."""
+
+    def rk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, id_col],
+                          ascending=[not descending, True], kind="mergesort")
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            rank_col: np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return ds.groupby(key_col).map_groups(rk, batch_format="pandas")
+
+
+def pivot_counts(ds, key_col: str, cat_col: str,
+                 categories: Sequence[str]):
+    """Wide per-key category counts (long → wide pivot).  Per-batch
+    crosstab partials collapse each block to ≤|keys-in-block| rows
+    BEFORE the shuffle; the groupby then sums int64 partials only.
+    ``categories`` must be the closed category set (enforced: unknown
+    values raise rather than silently dropping counts)."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    wide_cols = [f"n_{c}" for c in cats]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(df[cat_col].unique()) - set(cats)
+        if unknown:
+            raise ValueError(f"pivot_counts: unlisted categories {unknown}")
+        ct = pd.crosstab(df[key_col], df[cat_col])
+        ct = ct.reindex(columns=cats, fill_value=0)
+        ct.columns = wide_cols
+        ct = ct.reset_index()
+        for c in wide_cols:
+            ct[c] = ct[c].astype("int64")
+        return ct
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    agg = part.groupby(key_col).aggregate(
+        *[Sum(c, alias_name=c) for c in wide_cols])
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        for c in wide_cols:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return agg.map_batches(to_int, batch_format="pandas")
+
+
+def histogram_counts(ds, value_col: str, bin_width: float,
+                     bin_col: str = "bin", n_col: str = "n_events"):
+    """Fixed-width value histogram: per-batch ``np.unique`` partials →
+    one tiny shuffle over (bin, count) rows.  Bin = floor(v/width),
+    matching SQL FLOOR division for negatives too."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({bin_col: pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(bin_col).aggregate(Sum("n", alias_name=n_col))
+    return agg.map_batches(
+        lambda df: df.astype({n_col: "int64"}), batch_format="pandas")
+
+
+def distinct_count(ds, key_col: str, distinct_col: str,
+                   out_col: str = "n_distinct"):
+    """COUNT(DISTINCT x) per key, the two-level distributed way: a
+    per-batch pair-dedup combiner, then ONE shuffle on (key, x) that
+    collapses global duplicates, then per-block count partials summed
+    by a second (tiny, ≤ distinct-pair-count rows) shuffle on key.
+    Raw rows are deduped before they ever move."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key_col, distinct_col]].drop_duplicates()
+
+    pairs = (ds.map_batches(pair_dedup, batch_format="pandas")
+             .groupby([key_col, distinct_col])
+             .aggregate(Count(alias_name="_c")))
+
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_col, sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    part = pairs.map_batches(partial_count, batch_format="pandas")
+    agg = part.groupby(key_col).aggregate(Sum("n", alias_name=out_col))
+    return agg.map_batches(
+        lambda df: df.astype({out_col: "int64"}), batch_format="pandas")
+
+
+def rollup_agg(ds, cols: Sequence[str], value_col: str,
+               count_col: str = "n_rows", sum_col: str = "sum_value",
+               all_token: str = "ALL"):
+    """GROUP BY ROLLUP(cols...) with count + sum, touching the raw
+    rows ONCE: the finest grouping is the only full shuffle; every
+    coarser level re-aggregates the finest aggregate (O(groups) rows).
+    Rolled-up dimensions carry ``all_token`` instead of SQL NULL so the
+    result hashes stably.  Sum is rounded half-away to 2 places."""
+    from ray.data.aggregate import Count, Sum
+
+    cols = list(cols)
+
+    def finish(df: pd.DataFrame, present: list[str]) -> pd.DataFrame:
+        out = pd.DataFrame()
+        for c in cols:
+            out[c] = (df[c].astype(str) if c in present
+                      else np.repeat(all_token, len(df)))
+        out[count_col] = df[count_col].astype("int64")
+        s = df["_s"].to_numpy(dtype=np.float64)
+        out[sum_col] = np.floor(s * 100.0 + 0.5) / 100.0
+        return out
+
+    finest = ds.groupby(cols).aggregate(
+        Count(alias_name=count_col), Sum(value_col, alias_name="_s"))
+    levels = [finest.map_batches(finish, batch_format="pandas",
+                                 fn_kwargs=dict(present=cols))]
+    for depth in range(len(cols) - 1, 0, -1):
+        keep = cols[:depth]
+        lvl = finest.groupby(keep).aggregate(
+            Sum(count_col, alias_name=count_col), Sum("_s", alias_name="_s"))
+        levels.append(lvl.map_batches(finish, batch_format="pandas",
+                                      fn_kwargs=dict(present=keep)))
+    def grand(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: [all_token] for c in cols})
+        out[count_col] = df[count_col].astype("int64").to_numpy()
+        s = df["_s"].to_numpy(dtype=np.float64)
+        out[sum_col] = np.floor(s * 100.0 + 0.5) / 100.0
+        return out
+
+    # grand total: one more O(groups)-row keyed aggregate over the
+    # finest aggregate (constant key) — raw rows are never re-read
+    total_row = (finest.map_batches(
+        lambda df: df.assign(_g=np.int64(0)), batch_format="pandas")
+        .groupby("_g")
+        .aggregate(Sum(count_col, alias_name=count_col),
+                   Sum("_s", alias_name="_s"))
+        .map_batches(grand, batch_format="pandas"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(total_row)

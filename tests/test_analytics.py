@@ -1,0 +1,209 @@
+"""Ordered-analytics operators (stages/analytics.py): rolling window,
+lag deltas, rank, pivot, histogram, distinct-count, rollup — each
+asserted equal to a single-process pandas/DuckDB oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _events(n=600, seed=3):
+    rng = np.random.RandomState(seed)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 10**7, n)), unit="s")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 25, n).astype(np.int64),
+        "ts": ts,
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": (rng.randint(1, 50000, n) / 100.0),
+    })
+
+
+def test_rolling_sum_cents_matches_pandas(ray_session):
+    from markdown_lab_ray.stages.analytics import rolling_sum_cents
+
+    df = _events()
+    out = rolling_sum_cents(_rd().from_pandas(df).repartition(5),
+                            window=4).to_pandas()
+    want_parts = []
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        roll = pd.Series(cents).rolling(4, min_periods=1).sum().astype(
+            np.int64)
+        want_parts.append(pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "roll_sum_cents": roll.to_numpy()}))
+    want = pd.concat(want_parts).sort_values("event_id").reset_index(
+        drop=True)
+    got = out.sort_values("event_id").reset_index(drop=True)
+    assert got.equals(want[got.columns.tolist()])
+
+
+def test_lag_deltas_exact_microseconds(ray_session):
+    from markdown_lab_ray.stages.analytics import lag_deltas
+
+    df = _events(400, seed=9)
+    out = lag_deltas(_rd().from_pandas(df).repartition(4)).to_pandas()
+    # every user loses exactly its first event
+    assert len(out) == len(df) - df["user_id"].nunique()
+    g = df[df["user_id"] == df["user_id"].iloc[0]].sort_values(
+        ["ts", "event_id"])
+    want = np.diff(g["ts"].to_numpy().astype("datetime64[us]").astype(
+        np.int64))
+    got = (out[out["user_id"] == df["user_id"].iloc[0]]
+           .sort_values("event_id")["delta_us"].to_numpy())
+    # same multiset (row order differs only by event_id ordering)
+    assert sorted(got.tolist()) == sorted(want.tolist())
+    assert out["delta_us"].dtype == np.int64
+    assert (out["delta_us"] >= 0).all()
+
+
+def test_lag_deltas_singleton_groups_empty_frame_dtype(ray_session):
+    from markdown_lab_ray.stages.analytics import lag_deltas
+
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "user_id": np.array([10, 20, 30], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+    })
+    out = lag_deltas(_rd().from_pandas(df).repartition(3)).to_pandas()
+    assert len(out) == 0  # all groups singleton — and no dtype crash
+
+
+def test_rank_in_group_row_number(ray_session):
+    from markdown_lab_ray.stages.analytics import rank_in_group
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 200),
+        "score": rng.randint(0, 40, 200).astype("float64"),  # forces ties
+        "rid": np.arange(200, dtype=np.int64),
+    })
+    out = rank_in_group(_rd().from_pandas(df).repartition(4), key_col="k",
+                        order_col="score", id_col="rid").to_pandas()
+    want = df.copy()
+    want["rn"] = (want.sort_values(["score", "rid"],
+                                   ascending=[False, True])
+                  .groupby("k").cumcount() + 1)
+    merged = out.merge(want[["rid", "rn"]], on="rid",
+                       suffixes=("", "_want"))
+    assert (merged["rn"] == merged["rn_want"]).all()
+    assert len(out) == len(df)
+
+
+def test_pivot_counts_vs_crosstab(ray_session):
+    from markdown_lab_ray.stages.analytics import pivot_counts
+
+    df = _events(500, seed=11)
+    out = pivot_counts(_rd().from_pandas(df).repartition(6),
+                       key_col="user_id", cat_col="event_type",
+                       categories=("a", "b", "c")).to_pandas()
+    want = pd.crosstab(df["user_id"], df["event_type"]).reindex(
+        columns=["a", "b", "c"], fill_value=0)
+    got = out.set_index("user_id").sort_index()
+    for c in ("a", "b", "c"):
+        assert (got[f"n_{c}"].to_numpy() == want[c].to_numpy()).all()
+        assert got[f"n_{c}"].dtype == np.int64
+
+
+def test_pivot_counts_rejects_unlisted_category(ray_session):
+    from markdown_lab_ray.stages.analytics import pivot_counts
+
+    df = _events(60, seed=2)
+    with pytest.raises(Exception):  # ray wraps the ValueError
+        pivot_counts(_rd().from_pandas(df), key_col="user_id",
+                     cat_col="event_type",
+                     categories=("a", "b")).materialize()
+
+
+def test_histogram_counts_exact(ray_session):
+    from markdown_lab_ray.stages.analytics import histogram_counts
+
+    df = _events(700, seed=5)
+    df.loc[:10, "value"] = -df.loc[:10, "value"]  # negative-bin floor
+    out = histogram_counts(_rd().from_pandas(df).repartition(5),
+                           value_col="value", bin_width=50.0).to_pandas()
+    want = (pd.Series(np.floor(df["value"].to_numpy() / 50.0).astype(
+        np.int64)).value_counts().sort_index())
+    got = out.set_index("bin")["n_events"].sort_index()
+    assert got.to_dict() == want.to_dict()
+    assert got.dtype == np.int64
+
+
+def test_distinct_count_two_level(ray_session):
+    from markdown_lab_ray.stages.analytics import distinct_count
+
+    df = _events(800, seed=6)
+    out = distinct_count(_rd().from_pandas(df).repartition(6),
+                         key_col="event_type", distinct_col="user_id",
+                         out_col="n_users").to_pandas()
+    want = df.groupby("event_type")["user_id"].nunique()
+    got = out.set_index("event_type")["n_users"].sort_index()
+    assert got.to_dict() == want.to_dict()
+    assert got.dtype == np.int64
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from markdown_lab_ray.stages.analytics import rollup_agg
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "p": rng.choice(["hi", "lo", "mid"], 400),
+        "s": rng.choice(["F", "O"], 400),
+        "price": (rng.randint(100, 10**7, 400) / 100.0),
+    })
+    out = rollup_agg(_rd().from_pandas(df).repartition(4),
+                     cols=("p", "s"), value_col="price",
+                     count_col="n", sum_col="sv").to_pandas()
+    want = duckdb.sql("""
+        SELECT COALESCE(p,'ALL') AS p, COALESCE(s,'ALL') AS s,
+               COUNT(*) AS n, ROUND(SUM(price), 2) AS sv
+        FROM df GROUP BY ROLLUP (p, s)""").df()
+    got = out.sort_values(["p", "s"]).reset_index(drop=True)
+    want = want.sort_values(["p", "s"]).reset_index(drop=True).astype(
+        got.dtypes.to_dict())
+    assert got[["p", "s", "n"]].equals(want[["p", "s", "n"]])
+    assert np.allclose(got["sv"], want["sv"], atol=0.011)
+    # 3 levels: finest (≤6) + per-p (3) + grand total (1)
+    assert (got[["p", "s"]].eq("ALL").all(axis=1)).sum() == 1
+
+
+def test_analytics_queries_match_duckdb_at_sf0001(ray_session):
+    """End-to-end: every new queries() entry equals its oracle_sql()
+    twin on the real sf0.001 tables (same check the driver runs)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    names = ["rolling_sum", "event_gaps", "order_ranks", "pivot_events",
+             "sales_rollup", "value_histogram", "users_per_type"]
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name in names:
+        got = qs[name](SF).to_pandas()
+        want = con.sql(sqls[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert len(got) == len(want), name
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(
+            g.dtypes.to_dict())
+        for c in cols:
+            if g[c].dtype == np.float64:
+                assert np.allclose(g[c], w[c], atol=1e-9), (name, c)
+            else:
+                assert g[c].equals(w[c]), (name, c)
