@@ -1522,6 +1522,27 @@ FROM events GROUP BY event_type
 """
 
 
+def q_cosine_pairs(sf_dir: str):
+    """EXACT all-pairs cosine similarity self-join (block nested-loop
+    over block pairs) — the recall-1 audit twin of the LSH near-dup
+    path."""
+    from markdown_lab_ray.stages.similarity import allpairs_cosine_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return allpairs_cosine_exact(ds, threshold=0.35, n_blocks=4)
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1575,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_rollup": q_sales_rollup,
         "value_histogram": q_value_histogram,
         "users_per_type": q_users_per_type,
+        "cosine_pairs": q_cosine_pairs,
         # rows-only (non-SQL-expressible)
         "events_quantile_sketch": q_events_quantile_sketch,
         "minhash_clusters": q_minhash_clusters,
@@ -1640,4 +1662,5 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": SQL_SALES_ROLLUP,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "users_per_type": SQL_USERS_PER_TYPE,
+        "cosine_pairs": SQL_COSINE_PAIRS,
     }

@@ -281,6 +281,81 @@ def embedding_near_dup_pairs(ds, dim: int, cosine_threshold: float = 0.9,
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def allpairs_cosine_exact(ds, threshold: float, n_blocks: int = 4,
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding"):
+    """EXACT all-pairs cosine similarity self-join (block nested-loop
+    join): every unordered block pair (i ≤ j) becomes one group; each
+    row is replicated to the ``n_blocks`` groups it participates in, so
+    the shuffle moves O(n·B) rows and each task computes an
+    O((n/B)²·d) matmul.  Guarantees recall 1 (unlike the
+    hyperplane-LSH path above, which trades recall for pruning) — the
+    audit/ground-truth operator for near-dup thresholds.  Scale knob:
+    pick B ≈ n·d / per-task-flop-budget; at true corpus scale use the
+    LSH path and audit a sampled stratum with this one.
+
+    Returns a Dataset of (a, b, cos) with a < b, cos ≥ threshold,
+    rounded half-away-from-zero to 6 places (SQL ROUND parity).
+    """
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        partner = np.arange(n_blocks, dtype=np.int64)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], batch.schema.field(
+                                 emb_col).type),
+                             "_blk": pa.array([], pa.int64()),
+                             "_pair": pa.array([], pa.int64())})
+        ids = np.asarray(batch.column(id_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        blk = np.mod(ids, n_blocks)
+        rows = np.repeat(np.arange(n), n_blocks)
+        b_rep = np.repeat(blk, n_blocks)
+        p_rep = np.tile(partner, n)
+        lo = np.minimum(b_rep, p_rep)
+        hi = np.maximum(b_rep, p_rep)
+        # canonical unordered-pair index: lo*B - lo*(lo-1)/2 + (hi-lo)
+        pair = lo * n_blocks - (lo * (lo - 1)) // 2 + (hi - lo)
+        out = batch.take(pa.array(rows))
+        out = out.append_column("_blk", pa.array(b_rep, pa.int64()))
+        return out.append_column("_pair", pa.array(pair, pa.int64()))
+
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        if n < 2:
+            return empty
+        mat = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ids = df[id_col].to_numpy()
+        blks = df["_blk"].to_numpy()
+        ii, jj = np.triu_indices(n, k=1)
+        # a cross-block group must emit ONLY cross-block pairs — the
+        # within-block ones belong to (and are emitted by) the (b, b)
+        # group, else they'd duplicate
+        cross_group = blks.min() != blks.max()
+        keep = sims[ii, jj] >= threshold
+        if cross_group:
+            keep &= blks[ii] != blks[jj]
+        ii, jj = ii[keep], jj[keep]
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        cos = np.floor(sims[ii, jj] * 1e6 + 0.5) / 1e6  # half-away
+        return pd.DataFrame({"a": a2, "b": b2, "cos": cos})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("_pair").map_groups(
+        pairs_group, batch_format="pandas")
+
+
 def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
                      n_planes: int = 8, seed: int = 42,
                      id_col: str = "vec_id", emb_col: str = "embedding",

@@ -246,3 +246,40 @@ def test_histogram_quantiles_at_1e4_keys(ray_session):
     gaps = g.agg(lambda s: np.diff(np.sort(s)).max())
     err = (out["p50"] - exact).abs()
     assert (err <= spans / 256 + gaps + 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# allpairs_cosine_exact
+# ---------------------------------------------------------------------------
+
+def _brute_pairs(df, threshold):
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    ids = df["vec_id"].to_numpy()
+    ii, jj = np.triu_indices(len(df), k=1)
+    keep = sims[ii, jj] >= threshold
+    return {(int(min(a, b)), int(max(a, b)))
+            for a, b in zip(ids[ii[keep]], ids[jj[keep]])}
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3, 5])
+def test_allpairs_cosine_exact_recall_1_no_dups(ray_session, n_blocks):
+    """Every qualifying pair exactly once, regardless of block count —
+    the block-pair explode neither drops cross-block pairs nor
+    double-emits within-block ones."""
+    from markdown_lab_ray.stages.similarity import allpairs_cosine_exact
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(8, 16)
+    vecs = base[rng.randint(0, 8, 120)] + rng.randn(120, 16) * 0.6
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": list(vecs.astype(np.float32))})
+    out = allpairs_cosine_exact(
+        _rd().from_pandas(df).repartition(4), threshold=0.8,
+        n_blocks=n_blocks).to_pandas()
+    got = list(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert len(got) == len(set(got))  # no duplicate emissions
+    assert set(got) == _brute_pairs(df, 0.8)
+    assert (out["a"] < out["b"]).all()
+    assert (out["cos"] >= 0.8 - 1e-9).all()
