@@ -1491,6 +1491,50 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_sales_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status): every dimension subset; raw
+    rows shuffled once, the 3 coarser sets re-aggregate the pinned
+    finest aggregate (O(groups) rows each)."""
+    from markdown_lab_ray.stages.analytics import cube_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return cube_agg(ds, cols=("o_orderpriority", "o_orderstatus"),
+                    value_col="o_totalprice", count_col="n_orders",
+                    sum_col="sum_price")
+
+
+SQL_SALES_CUBE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+       COUNT(*)                         AS n_orders,
+       ROUND(SUM(o_totalprice), 2)      AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_top_event_per_user(sf_dir: str):
+    """Most-frequent event type per user (grouped mode / arg-max,
+    ties to the lexicographically smallest type) — per-batch count
+    combiner, ONE shuffle over (user, type, partial) rows."""
+    from markdown_lab_ray.stages.analytics import argmax_per_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return argmax_per_key(ds, key_col="user_id", cat_col="event_type",
+                          out_cat_col="top_type", n_col="n_events")
+
+
+SQL_TOP_EVENT_PER_USER = """
+SELECT user_id, event_type AS top_type, n_events
+FROM (SELECT user_id, event_type, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width histogram of event values (bin = floor(v/25));
     per-batch unique-count partials, shuffle moves (bin, n) rows only."""
@@ -1594,6 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ranks": q_order_ranks,
         "pivot_events": q_pivot_events,
         "sales_rollup": q_sales_rollup,
+        "sales_cube": q_sales_cube,
+        "top_event_per_user": q_top_event_per_user,
         "value_histogram": q_value_histogram,
         "users_per_type": q_users_per_type,
         "cosine_pairs": q_cosine_pairs,
@@ -1660,6 +1706,8 @@ def oracle_sql() -> dict[str, str]:
         "order_ranks": SQL_ORDER_RANKS,
         "pivot_events": SQL_PIVOT_EVENTS,
         "sales_rollup": SQL_SALES_ROLLUP,
+        "sales_cube": SQL_SALES_CUBE,
+        "top_event_per_user": SQL_TOP_EVENT_PER_USER,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "users_per_type": SQL_USERS_PER_TYPE,
         "cosine_pairs": SQL_COSINE_PAIRS,

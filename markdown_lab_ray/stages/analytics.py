@@ -186,17 +186,23 @@ def distinct_count(ds, key_col: str, distinct_col: str,
         lambda df: df.astype({out_col: "int64"}), batch_format="pandas")
 
 
-def rollup_agg(ds, cols: Sequence[str], value_col: str,
-               count_col: str = "n_rows", sum_col: str = "sum_value",
-               all_token: str = "ALL"):
-    """GROUP BY ROLLUP(cols...) with count + sum, touching the raw
-    rows ONCE: the finest grouping is the only full shuffle; every
-    coarser level re-aggregates the finest aggregate (O(groups) rows).
-    Rolled-up dimensions carry ``all_token`` instead of SQL NULL so the
-    result hashes stably.  Sum is rounded half-away to 2 places."""
+def grouping_sets_agg(ds, cols: Sequence[str],
+                      sets: Sequence[Sequence[str]], value_col: str,
+                      count_col: str = "n_rows", sum_col: str = "sum_value",
+                      all_token: str = "ALL"):
+    """GROUP BY GROUPING SETS with count + sum, touching the raw rows
+    ONCE: the finest grouping (``cols``, which must be the first set)
+    is the only full shuffle; every coarser set re-aggregates the
+    finest aggregate (O(groups) rows — materialized once so the union
+    branches don't re-execute the raw shuffle per consumer).  Rolled-up
+    dimensions carry ``all_token`` instead of SQL NULL so the result
+    hashes stably.  Sum is rounded half-away to 2 places."""
     from ray.data.aggregate import Count, Sum
 
     cols = list(cols)
+    sets = [list(s) for s in sets]
+    if sets[0] != cols:
+        raise ValueError("first grouping set must be the full column list")
 
     def finish(df: pd.DataFrame, present: list[str]) -> pd.DataFrame:
         out = pd.DataFrame()
@@ -210,14 +216,14 @@ def rollup_agg(ds, cols: Sequence[str], value_col: str,
 
     finest = ds.groupby(cols).aggregate(
         Count(alias_name=count_col), Sum(value_col, alias_name="_s"))
+    # union branches re-execute an unmaterialized upstream per consumer
+    # — pin the O(groups)-row finest aggregate so the raw shuffle runs
+    # exactly once no matter how many sets consume it
+    if len(sets) > 1:
+        finest = finest.materialize()
     levels = [finest.map_batches(finish, batch_format="pandas",
                                  fn_kwargs=dict(present=cols))]
-    for depth in range(len(cols) - 1, 0, -1):
-        keep = cols[:depth]
-        lvl = finest.groupby(keep).aggregate(
-            Sum(count_col, alias_name=count_col), Sum("_s", alias_name="_s"))
-        levels.append(lvl.map_batches(finish, batch_format="pandas",
-                                      fn_kwargs=dict(present=keep)))
+
     def grand(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({c: [all_token] for c in cols})
         out[count_col] = df[count_col].astype("int64").to_numpy()
@@ -225,16 +231,77 @@ def rollup_agg(ds, cols: Sequence[str], value_col: str,
         out[sum_col] = np.floor(s * 100.0 + 0.5) / 100.0
         return out
 
-    # grand total: one more O(groups)-row keyed aggregate over the
-    # finest aggregate (constant key) — raw rows are never re-read
-    total_row = (finest.map_batches(
-        lambda df: df.assign(_g=np.int64(0)), batch_format="pandas")
-        .groupby("_g")
-        .aggregate(Sum(count_col, alias_name=count_col),
-                   Sum("_s", alias_name="_s"))
-        .map_batches(grand, batch_format="pandas"))
+    for keep in sets[1:]:
+        if keep:
+            lvl = finest.groupby(keep).aggregate(
+                Sum(count_col, alias_name=count_col),
+                Sum("_s", alias_name="_s"))
+            levels.append(lvl.map_batches(finish, batch_format="pandas",
+                                          fn_kwargs=dict(present=keep)))
+        else:
+            # grand total: O(groups)-row constant-key aggregate over
+            # the finest aggregate — raw rows are never re-read
+            levels.append(finest.map_batches(
+                lambda df: df.assign(_g=np.int64(0)), batch_format="pandas")
+                .groupby("_g")
+                .aggregate(Sum(count_col, alias_name=count_col),
+                           Sum("_s", alias_name="_s"))
+                .map_batches(grand, batch_format="pandas"))
 
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
-    return out.union(total_row)
+    return out
+
+
+def rollup_agg(ds, cols: Sequence[str], value_col: str,
+               count_col: str = "n_rows", sum_col: str = "sum_value",
+               all_token: str = "ALL"):
+    """GROUP BY ROLLUP(cols...): the prefix grouping sets, coarsest
+    last down to the grand total."""
+    cols = list(cols)
+    sets = [cols[:d] for d in range(len(cols), -1, -1)]
+    return grouping_sets_agg(ds, cols, sets, value_col, count_col,
+                             sum_col, all_token)
+
+
+def cube_agg(ds, cols: Sequence[str], value_col: str,
+             count_col: str = "n_rows", sum_col: str = "sum_value",
+             all_token: str = "ALL"):
+    """GROUP BY CUBE(cols...): every subset of the dimensions, by
+    decreasing size (then left-to-right), ending at the grand total."""
+    from itertools import combinations
+
+    cols = list(cols)
+    sets: list[list[str]] = []
+    for size in range(len(cols), -1, -1):
+        sets.extend(list(c) for c in combinations(cols, size))
+    return grouping_sets_agg(ds, cols, sets, value_col, count_col,
+                             sum_col, all_token)
+
+
+def argmax_per_key(ds, key_col: str, cat_col: str, n_col: str = "n",
+                   out_cat_col: str = "top_cat"):
+    """Most-frequent category per key (grouped mode / arg-max; ties →
+    lexicographically smallest category).  A per-batch count combiner
+    collapses each block to (key, cat, partial) rows before the ONE
+    shuffle on key; the group fn sums partials and picks the winner.
+    Output: (key, winner category, its total count)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([key_col, cat_col], sort=False).size()
+               .rename("_n").reset_index())
+        out["_n"] = out["_n"].astype("int64")
+        return out
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby(cat_col)["_n"].sum().sort_index()
+        best = totals.idxmax()  # first max in index (= lexicographic) order
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[:1].to_numpy(),
+            out_cat_col: [best],
+            n_col: np.asarray([totals[best]], dtype=np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(key_col).map_groups(pick, batch_format="pandas"))

@@ -180,6 +180,66 @@ def test_rollup_agg_matches_duckdb(ray_session):
     assert (got[["p", "s"]].eq("ALL").all(axis=1)).sum() == 1
 
 
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from markdown_lab_ray.stages.analytics import cube_agg
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "p": rng.choice(["hi", "lo", "mid"], 400),
+        "s": rng.choice(["F", "O"], 400),
+        "price": (rng.randint(100, 10**7, 400) / 100.0),
+    })
+    out = cube_agg(_rd().from_pandas(df).repartition(4),
+                   cols=("p", "s"), value_col="price",
+                   count_col="n", sum_col="sv").to_pandas()
+    want = duckdb.sql("""
+        SELECT COALESCE(p,'ALL') AS p, COALESCE(s,'ALL') AS s,
+               COUNT(*) AS n, ROUND(SUM(price), 2) AS sv
+        FROM df GROUP BY CUBE (p, s)""").df()
+    got = out.sort_values(["p", "s"]).reset_index(drop=True)
+    want = want.sort_values(["p", "s"]).reset_index(drop=True).astype(
+        got.dtypes.to_dict())
+    assert got[["p", "s", "n"]].equals(want[["p", "s", "n"]])
+    assert np.allclose(got["sv"], want["sv"], atol=0.011)
+    # cube adds the per-s set rollup lacks: rows with p=ALL, s real
+    per_s = (got["p"] == "ALL") & (got["s"] != "ALL")
+    assert per_s.sum() == df["s"].nunique()
+
+
+def test_grouping_sets_requires_finest_first(ray_session):
+    from markdown_lab_ray.stages.analytics import grouping_sets_agg
+
+    df = pd.DataFrame({"p": ["a"], "s": ["b"], "v": [1.0]})
+    with pytest.raises(ValueError):
+        grouping_sets_agg(_rd().from_pandas(df), cols=["p", "s"],
+                          sets=[["p"], ["p", "s"]], value_col="v")
+
+
+def test_argmax_per_key_mode_with_lexicographic_ties(ray_session):
+    from markdown_lab_ray.stages.analytics import argmax_per_key
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 30, 900).astype(np.int64),
+        "cat": rng.choice(["apple", "banana", "cherry", "date"], 900),
+    })
+    out = argmax_per_key(_rd().from_pandas(df).repartition(6),
+                         key_col="k", cat_col="cat").to_pandas()
+    want = {}
+    for k, g in df.groupby("k"):
+        counts = g["cat"].value_counts()
+        best_n = counts.max()
+        # ties → lexicographically smallest category
+        best = min(c for c, n in counts.items() if n == best_n)
+        want[k] = (best, best_n)
+    assert len(out) == len(want)
+    for _, row in out.iterrows():
+        assert (row["top_cat"], row["n"]) == want[row["k"]], row["k"]
+    assert out["n"].dtype == np.int64
+
+
 def test_analytics_queries_match_duckdb_at_sf0001(ray_session):
     """End-to-end: every new queries() entry equals its oracle_sql()
     twin on the real sf0.001 tables (same check the driver runs)."""
@@ -188,7 +248,8 @@ def test_analytics_queries_match_duckdb_at_sf0001(ray_session):
     import __ray_entry__ as entrymod
 
     names = ["rolling_sum", "event_gaps", "order_ranks", "pivot_events",
-             "sales_rollup", "value_histogram", "users_per_type"]
+             "sales_rollup", "sales_cube", "top_event_per_user",
+             "value_histogram", "users_per_type"]
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
     for t in ("events", "orders"):
