@@ -1588,6 +1588,129 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 # ---------------------------------------------------------------------------
+# training-set preparation (stages/trainprep.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: distinct 5-gram overlap of every
+    corpus document against the benchmark subset (doc_id % 37 == 0).
+    Benchmark n-gram set broadcast once; corpus side is one stateless
+    map pass."""
+    from markdown_lab_ray.stages.trainprep import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mod37(b: pa.Table, keep_eq: bool) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % 37 == 0) if keep_eq else (ids % 37 != 0)
+        return b.filter(pa.array(mask))
+
+    ref = docs.map_batches(mod37, batch_format="pyarrow",
+                           fn_kwargs=dict(keep_eq=True))
+    corpus = docs.map_batches(mod37, batch_format="pyarrow",
+                              fn_kwargs=dict(keep_eq=False))
+    return decontaminate(corpus, ref, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+),
+ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d
+LEFT JOIN (SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+           FROM grams g JOIN ref r ON g.g = r.g
+           GROUP BY g.doc_id) h USING (doc_id)
+WHERE d.doc_id % 37 <> 0
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy streaming sequence packing at a 2000-token budget over
+    doc_id order (distributed prefix scan: O(buckets) driver state,
+    one keyed shuffle of (id, tokens) rows)."""
+    from markdown_lab_ray.stages.text import token_count_batch
+    from markdown_lab_ray.stages.trainprep import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(token_count_batch, batch_format="pyarrow"
+                            ).map_batches(
+        lambda b: b.select(["doc_id"]).append_column(
+            "n_tokens", b.column("n_tokens_ws")),
+        batch_format="pyarrow")
+    return pack_sequences(toks, budget=2000)
+
+
+SQL_PACK_SEQUENCES = r"""
+SELECT doc_id, n_tokens, CAST(excl // 2000 AS BIGINT) AS pack_id
+FROM (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS excl
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(
+                            regexp_split_to_array(trim(text), '\s+')) END
+                       AS n_tokens
+            FROM documents))
+"""
+
+
+# per-stratum sample rates — chosen so the md5 thresholds are exact
+# hex literals in both engines (0.0625→'10000000', 0.25→'40000000',
+# 0.5→'80000000'); 'error' is deliberately absent (rate 0 → dropped)
+_STRATA_RATES = {"view": 0.0625, "click": 0.25,
+                 "signup": 0.5, "purchase": 1.0}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum Bernoulli sample of events (downsample
+    the dominant strata, keep all rare ones) — pure content-addressed
+    filter, no shuffle."""
+    from markdown_lab_ray.stages.trainprep import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return stratified_sample(ds, rates=_STRATA_RATES,
+                             key_col="event_type", id_col="event_id")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT event_id, event_type, user_id
+FROM (SELECT event_id, event_type, user_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS h
+      FROM events)
+WHERE (event_type = 'view'     AND h < '10000000')
+   OR (event_type = 'click'    AND h < '40000000')
+   OR (event_type = 'signup'   AND h < '80000000')
+   OR (event_type = 'purchase')
+"""
+
+
+def q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing of the synthetic image corpus
+    (nearest log-ratio bucket + target dims) — the grouping key a
+    trainer uses to form resolution-homogeneous batches."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.trainprep import aspect_bucket_batch
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    return (ds.select_columns(["image_id", "w", "h"])
+            .map_batches(aspect_bucket_batch, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1643,7 +1766,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "users_per_type": q_users_per_type,
         "cosine_pairs": q_cosine_pairs,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         # rows-only (non-SQL-expressible)
+        "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
         "minhash_clusters": q_minhash_clusters,
         "video_frames": q_video_frames,
@@ -1711,4 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "users_per_type": SQL_USERS_PER_TYPE,
         "cosine_pairs": SQL_COSINE_PAIRS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
     }

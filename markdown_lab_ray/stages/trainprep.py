@@ -1,0 +1,238 @@
+"""Training-set preparation operators: benchmark decontamination,
+sequence packing, stratified sampling, aspect-ratio bucketing.
+
+These extend the reference's surface with the corpus-prep steps a
+large-scale training pipeline runs after crawl/convert/dedup
+(SURVEY.md lists dedup/quality/token-counting as the graft's
+training-data family; this module is the next stage of that family).
+All operators stream: the only driver-resident state is the SMALL
+side of each problem (a benchmark n-gram set, O(buckets) partial
+sums, a per-stratum rate table), broadcast once via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "decontaminate",
+    "pack_sequences",
+    "stratified_sample",
+    "aspect_bucket_batch",
+]
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _ngrams(text: str, n: int) -> set[str]:
+    """Distinct word n-grams of the lowercased whitespace tokenization.
+
+    Tokenizer parity with the DuckDB oracle:
+    ``list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')``
+    equals ``text.lower().split()`` on ASCII-whitespace corpora.
+    """
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def decontaminate(corpus_ds, ref_ds, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id", out_col: str = "n_hits"):
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word ``n``-grams it shares with ANY document of the
+    (small) reference/benchmark set.  ``out_col > 0`` ⇒ contaminated.
+
+    Scale shape: the reference side is a benchmark suite — a few MB
+    against a 100-TB corpus — so its distinct n-gram set is collected
+    once (per-batch dedup first, so the driver unions pre-deduped
+    sets) and broadcast via ``ray.put``; the corpus side is a single
+    stateless ``map_batches`` pass, no shuffle.  If the reference set
+    ever outgrows broadcast, the same semantics fall back to
+    ``bucketed_semi_join`` on exploded (gram, doc) rows — not needed
+    for benchmark-sized references.
+    """
+    import ray
+    import ray.data  # noqa: F401  (ensures Dataset type is loaded)
+
+    def ref_grams_batch(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            grams |= _ngrams(t, n)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    ref_set: set[str] = set()
+    for b in (ref_ds.map_batches(ref_grams_batch, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        ref_set.update(b.column("gram").to_pylist())
+    ref_handle = ray.put(frozenset(ref_set))
+
+    def count_hits(batch: pa.Table, ref) -> pa.Table:
+        grams_ref = ray.get(ref)
+        hits = [np.int64(sum(g in grams_ref for g in _ngrams(t, n)))
+                for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: pa.array(hits, pa.int64()),
+        })
+
+    return corpus_ds.map_batches(count_hits, batch_format="pyarrow",
+                                 fn_kwargs=dict(ref=ref_handle))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, budget: int, id_col: str = "doc_id",
+                   token_col: str = "n_tokens",
+                   pack_col: str = "pack_id",
+                   bucket_width: int = 4096):
+    """Greedy streaming sequence packing: documents in ``id_col`` order
+    are concatenated into fixed-token-budget packs; a document's pack is
+    ``floor(exclusive_prefix_sum(tokens) / budget)`` (documents are
+    never split; a pack may overflow by at most one document — the
+    standard "concat then chunk by offset" packing used for LLM
+    pretraining shards).
+
+    Distributed prefix scan, two passes over (id, tokens) rows only:
+      1. per-batch partial sums per id-range bucket
+         (``id // bucket_width``) → driver exclusive scan over the
+         O(buckets) totals → broadcast offsets;
+      2. one ``groupby(bucket)`` shuffle; each group sorts by id,
+         local cumsum + its bucket's offset → pack id.
+    Driver memory is O(buckets) = O(id_range / bucket_width), never
+    O(rows).  Ids need not be dense — sparse ranges only make buckets
+    uneven.
+    """
+    import ray
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            token_col: batch.column(token_col).cast(pa.int64()),
+            "_bucket": pa.array(ids // bucket_width, pa.int64()),
+        })
+
+    # narrow 3-int-column projection; pinned because both the partial
+    # pass and the groupby consume it (unmaterialized datasets
+    # re-execute their upstream per consumer)
+    slim = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["_bucket", token_col]).to_pandas()
+        g = df.groupby("_bucket", sort=False)[token_col].sum()
+        return pa.table({"_bucket": pa.array(g.index.to_numpy(), pa.int64()),
+                         "_sum": pa.array(g.to_numpy(), pa.int64())})
+
+    totals: dict[int, int] = {}
+    for b in (slim.map_batches(bucket_partials, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for k, v in zip(b.column("_bucket").to_pylist(),
+                        b.column("_sum").to_pylist()):
+            totals[k] = totals.get(k, 0) + v
+    offsets: dict[int, int] = {}
+    running = 0
+    for k in sorted(totals):
+        offsets[k] = running
+        running += totals[k]
+    offsets_handle = ray.put(offsets)
+
+    def assign(g: pd.DataFrame, offs) -> pd.DataFrame:
+        import ray as _ray
+        base = _ray.get(offs)[int(g["_bucket"].iloc[0])]
+        g = g.sort_values(id_col, kind="mergesort")
+        toks = g[token_col].to_numpy(dtype=np.int64)
+        excl = base + np.concatenate(([0], np.cumsum(toks)[:-1]))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            token_col: toks,
+            pack_col: (excl // budget).astype(np.int64),
+        })
+
+    return (slim.groupby("_bucket")
+            .map_groups(assign, batch_format="pandas",
+                        fn_kwargs=dict(offs=offsets_handle)))
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(ds, rates: Mapping[str, float], key_col: str,
+                      id_col: str):
+    """Deterministic per-stratum Bernoulli sample: a row survives iff
+    the first 8 hex chars of ``md5(str(id))`` fall below its stratum's
+    rate threshold.  Content-addressed — stable under repartitioning,
+    resume, and re-runs (the same trick as the train/val/test split);
+    SQL-replicable via ``substr(md5(CAST(id AS VARCHAR)),1,8)``.
+    Pure filter map — no shuffle; the rate table is a broadcast-size
+    parameter.  Strata absent from ``rates`` are dropped (rate 0)."""
+    thresholds = {k: format(min(int(r * 16**8), 16**8), "08x")
+                  if r < 1.0 else "g" * 8  # > 'ffffffff' ⇒ keep all
+                  for k, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        mask = np.zeros(len(ids), dtype=bool)
+        for i, (rid, k) in enumerate(zip(ids, keys)):
+            thr = thresholds.get(k)
+            if thr is None:
+                continue
+            h = hashlib.md5(str(rid).encode()).hexdigest()[:8]
+            mask[i] = h < thr
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (image-side training prep)
+# ---------------------------------------------------------------------------
+
+# SDXL-style training buckets: (name, target_w, target_h)
+DEFAULT_ASPECT_BUCKETS: Sequence[tuple[str, int, int]] = (
+    ("square", 1024, 1024),
+    ("landscape_4_3", 1152, 896),
+    ("landscape_16_9", 1344, 768),
+    ("portrait_3_4", 896, 1152),
+    ("portrait_9_16", 768, 1344),
+)
+
+
+def aspect_bucket_batch(batch: pa.Table, w_col: str = "w", h_col: str = "h",
+                        buckets: Sequence[tuple[str, int, int]] =
+                        DEFAULT_ASPECT_BUCKETS) -> pa.Table:
+    """Assign each image to the training bucket whose aspect ratio is
+    nearest (in log space, so 2:1 and 1:2 are symmetric errors); emit
+    the bucket name and its target dimensions.  Vectorized argmin over
+    the fixed bucket table — pure map, no shuffle; grouping the output
+    by ``aspect_bucket`` is how a trainer forms resolution-homogeneous
+    batches."""
+    w = np.asarray(batch.column(w_col).to_pylist(), dtype=np.float64)
+    h = np.asarray(batch.column(h_col).to_pylist(), dtype=np.float64)
+    if np.any(w <= 0) or np.any(h <= 0):
+        raise ValueError("width/height must be positive")
+    ratios = np.log(w / h)
+    names = [b[0] for b in buckets]
+    bucket_ratios = np.log([bw / bh for _, bw, bh in buckets])
+    idx = np.abs(ratios[:, None] - bucket_ratios[None, :]).argmin(axis=1)
+    return (batch
+            .append_column("aspect_bucket",
+                           pa.array([names[i] for i in idx], pa.string()))
+            .append_column("target_w",
+                           pa.array([buckets[i][1] for i in idx], pa.int64()))
+            .append_column("target_h",
+                           pa.array([buckets[i][2] for i in idx], pa.int64())))

@@ -1,0 +1,226 @@
+"""Training-prep operators (stages/trainprep.py): benchmark
+decontamination, sequence packing, stratified sampling, aspect-ratio
+bucketing — each asserted against a single-process oracle."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_counts_distinct_shared_ngrams(ray_session):
+    from markdown_lab_ray.stages.trainprep import decontaminate
+
+    ref = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "pack my box with five dozen liquor jugs"],
+    })
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            # contains "the quick brown fox jumps" + the 3 following 5-grams
+            "intro the quick brown fox jumps over the lazy dog outro",
+            "pack my box with five dozen",   # two shared 5-grams (7 tokens)
+            "completely different words here today",
+            "short",                         # < 5 tokens → no grams
+        ],
+    })
+    out = decontaminate(_rd().from_pandas(corpus).repartition(2),
+                        _rd().from_pandas(ref), n=5).to_pandas()
+    got = out.set_index("doc_id")["n_hits"].to_dict()
+    assert got == {0: 5, 1: 2, 2: 0, 3: 0}
+    assert out["n_hits"].dtype == np.int64
+
+
+def test_decontaminate_empty_reference(ray_session):
+    from markdown_lab_ray.stages.trainprep import decontaminate
+
+    corpus = pd.DataFrame({"doc_id": [0], "text": ["a b c d e f"]})
+    ref = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                        "text": pd.Series(dtype="object")})
+    out = decontaminate(_rd().from_pandas(corpus),
+                        _rd().from_pandas(ref)).to_pandas()
+    assert out["n_hits"].tolist() == [0]
+
+
+def test_decontaminate_is_case_and_whitespace_normalized(ray_session):
+    from markdown_lab_ray.stages.trainprep import decontaminate
+
+    ref = pd.DataFrame({"doc_id": [9], "text": ["Alpha Beta GAMMA delta epsilon"]})
+    corpus = pd.DataFrame({"doc_id": [0],
+                           "text": ["alpha   beta gamma\ndelta epsilon"]})
+    out = decontaminate(_rd().from_pandas(corpus),
+                        _rd().from_pandas(ref), n=5).to_pandas()
+    assert out["n_hits"].tolist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def _pack_oracle(df, budget):
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    excl = np.concatenate(([0], np.cumsum(df["n_tokens"].to_numpy())[:-1]))
+    return dict(zip(df["doc_id"], excl // budget))
+
+
+def test_pack_sequences_matches_prefix_sum_oracle(ray_session):
+    from markdown_lab_ray.stages.trainprep import pack_sequences
+
+    rng = np.random.RandomState(17)
+    # sparse, shuffled ids across several scan buckets
+    ids = rng.choice(np.arange(0, 50_000, 7, dtype=np.int64), 800,
+                     replace=False)
+    df = pd.DataFrame({"doc_id": ids,
+                       "n_tokens": rng.randint(1, 900, 800).astype(np.int64)})
+    out = pack_sequences(_rd().from_pandas(df).repartition(6),
+                         budget=2048, bucket_width=4096).to_pandas()
+    want = _pack_oracle(df, 2048)
+    assert len(out) == len(df)
+    got = out.set_index("doc_id")["pack_id"].to_dict()
+    assert got == want
+    # packs are contiguous in id order and never skip backwards
+    chk = out.sort_values("doc_id")["pack_id"].to_numpy()
+    assert (np.diff(chk) >= 0).all()
+
+
+def test_pack_sequences_doc_larger_than_budget_gets_own_packs(ray_session):
+    from markdown_lab_ray.stages.trainprep import pack_sequences
+
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "n_tokens": np.array([10, 5000, 10, 10], np.int64)})
+    out = pack_sequences(_rd().from_pandas(df), budget=100).to_pandas()
+    assert out.set_index("doc_id")["pack_id"].to_dict() == _pack_oracle(
+        df, 100)
+
+
+def test_pack_sequences_rejects_bad_budget(ray_session):
+    from markdown_lab_ray.stages.trainprep import pack_sequences
+
+    df = pd.DataFrame({"doc_id": [0], "n_tokens": [1]})
+    with pytest.raises(ValueError):
+        pack_sequences(_rd().from_pandas(df), budget=0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rate_accurate(ray_session):
+    from markdown_lab_ray.stages.trainprep import stratified_sample
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "user_id": rng.randint(0, 50, n).astype(np.int64),
+    })
+    rates = {"a": 0.25, "b": 1.0}  # c absent → dropped
+    out = stratified_sample(_rd().from_pandas(df).repartition(5),
+                            rates=rates, key_col="event_type",
+                            id_col="event_id").to_pandas()
+    # exact oracle: same md5-prefix rule
+    def kept(row):
+        r = rates.get(row["event_type"], 0.0)
+        if r >= 1.0:
+            return True
+        thr = format(int(r * 16**8), "08x")
+        return hashlib.md5(str(row["event_id"]).encode()).hexdigest()[:8] < thr
+    want = df[df.apply(kept, axis=1)]
+    assert sorted(out["event_id"]) == sorted(want["event_id"])
+    # rate sanity: 'a' stratum lands near 25%, all 'b' kept, no 'c'
+    n_a = (df["event_type"] == "a").sum()
+    got_a = (out["event_type"] == "a").sum()
+    assert abs(got_a / n_a - 0.25) < 0.05
+    assert (out["event_type"] == "b").sum() == (df["event_type"] == "b").sum()
+    assert (out["event_type"] == "c").sum() == 0
+
+
+def test_stratified_sample_stable_under_repartition(ray_session):
+    from markdown_lab_ray.stages.trainprep import stratified_sample
+
+    df = pd.DataFrame({
+        "event_id": np.arange(500, dtype=np.int64),
+        "event_type": ["x"] * 500,
+        "user_id": np.zeros(500, dtype=np.int64),
+    })
+    a = stratified_sample(_rd().from_pandas(df).repartition(2),
+                          rates={"x": 0.5}, key_col="event_type",
+                          id_col="event_id").to_pandas()
+    b = stratified_sample(_rd().from_pandas(df).repartition(9),
+                          rates={"x": 0.5}, key_col="event_type",
+                          id_col="event_id").to_pandas()
+    assert sorted(a["event_id"]) == sorted(b["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# aspect_bucket_batch
+# ---------------------------------------------------------------------------
+
+def test_aspect_bucket_nearest_log_ratio(ray_session):
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.trainprep import (DEFAULT_ASPECT_BUCKETS,
+                                                   aspect_bucket_batch)
+
+    batch = pa.table({
+        "image_id": ["sq", "land", "wide", "port", "tall"],
+        "w": [512, 800, 1920, 600, 540],
+        "h": [512, 600, 1080, 800, 960],
+    })
+    out = aspect_bucket_batch(batch).to_pandas()
+    got = dict(zip(out["image_id"], out["aspect_bucket"]))
+    assert got == {"sq": "square", "land": "landscape_4_3",
+                   "wide": "landscape_16_9", "port": "portrait_3_4",
+                   "tall": "portrait_9_16"}
+    # target dims come from the matched bucket row
+    by_name = {b[0]: (b[1], b[2]) for b in DEFAULT_ASPECT_BUCKETS}
+    for _, r in out.iterrows():
+        assert (r["target_w"], r["target_h"]) == by_name[r["aspect_bucket"]]
+
+
+def test_aspect_bucket_rejects_nonpositive_dims(ray_session):
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.trainprep import aspect_bucket_batch
+
+    with pytest.raises(ValueError):
+        aspect_bucket_batch(pa.table({"image_id": ["x"], "w": [0], "h": [5]}))
+
+
+def test_trainprep_queries_match_duckdb_at_sf0001(ray_session):
+    """End-to-end: the SQL-checked trainprep queries() entries equal
+    their oracle_sql() twins on the real sf0.001 tables."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    names = ["decontaminate", "pack_sequences", "stratified_sample"]
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name in names:
+        got = qs[name](sf).to_pandas()
+        want = con.sql(sqls[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert len(got) == len(want), name
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(
+            g.dtypes.to_dict())
+        for c in cols:
+            assert g[c].equals(w[c]), (name, c)
