@@ -1007,6 +1007,116 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_quality_above_median(sf_dir: str):
+    """Per-language median quality gate (curation: "keep documents at
+    or above their language's median quality").  Exercises
+    ``percentile_gate`` — exact per-key PERCENTILE_DISC over the
+    compressed (key, value, count) distribution (scale-safe because
+    the 6-dp-rounded score has ≤ 1e6+1 distinct values), thresholds
+    broadcast, gate as a stateless filter pass."""
+    from markdown_lab_ray.stages.text import quality_batch
+    from markdown_lab_ray.stages.trainprep import percentile_gate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def proj(b: pa.Table) -> pa.Table:
+        q = b["quality"].to_numpy(zero_copy_only=False)
+        # half-away-from-zero round to 6 dp BEFORE the gate so the
+        # thresholds are computed over the same quantized values the
+        # SQL oracle sees
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang": b["lang"],
+                         "quality": pa.array(np.floor(q * 1e6 + 0.5) / 1e6,
+                                             pa.float64())})
+
+    scored = scored.map_batches(proj, batch_format="pyarrow")
+    return percentile_gate(scored, value_col="quality", key_col="lang",
+                           q=0.5)
+
+
+SQL_QUALITY_ABOVE_MEDIAN = r"""
+WITH scored AS (
+  SELECT doc_id, lang, round(greatest(least(
+             0.25 * least(n_words / 100.0, 1.0)
+             + 0.25 * (1 - punct_ratio)
+             + 0.25 * least(stop_ratio / 0.4, 1.0)
+             + 0.25 * (1 - digit_ratio), 1.0), 0.0), 6) AS quality
+  FROM (
+    SELECT doc_id, lang,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+          AS n_words,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                * 1.0 / length(text) END AS punct_ratio,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                * 1.0 / length(text) END AS digit_ratio,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> list_contains(
+                        ['the','and','of','a','to','in','is','it','that',
+                         'for','der','die','das','und','ist','ein','zu',
+                         'den','von','mit','le','la','les','et','de','un',
+                         'une','est','que','pour','el','los','y','una',
+                         'es','por'], x)))
+                * 1.0 / array_length(regexp_split_to_array(trim(text),
+                                                           '\s+')) END
+          AS stop_ratio
+    FROM documents)),
+ranked AS (
+  SELECT lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored),
+thr AS (
+  SELECT lang, quality AS thr FROM ranked
+  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+SELECT s.doc_id, s.lang, s.quality
+FROM scored s JOIN thr USING (lang)
+WHERE s.quality >= thr.thr
+"""
+
+
+def q_tfidf(sf_dir: str):
+    """Top-3 terms per document by TF-IDF (``tfidf_top_terms``):
+    tokenize → (doc, term, tf) rows, document frequencies stay a
+    Dataset (no vocabulary on the driver), joined back via
+    ``bucketed_hash_join``, per-doc top-k in a keyed group fn.
+    Integer-exact ranking: IDF micro-quantized first, then pure int64
+    score arithmetic — bit-identical on both engines."""
+    from markdown_lab_ray.stages.trainprep import tfidf_top_terms
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, n_docs=n_docs, k=3)
+
+
+SQL_TFIDF = r"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS term
+        FROM documents WHERE trim(text) <> '')
+  GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         CAST(floor(ln((SELECT count(*) FROM documents) * 1.0 / count(*))
+                    * 1e6 + 0.5) AS BIGINT) AS idf_micro
+  FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf_micro AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf_micro DESC, tf.term)
+             AS rn
+  FROM tf JOIN idf USING (term))
+SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+"""
+
+
 def q_train_split(sf_dir: str):
     """Deterministic train/val/test assignment by content-independent
     hash (the split step of a training-data pipeline): bucket =
@@ -1769,6 +1879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "quality_above_median": q_quality_above_median,
+        "tfidf": q_tfidf,
         # rows-only (non-SQL-expressible)
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
@@ -1841,4 +1953,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "quality_above_median": SQL_QUALITY_ABOVE_MEDIAN,
+        "tfidf": SQL_TFIDF,
     }

@@ -24,6 +24,8 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "aspect_bucket_batch",
+    "percentile_gate",
+    "tfidf_top_terms",
 ]
 
 
@@ -196,6 +198,140 @@ def stratified_sample(ds, rates: Mapping[str, float], key_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-key percentile gate
+# ---------------------------------------------------------------------------
+
+def percentile_gate(ds, value_col: str, key_col: str, q: float = 0.5):
+    """Keep rows whose ``value_col`` is ≥ their key's ``q``-th
+    discrete percentile (SQL ``PERCENTILE_DISC(q)``: the smallest
+    value whose cumulative count reaches ``ceil(q·n)``) — e.g. "keep
+    documents above their language's median quality".
+
+    Exact AND scale-safe: values are expected pre-quantized (the
+    quality score is 6-dp-rounded ⇒ ≤ 10^6+1 distinct values), so the
+    full per-key distribution compresses to (key, value, count) rows —
+    one keyed aggregate shuffle of partials, then a per-key group fn
+    emits one threshold row.  Thresholds (O(keys) rows) broadcast via
+    ``ray.put``; the gate itself is a stateless filter pass.  Raw rows
+    are read twice (aggregate pass + filter pass) but never shuffled.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+
+    dist = ds.groupby([key_col, value_col]).aggregate(
+        Count(alias_name="_n"))
+
+    def threshold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        counts = g["_n"].to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        pos = int(np.ceil(q * total))  # 1-based rank, PERCENTILE_DISC
+        idx = int(np.searchsorted(np.cumsum(counts), pos))
+        return pd.DataFrame({key_col: g[key_col].iloc[:1].to_numpy(),
+                             "_thr": [g[value_col].iloc[idx]]})
+
+    thr_rows = (dist.groupby(key_col)
+                .map_groups(threshold, batch_format="pandas")
+                .take_all())
+    thresholds = {r[key_col]: r["_thr"] for r in thr_rows}
+    thr_handle = ray.put(thresholds)
+
+    def gate(batch: pa.Table, thr) -> pa.Table:
+        import ray as _ray
+        t = _ray.get(thr)
+        keys = batch.column(key_col).to_pandas()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        # unseen keys map to NaN → comparison False → row dropped
+        thr_vals = keys.map(t).to_numpy(dtype=np.float64, na_value=np.nan)
+        mask = vals.astype(np.float64) >= thr_vals
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          fn_kwargs=dict(thr=thr_handle))
+
+
+# ---------------------------------------------------------------------------
+# distributed TF-IDF
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(ds, n_docs: int, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 32):
+    """Top-``k`` terms per document by TF-IDF.
+
+    Integer-exact ranking for oracle parity: IDF is quantized FIRST —
+    ``idf_micro = floor(ln(n_docs / df) · 1e6 + 0.5)`` (one float op
+    per distinct document frequency, identical in DuckDB) — then
+    ``score = tf · idf_micro`` is pure int64 arithmetic; ties break on
+    term ascending.
+
+    Fully distributed, no vocabulary ever sits on the driver:
+      1. map: per-doc term frequencies → (doc, term, tf) rows;
+      2. groupby(term) count → (term, df) — the document-frequency
+         table stays a Dataset;
+      3. ``bucketed_hash_join`` of tf rows with df rows on term
+         (one hash shuffle each side);
+      4. groupby(doc) → top-k group fn.
+    """
+    from ray.data.aggregate import Count
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    if n_docs <= 0:
+        raise ValueError("n_docs must be positive")
+
+    def term_freqs(batch: pa.Table) -> pa.Table:
+        ids_out, terms_out, tfs_out = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for rid, t in zip(ids, batch.column(text_col).to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (t or "").lower().split():
+                counts[w] = counts.get(w, 0) + 1
+            ids_out.extend([rid] * len(counts))
+            terms_out.extend(counts.keys())
+            tfs_out.extend(counts.values())
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "term": pa.array(terms_out, pa.string()),
+                         "tf": pa.array(tfs_out, pa.int64())})
+
+    # (doc, term, tf) is consumed by BOTH the df aggregate and the
+    # join — pin it so the tokenize pass runs once
+    tf_rows = ds.map_batches(term_freqs,
+                             batch_format="pyarrow").materialize()
+
+    df_rows = (tf_rows.groupby("term").aggregate(Count(alias_name="df"))
+               .map_batches(_idf_micro_batch, batch_format="pandas",
+                            fn_kwargs=dict(n_docs=n_docs)))
+
+    joined = bucketed_hash_join(tf_rows, df_rows, key="term",
+                                n_buckets=n_buckets)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        score = (g["tf"].to_numpy(dtype=np.int64)
+                 * g["idf_micro"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "term": g["term"].to_numpy(),
+                            "score": score})
+        out = out.sort_values(["score", "term"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return out.reset_index(drop=True)
+
+    return (joined.groupby(id_col)
+            .map_groups(topk, batch_format="pandas"))
+
+
+def _idf_micro_batch(df: pd.DataFrame, n_docs: int) -> pd.DataFrame:
+    """idf_micro = floor(ln(n_docs / df) * 1e6 + 0.5), int64 — the
+    single quantized float op of the TF-IDF pipeline."""
+    dfreq = df["df"].to_numpy(dtype=np.float64)
+    idf = np.floor(np.log(float(n_docs) / dfreq) * 1e6 + 0.5)
+    return pd.DataFrame({"term": df["term"].to_numpy(),
+                         "idf_micro": idf.astype(np.int64)})
 
 
 # ---------------------------------------------------------------------------

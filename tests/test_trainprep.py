@@ -200,6 +200,67 @@ def test_aspect_bucket_rejects_nonpositive_dims(ray_session):
         aspect_bucket_batch(pa.table({"image_id": ["x"], "w": [0], "h": [5]}))
 
 
+def test_percentile_gate_discrete_percentile_semantics(ray_session):
+    """PERCENTILE_DISC(q): keep rows ≥ the smallest value whose
+    cumulative count reaches ceil(q·n), per key — ties and duplicate
+    values handled via the (key, value, count) compression."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import percentile_gate
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 4,
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 20.0, 30.0],
+        "id": range(9)})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (percentile_gate(ds, "v", "k", q=0.5).to_pandas()
+           .sort_values("id"))
+    # a: n=5, rank ceil(2.5)=3 -> thr 3.0; b: n=4, rank 2 of
+    # [10,20,20,30] -> thr 20.0 (duplicate value spans ranks 2-3)
+    assert out["id"].tolist() == [2, 3, 4, 6, 7, 8]
+
+
+def test_percentile_gate_q1_keeps_only_max(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import percentile_gate
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["x"] * 4,
+                                      "v": [1.0, 2.0, 3.0, 3.0],
+                                      "id": range(4)}))
+    out = percentile_gate(ds, "v", "k", q=1.0).to_pandas()
+    assert sorted(out["id"].tolist()) == [2, 3]
+    with pytest.raises(ValueError):
+        percentile_gate(ds, "v", "k", q=0.0)
+
+
+def test_tfidf_top_terms_scores_and_ties(ray_session):
+    """Integer-exact TF·IDF ranking: idf_micro = floor(ln(n/df)·1e6
+    + 0.5); ties break term-ascending; empty docs emit nothing."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat on the mat", "the dog", "   "]})
+    ds = rd.from_pandas(docs).repartition(2)
+    out = (tfidf_top_terms(ds, n_docs=3, k=3).to_pandas()
+           .sort_values(["doc_id", "score", "term"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    ln3 = int(np.floor(np.log(3.0) * 1e6 + 0.5))        # df=1
+    ln15 = int(np.floor(np.log(1.5) * 1e6 + 0.5))       # df=2 ("the")
+    # doc 1: cat/mat/on/sat all tf=1·ln3 — term-asc tie-break drops
+    # "sat"; "the" (tf=2·ln1.5=810930) loses to the ln3 singletons
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, "cat", ln3), (1, "mat", ln3), (1, "on", ln3),
+        (2, "dog", ln3), (2, "the", ln15)]
+    assert out["score"].dtype == np.int64
+    with pytest.raises(ValueError):
+        tfidf_top_terms(ds, n_docs=0)
+
+
 def test_trainprep_queries_match_duckdb_at_sf0001(ray_session):
     """End-to-end: the SQL-checked trainprep queries() entries equal
     their oracle_sql() twins on the real sf0.001 tables."""
@@ -208,7 +269,8 @@ def test_trainprep_queries_match_duckdb_at_sf0001(ray_session):
     import __ray_entry__ as entrymod
 
     sf = "/root/testdata/sf0.001"
-    names = ["decontaminate", "pack_sequences", "stratified_sample"]
+    names = ["decontaminate", "pack_sequences", "stratified_sample",
+             "quality_above_median", "tfidf"]
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
     for t in ("documents", "events"):
