@@ -1007,6 +1007,95 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index over the corpus (``inverted_index``): per term,
+    exact document frequency + the first 1000 doc ids ascending,
+    comma-joined.  One tokenize pass, one keyed shuffle."""
+    from markdown_lab_ray.stages.trainprep import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, max_postings=1000)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> '')
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 1000),
+                       ',') AS postings
+FROM tok GROUP BY term
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher/MassiveText repetition signals per document
+    (``repetition_batch``): top-word and top-bigram fractions — the
+    curation rule that drops boilerplate/spam whose most frequent
+    n-gram dominates the text.  Pure map, no shuffle."""
+    from markdown_lab_ray.stages.text import repetition_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+wc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS word FROM words)
+  GROUP BY doc_id, word),
+topw AS (
+  SELECT doc_id, max(c) AS maxw, sum(c) AS nw FROM wc GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM words WHERE len(w) >= 2)
+  GROUP BY doc_id, bg),
+topb AS (
+  SELECT doc_id, max(c) AS maxb, sum(c) AS nb FROM bc GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(coalesce(t.nw, 0) AS BIGINT) AS n_words,
+       round(CASE WHEN t.nw IS NULL THEN 0.0
+                  ELSE t.maxw * 1.0 / t.nw END, 6) AS top_word_frac,
+       round(CASE WHEN b.nb IS NULL THEN 0.0
+                  ELSE b.maxb * 1.0 / b.nb END, 6) AS top_bigram_frac
+FROM words w
+LEFT JOIN topw t USING (doc_id)
+LEFT JOIN topb b USING (doc_id)
+"""
+
+
+def q_order_quartiles(sf_dir: str):
+    """PERCENT_RANK + NTILE(4) per order priority by descending price
+    (``ntile_percent_rank`` — one keyed shuffle, vectorized in-group
+    rank; unique total order so percent_rank needs no tie handling)."""
+    from markdown_lab_ray.stages.analytics import ntile_percent_rank
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ntile_percent_rank(ds, key_col="o_orderpriority",
+                              order_col="o_totalprice",
+                              id_col="o_orderkey", n_tiles=4)
+
+
+SQL_ORDER_QUARTILES = """
+SELECT o_orderpriority, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 def q_quality_above_median(sf_dir: str):
     """Per-language median quality gate (curation: "keep documents at
     or above their language's median quality").  Exercises
@@ -1881,6 +1970,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "quality_above_median": q_quality_above_median,
         "tfidf": q_tfidf,
+        "inverted_index": q_inverted_index,
+        "repetition_stats": q_repetition_stats,
+        "order_quartiles": q_order_quartiles,
         # rows-only (non-SQL-expressible)
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
@@ -1955,4 +2047,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_above_median": SQL_QUALITY_ABOVE_MEDIAN,
         "tfidf": SQL_TFIDF,
+        "inverted_index": SQL_INVERTED_INDEX,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "order_quartiles": SQL_ORDER_QUARTILES,
     }

@@ -305,3 +305,39 @@ def argmax_per_key(ds, key_col: str, cat_col: str, n_col: str = "n",
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(key_col).map_groups(pick, batch_format="pandas"))
+
+
+def ntile_percent_rank(ds, key_col: str, order_col: str, id_col: str,
+                       n_tiles: int = 4, descending: bool = True):
+    """PERCENT_RANK() and NTILE(n) per key over a deterministic total
+    order (``order_col`` then ``id_col`` tie-break, so ranks are
+    unique and percent_rank == (row_number-1)/(n-1); 0.0 for a
+    single-row group, matching SQL).
+
+    NTILE follows the SQL split: the first ``n % n_tiles`` tiles get
+    ``ceil(n/n_tiles)`` rows, the rest ``floor(n/n_tiles)``.  One
+    keyed shuffle (groupby → per-group vectorized rank)."""
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+
+    def rk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, id_col],
+                          ascending=[not descending, True],
+                          kind="mergesort")
+        n = len(g)
+        i = np.arange(n, dtype=np.int64)
+        pr = i / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        base, rem = divmod(n, n_tiles)
+        big = rem * (base + 1)
+        tile = np.where(
+            i < big,
+            i // max(base + 1, 1),
+            rem + (np.maximum(i - big, 0) // max(base, 1)))
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "pr": np.floor(pr * 1e6 + 0.5) / 1e6,
+            "tile": (tile + 1).astype(np.int64),
+        })
+
+    return ds.groupby(key_col).map_groups(rk, batch_format="pandas")

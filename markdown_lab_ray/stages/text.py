@@ -130,3 +130,48 @@ def add_text_hash_batch(batch: pa.Table, text_col: str = "text",
     texts = batch.column(text_col).to_pylist()
     hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals per document
+    (MassiveText rules: filter docs whose most frequent word / 2-gram
+    accounts for too much of the text):
+
+    - ``n_words``: lowercased whitespace-token count;
+    - ``top_word_frac``: count of the most frequent word / n_words;
+    - ``top_bigram_frac``: count of the most frequent consecutive
+      word pair / (n_words - 1); 0.0 when fewer than 2 words.
+
+    Fractions are rounded half-away-from-zero to 6 dp for SQL-oracle
+    parity.  Pure map — no shuffle."""
+    from collections import Counter
+
+    ids = batch.column(id_col)
+    n_words = []
+    top_w = []
+    top_b = []
+    for t in batch.column(text_col).to_pylist():
+        words = (t or "").lower().split()
+        n = len(words)
+        n_words.append(n)
+        if n == 0:
+            top_w.append(0.0)
+            top_b.append(0.0)
+            continue
+        top_w.append(max(Counter(words).values()) / n)
+        if n < 2:
+            top_b.append(0.0)
+        else:
+            top_b.append(max(Counter(zip(words, words[1:])).values())
+                         / (n - 1))
+
+    def _r6(xs):
+        return np.floor(np.asarray(xs, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+    return pa.table({
+        id_col: ids,
+        "n_words": pa.array(np.asarray(n_words, dtype=np.int64)),
+        "top_word_frac": pa.array(_r6(top_w), pa.float64()),
+        "top_bigram_frac": pa.array(_r6(top_b), pa.float64()),
+    })

@@ -26,6 +26,7 @@ __all__ = [
     "aspect_bucket_batch",
     "percentile_gate",
     "tfidf_top_terms",
+    "inverted_index",
 ]
 
 
@@ -257,8 +258,28 @@ def percentile_gate(ds, value_col: str, key_col: str, q: float = 0.5):
 
 
 # ---------------------------------------------------------------------------
-# distributed TF-IDF
+# distributed TF-IDF + inverted index
 # ---------------------------------------------------------------------------
+
+def _term_freq_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Tokenize (lowercased whitespace split) → one (doc, term, tf)
+    row per distinct term per document."""
+    ids_out: list = []
+    terms_out: list[str] = []
+    tfs_out: list[int] = []
+    ids = batch.column(id_col).to_pylist()
+    for rid, t in zip(ids, batch.column(text_col).to_pylist()):
+        counts: dict[str, int] = {}
+        for w in (t or "").lower().split():
+            counts[w] = counts.get(w, 0) + 1
+        ids_out.extend([rid] * len(counts))
+        terms_out.extend(counts.keys())
+        tfs_out.extend(counts.values())
+    return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                     "term": pa.array(terms_out, pa.string()),
+                     "tf": pa.array(tfs_out, pa.int64())})
+
 
 def tfidf_top_terms(ds, n_docs: int, k: int = 3, text_col: str = "text",
                     id_col: str = "doc_id", n_buckets: int = 32):
@@ -285,24 +306,11 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 3, text_col: str = "text",
     if n_docs <= 0:
         raise ValueError("n_docs must be positive")
 
-    def term_freqs(batch: pa.Table) -> pa.Table:
-        ids_out, terms_out, tfs_out = [], [], []
-        ids = batch.column(id_col).to_pylist()
-        for rid, t in zip(ids, batch.column(text_col).to_pylist()):
-            counts: dict[str, int] = {}
-            for w in (t or "").lower().split():
-                counts[w] = counts.get(w, 0) + 1
-            ids_out.extend([rid] * len(counts))
-            terms_out.extend(counts.keys())
-            tfs_out.extend(counts.values())
-        return pa.table({id_col: pa.array(ids_out, pa.int64()),
-                         "term": pa.array(terms_out, pa.string()),
-                         "tf": pa.array(tfs_out, pa.int64())})
-
     # (doc, term, tf) is consumed by BOTH the df aggregate and the
     # join — pin it so the tokenize pass runs once
-    tf_rows = ds.map_batches(term_freqs,
-                             batch_format="pyarrow").materialize()
+    tf_rows = ds.map_batches(
+        _term_freq_batch, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, id_col=id_col)).materialize()
 
     df_rows = (tf_rows.groupby("term").aggregate(Count(alias_name="df"))
                .map_batches(_idf_micro_batch, batch_format="pandas",
@@ -332,6 +340,38 @@ def _idf_micro_batch(df: pd.DataFrame, n_docs: int) -> pd.DataFrame:
     idf = np.floor(np.log(float(n_docs) / dfreq) * 1e6 + 0.5)
     return pd.DataFrame({"term": df["term"].to_numpy(),
                          "idf_micro": idf.astype(np.int64)})
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   max_postings: int = 1000):
+    """Distributed inverted index: per term, the exact document
+    frequency plus the first ``max_postings`` doc ids ascending,
+    comma-joined (``term, df, postings``).
+
+    One tokenize pass → (doc, term) rows → ONE keyed shuffle
+    (groupby(term)).  The postings cap keeps hot-term rows bounded —
+    a stopword's full list at corpus scale is GB-sized; ``df`` stays
+    exact regardless.  At 100 TB the natural durable output is the
+    (term, doc_id) rows themselves written as term-bucket-partitioned
+    sorted parquet; this operator is the bounded queryable surface
+    over the same single shuffle.
+    """
+    if max_postings <= 0:
+        raise ValueError("max_postings must be positive")
+
+    tf_rows = ds.map_batches(
+        _term_freq_batch, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, id_col=id_col))
+
+    def plist(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "term": g["term"].iloc[:1].to_numpy(),
+            "df": np.array([len(ids)], dtype=np.int64),
+            "postings": [",".join(map(str, ids[:max_postings]))],
+        })
+
+    return tf_rows.groupby("term").map_groups(plist, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

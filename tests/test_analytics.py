@@ -268,3 +268,32 @@ def test_analytics_queries_match_duckdb_at_sf0001(ray_session):
                 assert np.allclose(g[c], w[c], atol=1e-9), (name, c)
             else:
                 assert g[c].equals(w[c]), (name, c)
+
+
+def test_ntile_percent_rank_matches_sql_semantics(ray_session):
+    """NTILE split (first n%t tiles get the extra row) and
+    percent_rank=(rn-1)/(n-1), 0.0 for singleton groups."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import ntile_percent_rank
+
+    df = pd.DataFrame({
+        "k": ["a"] * 10 + ["b"] * 3 + ["c"],
+        "id": list(range(10)) + [20, 21, 22] + [30],
+        "v": [float(10 - i) for i in range(10)] + [5.0, 5.0, 1.0] + [9.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (ntile_percent_rank(ds, "k", "v", "id", n_tiles=4)
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    a = out[out.k == "a"]
+    # descending v → id order 0..9; tiles 3-3-2-2
+    assert a.sort_values("id")["tile"].tolist() == [
+        1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert a["pr"].min() == 0.0 and a["pr"].max() == 1.0
+    b = out[out.k == "b"].sort_values("id")
+    # tie on v=5.0 → id tie-break: 20 before 21
+    assert b["pr"].tolist() == [0.0, 0.5, 1.0]
+    assert b["tile"].tolist() == [1, 2, 3]
+    c = out[out.k == "c"]
+    assert c["pr"].tolist() == [0.0] and c["tile"].tolist() == [1]
+    with pytest.raises(ValueError):
+        ntile_percent_rank(ds, "k", "v", "id", n_tiles=0)

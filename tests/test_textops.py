@@ -297,3 +297,20 @@ def test_knn_ivf_full_probe_equals_brute_force(ray_session):
     exact = knn_brute_force(ds(), query, k=10)
     assert approx["vec_id"].tolist() == exact["vec_id"].tolist()
     assert approx["score"].tolist() == exact["score"].tolist()
+
+
+def test_repetition_batch_fractions(ray_session):
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.text import repetition_batch
+
+    b = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a a a b",          # top word 3/4, bigram "a a" 2/3
+                           "x",                # 1 word, no bigrams
+                           "",                 # empty
+                           "p q p q p"]})      # "p" 3/5; "p q" 2/4
+    out = repetition_batch(b).to_pydict()
+    assert out["n_words"] == [4, 1, 0, 5]
+    assert out["top_word_frac"] == [0.75, 1.0, 0.0, 0.6]
+    assert out["top_bigram_frac"] == [
+        round(2 / 3, 6) + 1e-6 * 0, 0.0, 0.0, 0.5]

@@ -286,3 +286,24 @@ def test_trainprep_queries_match_duckdb_at_sf0001(ray_session):
             g.dtypes.to_dict())
         for c in cols:
             assert g[c].equals(w[c]), (name, c)
+
+
+def test_inverted_index_postings_cap_and_df(ray_session):
+    """df stays exact when postings are capped; postings sorted asc."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [5, 1, 3, 2],
+        "text": ["common alpha", "common beta", "common", "COMMON beta"]})
+    ds = rd.from_pandas(docs).repartition(2)
+    out = (inverted_index(ds, max_postings=2).to_pandas()
+           .set_index("term"))
+    assert out.loc["common", "df"] == 4
+    assert out.loc["common", "postings"] == "1,2"     # capped, asc
+    assert out.loc["beta", "df"] == 2
+    assert out.loc["beta", "postings"] == "1,2"
+    assert out.loc["alpha", "postings"] == "5"
+    with pytest.raises(ValueError):
+        inverted_index(ds, max_postings=0)
