@@ -1007,6 +1007,169 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_building_revenue(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue.  Three-table composition, each step the scale-safe form:
+    segment filter → ``bucketed_semi_join`` (orders ⋉ customers, right
+    side ships keys only) → per-batch revenue pre-aggregation (the
+    combiner collapses lineitem to ≤1 row per (block, order) BEFORE
+    the join shuffle) → ``bucketed_hash_join`` on orderkey → keyed
+    sum → round → sort+limit (driver sees 10 rows)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import (bucketed_hash_join,
+                                               bucketed_semi_join)
+
+    cutoff_us = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    bldg = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .map_batches(lambda b: pa.table({"o_custkey": b["c_custkey"]}),
+                         batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "odate_us": pc.cast(b["o_orderdate"],
+                                                pa.int64())}),
+        batch_format="pyarrow")
+        .filter(expr=f"odate_us < {cutoff_us}"))
+    orders = (bucketed_semi_join(orders, bldg, key="o_custkey",
+                                 n_buckets=16)
+              .map_batches(lambda b: b.select(["o_orderkey", "odate_us"]),
+                           batch_format="pyarrow"))
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"].to_numpy()
+               * (1.0 - df["l_discount"].to_numpy()))
+        out = (pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                             "rev_p": rev})
+               .groupby("o_orderkey", sort=False).sum().reset_index())
+        return out
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"])
+            .map_batches(
+        lambda b: b.append_column("ship_us", pc.cast(b["l_shipdate"],
+                                                     pa.int64())),
+        batch_format="pyarrow")
+        .filter(expr=f"ship_us >= {cutoff_us}")
+        .map_batches(rev_partial, batch_format="pandas"))
+
+    joined = bucketed_hash_join(line, orders, key="o_orderkey",
+                                n_buckets=16)
+    agg = (joined.groupby(["o_orderkey", "odate_us"])
+           .aggregate(Sum("rev_p", alias_name="rev_raw")))
+
+    def proj(b: pa.Table) -> pa.Table:
+        r = b["rev_raw"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+            "odate_us": b["odate_us"].combine_chunks().cast(pa.int64()),
+            "revenue": pa.array(np.floor(r * 100 + 0.5) / 100, pa.float64()),
+        })
+
+    return (agg.map_batches(proj, batch_format="pyarrow")
+            .sort(["revenue", "o_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+SQL_BUILDING_REVENUE = """
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us
+  FROM orders
+  WHERE epoch_us(o_orderdate) < epoch_us(DATE '1998-01-01')
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')),
+l AS (
+  SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= epoch_us(DATE '1998-01-01'))
+SELECT o.o_orderkey, o.odate_us, round(sum(l.rev), 2) AS revenue
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_customer_order_totals(sf_dir: str):
+    """LEFT OUTER bucketed join with zero-fill: every customer with
+    their order count and total spend, 0 for order-less customers.
+    The fact side pre-aggregates per custkey BEFORE the join, so the
+    join moves one row per customer, never raw orders."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    ord_agg = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+               .groupby("o_custkey")
+               .aggregate(Count(alias_name="n_ord"),
+                          Sum("o_totalprice", alias_name="spent_raw"))
+               .map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"],
+                            "n_ord": b["n_ord"],
+                            "spent_raw": b["spent_raw"]}),
+        batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = bucketed_hash_join(cust, ord_agg, key="c_custkey",
+                                n_buckets=16, how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        spent = df["spent_raw"].fillna(0.0).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(dtype=np.int64),
+            "n_orders": df["n_ord"].fillna(0).to_numpy(dtype=np.int64),
+            "total_spent": np.floor(spent * 100 + 0.5) / 100,
+        })
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+SQL_CUSTOMER_ORDER_TOTALS = """
+SELECT c_custkey,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+       round(coalesce(o.s, 0), 2) AS total_spent
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS s
+           FROM orders GROUP BY 1) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_event_outliers(sf_dir: str):
+    """Per-type z-score outliers (|z| ≥ 2) over event values
+    (``zscore_outliers``): moments as exact int64 cents so both
+    engines derive mean/std from identical integers."""
+    from markdown_lab_ray.stages.analytics import zscore_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return zscore_outliers(ds, key_col="event_type", value_col="value",
+                           id_col="event_id", threshold=2.0)
+
+
+SQL_EVENT_OUTLIERS = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+st AS (
+  SELECT event_type,
+         CAST(sum(cents) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(sum(cents * cents) AS DOUBLE) / count(*)
+              - (CAST(sum(cents) AS DOUBLE) / count(*))
+                * (CAST(sum(cents) AS DOUBLE) / count(*))) AS std
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type,
+       round((c.cents - st.mean) / st.std, 6) AS z
+FROM c JOIN st USING (event_type)
+WHERE st.std > 0 AND abs((c.cents - st.mean) / st.std) >= 2
+"""
+
+
 def q_inverted_index(sf_dir: str):
     """Inverted index over the corpus (``inverted_index``): per term,
     exact document frequency + the first 1000 doc ids ascending,
@@ -1973,6 +2136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "repetition_stats": q_repetition_stats,
         "order_quartiles": q_order_quartiles,
+        "building_revenue": q_building_revenue,
+        "customer_order_totals": q_customer_order_totals,
+        "event_outliers": q_event_outliers,
         # rows-only (non-SQL-expressible)
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
@@ -2050,4 +2216,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": SQL_INVERTED_INDEX,
         "repetition_stats": SQL_REPETITION_STATS,
         "order_quartiles": SQL_ORDER_QUARTILES,
+        "building_revenue": SQL_BUILDING_REVENUE,
+        "customer_order_totals": SQL_CUSTOMER_ORDER_TOTALS,
+        "event_outliers": SQL_EVENT_OUTLIERS,
     }

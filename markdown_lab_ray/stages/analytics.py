@@ -341,3 +341,67 @@ def ntile_percent_rank(ds, key_col: str, order_col: str, id_col: str,
         })
 
     return ds.groupby(key_col).map_groups(rk, batch_format="pandas")
+
+
+def zscore_outliers(ds, key_col: str, value_col: str, id_col: str,
+                    threshold: float = 2.0):
+    """Per-key z-score outliers (|z| ≥ threshold) with bit-exact
+    cross-engine parity: moments are accumulated as EXACT int64 cents
+    (per-batch combiner → one tiny keyed shuffle of (n, sum, sumsq)
+    partials), so mean/std are derived from identical integers on any
+    engine and the float op order is fixed (mean = sc/n; var = sq/n -
+    mean²; z = (cents - mean)/std).  Keys with zero variance emit
+    nothing.  The {key: (mean, std)} table is O(keys) driver state —
+    same cardinality bound as the sketch — broadcast via ``ray.put``;
+    the flag pass is a stateless vectorized filter.
+
+    Output: (id, key, z) with z rounded half-away-from-zero to 6 dp.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df[value_col].to_numpy())
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "n_p": np.ones(len(cents), np.int64),
+                          "sc_p": cents,
+                          "sq_p": cents * cents})
+        out = g.groupby(key_col, sort=False).sum().reset_index()
+        return out.astype({"n_p": "int64", "sc_p": "int64", "sq_p": "int64"})
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(key_col)
+             .aggregate(Sum("n_p", alias_name="n"),
+                        Sum("sc_p", alias_name="sc"),
+                        Sum("sq_p", alias_name="sq"))).to_pandas()
+
+    means: dict = {}
+    stds: dict = {}
+    for k, n, sc, sq in zip(stats[key_col], stats["n"], stats["sc"],
+                            stats["sq"]):
+        mean = float(sc) / int(n)
+        var = float(sq) / int(n) - mean * mean
+        if var > 0:
+            means[k] = mean
+            stds[k] = math.sqrt(var)
+    ref = ray.put((means, stds))
+
+    def flag(b: pa.Table, stats_ref) -> pa.Table:
+        m, s = ray.get(stats_ref)
+        keys = b.column(key_col).to_pandas()
+        cents = _cents(b.column(value_col).to_numpy(zero_copy_only=False))
+        mu = keys.map(m).to_numpy(dtype=np.float64, na_value=np.nan)
+        sd = keys.map(s).to_numpy(dtype=np.float64, na_value=np.nan)
+        z = (cents.astype(np.float64) - mu) / sd
+        mask = pa.array(np.abs(z) >= threshold)   # NaN → False
+        kept = b.filter(mask)
+        zk = z[np.asarray(mask)]
+        z6 = np.sign(zk) * np.floor(np.abs(zk) * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: kept.column(id_col),
+                         key_col: kept.column(key_col),
+                         "z": pa.array(z6, pa.float64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          fn_kwargs=dict(stats_ref=ref))

@@ -297,3 +297,46 @@ def test_ntile_percent_rank_matches_sql_semantics(ray_session):
     assert c["pr"].tolist() == [0.0] and c["tile"].tolist() == [1]
     with pytest.raises(ValueError):
         ntile_percent_rank(ds, "k", "v", "id", n_tiles=0)
+
+
+def test_zscore_outliers_exact_moments_and_zero_variance(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import zscore_outliers
+
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "k": ["a"] * 6 + ["flat"] * 2,
+        # a: five 1.00s and one 11.00 → the 11.00 is far out
+        "v": [1.0, 1.0, 1.0, 1.0, 1.0, 11.0, 5.0, 5.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = zscore_outliers(ds, "k", "v", "id", threshold=2.0).to_pandas()
+    # zero-variance key emits nothing
+    assert (out["k"] == "flat").sum() == 0
+    assert out["id"].tolist() == [5]
+    # exact moments: cents mean=(5*100+1100)/6, var=sq/n-mean^2
+    mean = (5 * 100 + 1100) / 6
+    var = (5 * 100**2 + 1100**2) / 6 - mean * mean
+    want = (1100 - mean) / math.sqrt(var)
+    got = out["z"].iloc[0]
+    assert abs(got - want) < 1e-6
+
+
+def test_bucketed_hash_join_left_keeps_unmatched(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2, 3], np.int64),
+         "lv": np.array([10, 20, 30], np.int64)})).repartition(2)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([2], np.int64), "rv": np.array([99], np.int64)}))
+    out = (bucketed_hash_join(left, right, key="k", n_buckets=4,
+                              how="left")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["rv"].isna().tolist() == [True, False, True]
+    assert out.loc[1, "rv"] == 99
