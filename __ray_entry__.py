@@ -1007,6 +1007,55 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_cap_per_source(sf_dir: str):
+    """Domain-cap curation rule (``cap_per_key``): at most 10 docs per
+    source, chosen by the content-independent (md5(id), id) order —
+    stable under repartitioning/resume; skew-proof via the per-batch
+    pre-cap combiner."""
+    from markdown_lab_ray.stages.trainprep import cap_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_key(ds, key_col="source", id_col="doc_id", k=10)
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+def q_redact_props(sf_dir: str):
+    """PII scrubbing (``redact_batch``) over the event payload column:
+    emails then ≥2-digit runs replaced by tokens, replacement count per
+    row.  Pure map."""
+    from markdown_lab_ray.stages.text import redact_batch
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(redact_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(text_col="props"))
+
+
+SQL_REDACT_PROPS = r"""
+WITH pass1 AS (
+  SELECT event_id, props,
+         regexp_replace(props,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS p1,
+         len(regexp_extract_all(props,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1
+  FROM events)
+SELECT event_id, props,
+       regexp_replace(p1, '\d{2,}', '<NUM>', 'g') AS redacted,
+       CAST(n1 + len(regexp_extract_all(p1, '\d{2,}')) AS BIGINT)
+           AS n_redacted
+FROM pass1
+"""
+
+
 def q_building_revenue(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
     revenue.  Three-table composition, each step the scale-safe form:
@@ -2139,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_revenue": q_building_revenue,
         "customer_order_totals": q_customer_order_totals,
         "event_outliers": q_event_outliers,
+        "cap_per_source": q_cap_per_source,
+        "redact_props": q_redact_props,
         # rows-only (non-SQL-expressible)
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
@@ -2219,4 +2270,6 @@ def oracle_sql() -> dict[str, str]:
         "building_revenue": SQL_BUILDING_REVENUE,
         "customer_order_totals": SQL_CUSTOMER_ORDER_TOTALS,
         "event_outliers": SQL_EVENT_OUTLIERS,
+        "cap_per_source": SQL_CAP_PER_SOURCE,
+        "redact_props": SQL_REDACT_PROPS,
     }

@@ -175,3 +175,39 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
         "top_word_frac": pa.array(_r6(top_w), pa.float64()),
         "top_bigram_frac": pa.array(_r6(top_b), pa.float64()),
     })
+
+
+_PII_PATTERNS: tuple = (
+    (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+     "<EMAIL>"),
+    (re.compile(r"\d{2,}"), "<NUM>"),
+)
+
+
+def redact_batch(batch: pa.Table, text_col: str = "text",
+                 out_col: str = "redacted",
+                 count_col: str = "n_redacted",
+                 patterns=None) -> pa.Table:
+    """PII scrubbing (curation): apply each (compiled-regex,
+    replacement) pair IN ORDER to the text, counting total
+    replacements.  Later patterns see earlier patterns' output — the
+    oracle must chain its ``regexp_replace`` calls the same way.
+    Default pattern set: emails, then runs of ≥2 digits.  Patterns are
+    RE2-compatible (no backrefs/lookarounds) so SQL engines replicate
+    them exactly.  Pure map, no shuffle; regexes compiled once at
+    module import."""
+    pats = _PII_PATTERNS if patterns is None else patterns
+    texts = batch.column(text_col).to_pylist()
+    out = []
+    counts = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        s = t or ""
+        total = 0
+        for pat, repl in pats:
+            s, n = pat.subn(repl, s)
+            total += n
+        out.append(s)
+        counts[i] = total
+    return (batch
+            .append_column(out_col, pa.array(out, pa.string()))
+            .append_column(count_col, pa.array(counts)))

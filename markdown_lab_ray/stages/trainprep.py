@@ -27,6 +27,7 @@ __all__ = [
     "percentile_gate",
     "tfidf_top_terms",
     "inverted_index",
+    "cap_per_key",
 ]
 
 
@@ -412,3 +413,38 @@ def aspect_bucket_batch(batch: pa.Table, w_col: str = "w", h_col: str = "h",
                            pa.array([buckets[i][1] for i in idx], pa.int64()))
             .append_column("target_h",
                            pa.array([buckets[i][2] for i in idx], pa.int64())))
+
+
+# ---------------------------------------------------------------------------
+# per-key row cap (domain-cap curation rule)
+# ---------------------------------------------------------------------------
+
+def _md5_hex(ids) -> list[str]:
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def cap_per_key(ds, key_col: str, id_col: str, k: int):
+    """Keep at most ``k`` rows per key — the "cap pages per domain"
+    crawl-curation rule.  Selection is deterministic and
+    content-independent: the ``k`` rows with smallest
+    ``(md5(str(id)), id)``, i.e. a uniform pseudo-random-but-stable
+    choice that never changes across runs, repartitioning, or resume.
+
+    Scale shape: a per-batch combiner pre-caps each block to ≤ k rows
+    per key BEFORE the shuffle (skew-proof: a hot key ships at most
+    k·blocks rows, not its full row set), then one keyed shuffle and a
+    final per-group cap."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def precap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=_md5_hex(df[id_col]))
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return g.drop(columns="_h")
+
+    return (ds.map_batches(precap, batch_format="pandas")
+            .groupby(key_col).map_groups(final, batch_format="pandas"))

@@ -314,3 +314,22 @@ def test_repetition_batch_fractions(ray_session):
     assert out["top_word_frac"] == [0.75, 1.0, 0.0, 0.6]
     assert out["top_bigram_frac"] == [
         round(2 / 3, 6) + 1e-6 * 0, 0.0, 0.0, 0.5]
+
+
+def test_redact_batch_sequences_patterns(ray_session):
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.text import redact_batch
+
+    b = pa.table({"text": [
+        "contact john.doe+x@mail.example.org or call 5551234",
+        "v1 has 7 items",          # single digit untouched
+        "ids 42 and 4242",
+        None]})
+    out = redact_batch(b)
+    assert out.column("redacted").to_pylist() == [
+        "contact <EMAIL> or call <NUM>",
+        "v1 has 7 items",
+        "ids <NUM> and <NUM>",
+        ""]
+    assert out.column("n_redacted").to_pylist() == [2, 0, 2, 0]

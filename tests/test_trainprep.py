@@ -307,3 +307,34 @@ def test_inverted_index_postings_cap_and_df(ray_session):
     assert out.loc["alpha", "postings"] == "5"
     with pytest.raises(ValueError):
         inverted_index(ds, max_postings=0)
+
+
+def test_cap_per_key_deterministic_and_skew_proof(ray_session):
+    """Cap picks the k smallest (md5(id), id) rows per key; identical
+    result at any partitioning (the pre-cap combiner must not change
+    the selection)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import cap_per_key
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "src": ["hot"] * 250 + [f"s{i}" for i in rng.randint(0, 9, 50)]})
+
+    def oracle(k):
+        d = df.assign(_h=[hashlib.md5(str(i).encode()).hexdigest()
+                          for i in df["doc_id"]])
+        d = d.sort_values(["_h", "doc_id"])
+        return set(map(tuple, d.groupby("src", sort=False).head(k)
+                       [["doc_id", "src"]].itertuples(index=False)))
+
+    for parts in (1, 7):
+        out = cap_per_key(rd.from_pandas(df).repartition(parts),
+                          key_col="src", id_col="doc_id", k=5).to_pandas()
+        assert set(map(tuple, out[["doc_id", "src"]]
+                       .itertuples(index=False))) == oracle(5)
+        assert (out.groupby("src").size() <= 5).all()
+        assert (out[out.src == "hot"].shape[0]) == 5
+    with pytest.raises(ValueError):
+        cap_per_key(rd.from_pandas(df), "src", "doc_id", 0)
