@@ -320,18 +320,27 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 3, text_col: str = "text",
     joined = bucketed_hash_join(tf_rows, df_rows, key="term",
                                 n_buckets=n_buckets)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    # group by a doc-id bucket, not by doc: B group tasks instead of
+    # one tiny pandas group per document; the per-bucket top-k is one
+    # vectorized sort + groupby-head over all of the bucket's docs
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _db=df[id_col].to_numpy(dtype=np.int64) % n_buckets)
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
         score = (g["tf"].to_numpy(dtype=np.int64)
                  * g["idf_micro"].to_numpy(dtype=np.int64))
         out = pd.DataFrame({id_col: g[id_col].to_numpy(),
                             "term": g["term"].to_numpy(),
                             "score": score})
         out = out.sort_values(["score", "term"], ascending=[False, True],
-                              kind="mergesort").head(k)
-        return out.reset_index(drop=True)
+                              kind="mergesort")
+        return (out.groupby(id_col, sort=False).head(k)
+                .reset_index(drop=True))
 
-    return (joined.groupby(id_col)
-            .map_groups(topk, batch_format="pandas"))
+    return (joined.map_batches(tag, batch_format="pandas")
+            .groupby("_db").map_groups(topk_bucket,
+                                       batch_format="pandas"))
 
 
 def _idf_micro_batch(df: pd.DataFrame, n_docs: int) -> pd.DataFrame:
@@ -344,35 +353,49 @@ def _idf_micro_batch(df: pd.DataFrame, n_docs: int) -> pd.DataFrame:
 
 
 def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
-                   max_postings: int = 1000):
+                   max_postings: int = 1000, n_buckets: int = 64):
     """Distributed inverted index: per term, the exact document
     frequency plus the first ``max_postings`` doc ids ascending,
     comma-joined (``term, df, postings``).
 
-    One tokenize pass → (doc, term) rows → ONE keyed shuffle
-    (groupby(term)).  The postings cap keeps hot-term rows bounded —
-    a stopword's full list at corpus scale is GB-sized; ``df`` stays
-    exact regardless.  At 100 TB the natural durable output is the
-    (term, doc_id) rows themselves written as term-bucket-partitioned
-    sorted parquet; this operator is the bounded queryable surface
-    over the same single shuffle.
+    One tokenize pass → (doc, term) rows → ONE keyed shuffle, grouped
+    by ``hash(term) % n_buckets`` rather than by term — B group tasks
+    regardless of vocabulary size (a raw groupby(term) would make one
+    tiny pandas group per term; per-group overhead dominates at
+    million-term vocabularies).  Each bucket task builds all of its
+    terms' postings from one sort + groupby-agg.  The postings cap
+    keeps hot-term rows bounded — a stopword's full list at corpus
+    scale is GB-sized; ``df`` stays exact regardless.  At 100 TB the
+    natural durable output is the (term, doc_id) rows themselves
+    written as term-bucket-partitioned sorted parquet; this operator
+    is the bounded queryable surface over the same single shuffle.
     """
     if max_postings <= 0:
         raise ValueError("max_postings must be positive")
 
-    tf_rows = ds.map_batches(
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_tb=_key_buckets(df["term"].to_numpy(),
+                                          n_buckets))
+
+    tf_rows = (ds.map_batches(
         _term_freq_batch, batch_format="pyarrow",
         fn_kwargs=dict(text_col=text_col, id_col=id_col))
+        .map_batches(tag, batch_format="pandas"))
 
-    def plist(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
+    def plist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_col], kind="mergesort")
+        grp = g.groupby("term", sort=False)[id_col]
+        dfc = grp.size()
+        posts = grp.agg(lambda s: ",".join(map(str,
+                                               s.iloc[:max_postings])))
         return pd.DataFrame({
-            "term": g["term"].iloc[:1].to_numpy(),
-            "df": np.array([len(ids)], dtype=np.int64),
-            "postings": [",".join(map(str, ids[:max_postings]))],
+            "term": dfc.index.to_numpy(),
+            "df": dfc.to_numpy(dtype=np.int64),
+            "postings": posts.to_numpy(),
         })
 
-    return tf_rows.groupby("term").map_groups(plist, batch_format="pandas")
+    return tf_rows.groupby("_tb").map_groups(plist_bucket,
+                                             batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -423,7 +446,16 @@ def _md5_hex(ids) -> list[str]:
     return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
 
 
-def cap_per_key(ds, key_col: str, id_col: str, k: int):
+def _key_buckets(values, n_buckets: int) -> np.ndarray:
+    """Process-stable bucket id per value (``pd.util.hash_array`` uses
+    a fixed siphash key, so workers agree across processes/runs)."""
+    arr = np.asarray(values)
+    h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def cap_per_key(ds, key_col: str, id_col: str, k: int,
+                n_buckets: int = 64):
     """Keep at most ``k`` rows per key — the "cap pages per domain"
     crawl-curation rule.  Selection is deterministic and
     content-independent: the ``k`` rows with smallest
@@ -432,19 +464,24 @@ def cap_per_key(ds, key_col: str, id_col: str, k: int):
 
     Scale shape: a per-batch combiner pre-caps each block to ≤ k rows
     per key BEFORE the shuffle (skew-proof: a hot key ships at most
-    k·blocks rows, not its full row set), then one keyed shuffle and a
-    final per-group cap."""
+    k·blocks rows, not its full row set); the shuffle groups by
+    ``hash(key) % n_buckets`` — B groups regardless of key cardinality
+    (millions of domains ≠ millions of tiny pandas groups) — and the
+    final cap is one vectorized groupby-head per bucket."""
     if k <= 0:
         raise ValueError("k must be positive")
 
     def precap(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_h=_md5_hex(df[id_col]))
         df = df.sort_values(["_h", id_col], kind="mergesort")
-        return df.groupby(key_col, sort=False).head(k)
+        df = df.groupby(key_col, sort=False).head(k)
+        return df.assign(_kb=_key_buckets(df[key_col].to_numpy(),
+                                          n_buckets))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_h", id_col], kind="mergesort").head(k)
-        return g.drop(columns="_h")
+        g = g.sort_values(["_h", id_col], kind="mergesort")
+        out = g.groupby(key_col, sort=False).head(k)
+        return out.drop(columns=["_h", "_kb"])
 
     return (ds.map_batches(precap, batch_format="pandas")
-            .groupby(key_col).map_groups(final, batch_format="pandas"))
+            .groupby("_kb").map_groups(final, batch_format="pandas"))
