@@ -360,22 +360,33 @@ FROM (
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — groupby +
-    sorted per-group pandas (streaming-shaped op)."""
+    """Session windows (30-min inactivity gap) per user — one bucketed
+    keyed shuffle (B group tasks, not one per user); the session
+    boundaries for ALL of a bucket's users come from one sort +
+    per-user diff (streaming-shaped op)."""
     import pandas as pd
 
+    from markdown_lab_ray.stages.bucketing import key_buckets
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff()
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gaps = g.groupby("user_id", sort=False)["ts"].diff()
         new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        agg = (g.assign(_ns=new_session)
+               .groupby("user_id", sort=False)
+               .agg(n_sessions=("_ns", "sum"), n_events=("_ns", "size"))
+               .reset_index())
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(new_session.sum())],
-            "n_events": [len(g)],
+            "user_id": agg["user_id"].to_numpy(),
+            "n_sessions": agg["n_sessions"].to_numpy(dtype=np.int64),
+            "n_events": agg["n_events"].to_numpy(dtype=np.int64),
         })
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["user_id"].to_numpy(), 64)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(sessions, batch_format="pandas")
 
 
 SQL_SESSIONIZE = """

@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from markdown_lab_ray.stages.bucketing import key_buckets
+
 
 def _cents(values: np.ndarray) -> np.ndarray:
     """2-decimal currency doubles → exact int64 cents (half-away-from-
@@ -46,61 +48,84 @@ def _cents(values: np.ndarray) -> np.ndarray:
 
 def rolling_sum_cents(ds, window: int = 7, key_col: str = "user_id",
                       ts_col: str = "ts", value_col: str = "value",
-                      id_col: str = "event_id"):
+                      id_col: str = "event_id", n_buckets: int = 64):
     """Trailing ``window``-row sum per key in exact integer cents.
-    One keyed shuffle; the cumsum-difference inside the group fn is
-    O(rows), fully vectorized.  Output: (key, id, roll_sum_cents)."""
+    One keyed shuffle on ``hash(key) % n_buckets`` (B group tasks, not
+    one per key — see ``bucketing.py``); inside a bucket the windowed
+    sum is a per-key cumsum difference, all pandas-groupby vectorized.
+    Output: (key, id, roll_sum_cents)."""
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
-        cents = _cents(g[value_col].to_numpy())
-        csum = np.cumsum(cents)
-        out = csum.copy()
-        out[window:] = csum[window:] - csum[:-window]
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        g = g.assign(_c=_cents(g[value_col].to_numpy()))
+        grp = g.groupby(key_col, sort=False)["_c"]
+        csum = grp.cumsum()
+        lagged = csum.groupby(g[key_col].to_numpy()).shift(window)
+        out = (csum - lagged.fillna(0)).to_numpy(dtype=np.int64)
         return pd.DataFrame({
             key_col: g[key_col].to_numpy(),
             id_col: g[id_col].to_numpy(),
             "roll_sum_cents": out,
         })
 
-    return ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(roll, batch_format="pandas")
 
 
 def lag_deltas(ds, key_col: str = "user_id", ts_col: str = "ts",
-               id_col: str = "event_id"):
+               id_col: str = "event_id", n_buckets: int = 64):
     """Inter-event gap in exact integer microseconds per key (the
     LAG() building block: inter-arrival analysis, bot detection).
-    First event of each key is dropped (no predecessor).
-    Output: (key, id, delta_us)."""
+    First event of each key is dropped (no predecessor).  Bucketed
+    shuffle (B group tasks); per-key diff vectorized inside the
+    bucket.  Output: (key, id, delta_us)."""
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
+        delta = pd.Series(us).groupby(keys).diff().to_numpy()
+        keep = ~np.isnan(delta)
         return pd.DataFrame({
-            key_col: g[key_col].to_numpy()[1:],
-            id_col: g[id_col].to_numpy()[1:],
-            "delta_us": np.diff(us),
+            key_col: keys[keep],
+            id_col: g[id_col].to_numpy()[keep],
+            "delta_us": delta[keep].astype(np.int64),
         })
 
-    return ds.groupby(key_col).map_groups(gaps, batch_format="pandas")
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(gaps, batch_format="pandas")
 
 
 def rank_in_group(ds, key_col: str, order_col: str, id_col: str,
-                  descending: bool = True, rank_col: str = "rn"):
+                  descending: bool = True, rank_col: str = "rn",
+                  n_buckets: int = 64):
     """ROW_NUMBER() per key: deterministic total order inside each
-    group via (order_col, id_col) tie-break.  Output keeps the input's
-    (key, id) plus the 1-based rank."""
+    group via (order_col, id_col) tie-break.  Bucketed shuffle;
+    in-bucket ranks via one sort + groupby-cumcount.  Output keeps the
+    input's (key, id) plus the 1-based rank."""
 
     def rk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, id_col],
-                          ascending=[not descending, True], kind="mergesort")
+        g = g.sort_values([key_col, order_col, id_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort")
+        rn = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
         return pd.DataFrame({
             key_col: g[key_col].to_numpy(),
             id_col: g[id_col].to_numpy(),
-            rank_col: np.arange(1, len(g) + 1, dtype=np.int64),
+            rank_col: rn.astype(np.int64),
         })
 
-    return ds.groupby(key_col).map_groups(rk, batch_format="pandas")
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(rk, batch_format="pandas")
 
 
 def pivot_counts(ds, key_col: str, cat_col: str,
@@ -295,16 +320,26 @@ def argmax_per_key(ds, key_col: str, cat_col: str, n_col: str = "n",
         return out
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        totals = g.groupby(cat_col)["_n"].sum().sort_index()
-        best = totals.idxmax()  # first max in index (= lexicographic) order
+        # all keys of the bucket at once: sum partials per (key, cat),
+        # then (count desc, cat asc) order + drop_duplicates(key) picks
+        # each key's most-frequent category, ties to the smallest cat
+        totals = (g.groupby([key_col, cat_col], sort=False)["_n"].sum()
+                  .reset_index())
+        totals = totals.sort_values([key_col, "_n", cat_col],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+        win = totals.drop_duplicates(key_col, keep="first")
         return pd.DataFrame({
-            key_col: g[key_col].iloc[:1].to_numpy(),
-            out_cat_col: [best],
-            n_col: np.asarray([totals[best]], dtype=np.int64),
+            key_col: win[key_col].to_numpy(),
+            out_cat_col: win[cat_col].to_numpy(),
+            n_col: win["_n"].to_numpy(dtype=np.int64),
         })
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby(key_col).map_groups(pick, batch_format="pandas"))
+    tagged = (ds.map_batches(partial, batch_format="pandas")
+              .map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(), 64)),
+        batch_format="pandas"))
+    return tagged.groupby("_b").map_groups(pick, batch_format="pandas")
 
 
 def ntile_percent_rank(ds, key_col: str, order_col: str, id_col: str,
@@ -321,18 +356,20 @@ def ntile_percent_rank(ds, key_col: str, order_col: str, id_col: str,
         raise ValueError("n_tiles must be positive")
 
     def rk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, id_col],
-                          ascending=[not descending, True],
+        g = g.sort_values([key_col, order_col, id_col],
+                          ascending=[True, not descending, True],
                           kind="mergesort")
-        n = len(g)
-        i = np.arange(n, dtype=np.int64)
-        pr = i / (n - 1) if n > 1 else np.zeros(n, np.float64)
-        base, rem = divmod(n, n_tiles)
+        grp = g.groupby(key_col, sort=False)
+        i = grp.cumcount().to_numpy(dtype=np.int64)
+        n = grp[id_col].transform("size").to_numpy(dtype=np.int64)
+        pr = np.where(n > 1, i / np.maximum(n - 1, 1), 0.0)
+        base = n // n_tiles
+        rem = n % n_tiles
         big = rem * (base + 1)
         tile = np.where(
             i < big,
-            i // max(base + 1, 1),
-            rem + (np.maximum(i - big, 0) // max(base, 1)))
+            i // np.maximum(base + 1, 1),
+            rem + (np.maximum(i - big, 0) // np.maximum(base, 1)))
         return pd.DataFrame({
             key_col: g[key_col].to_numpy(),
             id_col: g[id_col].to_numpy(),
@@ -340,7 +377,10 @@ def ntile_percent_rank(ds, key_col: str, order_col: str, id_col: str,
             "tile": (tile + 1).astype(np.int64),
         })
 
-    return ds.groupby(key_col).map_groups(rk, batch_format="pandas")
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(), 64)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(rk, batch_format="pandas")
 
 
 def zscore_outliers(ds, key_col: str, value_col: str, id_col: str,

@@ -357,19 +357,29 @@ def exact_dedup_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
     return out.select_columns([id_col])
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 64):
     """Keep the full min-id row per exact text (generic row-preserving
-    variant; prefer ``exact_dedup_ids`` when only ids are needed)."""
+    variant; prefer ``exact_dedup_ids`` when only ids are needed).
+    Groups by ``hash(md5) % n_buckets`` — B group tasks regardless of
+    distinct-text count; the in-bucket winner pick is one vectorized
+    sort + drop_duplicates."""
+    from .bucketing import key_buckets
     from .text import add_text_hash_batch
 
     def keep_first(df):
-        return df.sort_values(id_col, kind="mergesort").head(1)
+        df = df.sort_values(["text_md5", id_col], kind="mergesort")
+        return df.drop_duplicates("text_md5", keep="first")
 
-    hashed = ds.map_batches(add_text_hash_batch, batch_format="pyarrow",
-                            fn_kwargs=dict(text_col=text_col))
-    return (hashed.groupby("text_md5")
+    hashed = (ds.map_batches(add_text_hash_batch, batch_format="pyarrow",
+                             fn_kwargs=dict(text_col=text_col))
+              .map_batches(
+        lambda df: df.assign(_hb=key_buckets(df["text_md5"].to_numpy(),
+                                             n_buckets)),
+        batch_format="pandas"))
+    return (hashed.groupby("_hb")
             .map_groups(keep_first, batch_format="pandas")
-            .drop_columns(["text_md5"]))
+            .drop_columns(["text_md5", "_hb"]))
 
 
 def pair_bucket_ids(a: np.ndarray, b: np.ndarray,

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from markdown_lab_ray.stages.bucketing import key_buckets as _key_buckets
+
 __all__ = [
     "decontaminate",
     "pack_sequences",
@@ -444,14 +446,6 @@ def aspect_bucket_batch(batch: pa.Table, w_col: str = "w", h_col: str = "h",
 
 def _md5_hex(ids) -> list[str]:
     return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-
-
-def _key_buckets(values, n_buckets: int) -> np.ndarray:
-    """Process-stable bucket id per value (``pd.util.hash_array`` uses
-    a fixed siphash key, so workers agree across processes/runs)."""
-    arr = np.asarray(values)
-    h = pd.util.hash_array(arr, categorize=False)
-    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 def cap_per_key(ds, key_col: str, id_col: str, k: int,
