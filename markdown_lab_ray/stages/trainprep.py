@@ -300,7 +300,8 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 3, text_col: str = "text",
          table stays a Dataset;
       3. ``bucketed_hash_join`` of tf rows with df rows on term
          (one hash shuffle each side);
-      4. groupby(doc) → top-k group fn.
+      4. groupby(doc-id bucket) → vectorized per-doc top-k (B group
+         tasks, not one per document — see ``bucketing.py``).
     """
     from ray.data.aggregate import Count
 
