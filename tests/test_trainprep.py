@@ -338,3 +338,56 @@ def test_cap_per_key_deterministic_and_skew_proof(ray_session):
         assert (out[out.src == "hot"].shape[0]) == 5
     with pytest.raises(ValueError):
         cap_per_key(rd.from_pandas(df), "src", "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# property tests (single-process oracles over random inputs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abc"),
+                          st.integers(0, 20)),
+                min_size=1, max_size=60),
+       st.floats(0.01, 1.0))
+def test_percentile_gate_matches_rank_oracle(ray_session, rows, q):
+    """percentile_gate == keep rows ≥ the value at 1-based rank
+    ceil(q·n) of the key's sorted multiset (PERCENTILE_DISC)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import percentile_gate
+
+    df = pd.DataFrame({"k": [r[0] for r in rows],
+                       "v": [float(r[1]) for r in rows],
+                       "id": np.arange(len(rows), dtype=np.int64)})
+    out = percentile_gate(rd.from_pandas(df).repartition(3),
+                          "v", "k", q=q).to_pandas()
+    want = set()
+    for k, g in df.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        thr = vals[int(np.ceil(q * len(vals))) - 1]
+        want |= set(g.loc[g["v"] >= thr, "id"])
+    assert set(out["id"]) == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=80,
+                unique=True),
+       st.integers(1, 6))
+def test_cap_per_key_matches_hash_order_oracle(ray_session, ids, k):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.trainprep import cap_per_key
+
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                       "src": [f"s{i % 3}" for i in ids]})
+    out = cap_per_key(rd.from_pandas(df).repartition(2),
+                      "src", "doc_id", k=k).to_pandas()
+    d = df.assign(_h=[hashlib.md5(str(i).encode()).hexdigest()
+                      for i in df["doc_id"]])
+    want = set(d.sort_values(["_h", "doc_id"])
+               .groupby("src", sort=False).head(k)["doc_id"])
+    assert set(out["doc_id"]) == want
