@@ -110,3 +110,54 @@ def render_js_page(url: str, wait_time_ms=None):
     raise NotImplementedError(
         "JS rendering requires a headless browser; not available in this "
         "environment (stub — see reference src/js_renderer.rs)")
+
+
+# ---------------------------------------------------------------------------
+# image+caption corpus reader (BASELINE input_hint contract)
+# ---------------------------------------------------------------------------
+
+# the input contract's column shape: (image_id:string, bytes:binary,
+# w:int32, h:int32, fmt:string, caption:string, phash:int64)
+IMAGE_TABLE_COLUMNS: dict[str, pa.DataType] = {
+    "image_id": pa.string(),
+    "bytes": pa.binary(),
+    "w": pa.int32(),
+    "h": pa.int32(),
+    "fmt": pa.string(),
+    "caption": pa.string(),
+    "phash": pa.int64(),
+}
+
+
+def read_image_table(path: str, columns: list[str] | None = None):
+    """Read the image+caption corpus as a streaming Dataset.
+
+    The contract's native storage is a Lance dataset (``.lance`` —
+    fragment-parallel scans with real column pruning, the right layout
+    for wide binary payload columns): routed to ``ray.data.read_lance``
+    when ``pylance`` is installed.  Parquet paths use
+    ``read_parquet`` with the same column-pruning contract.  This
+    container has no ``pylance``, so the Lance branch raises an
+    actionable error and is exercised in tests only up to that seam.
+
+    ``columns`` prunes at the read (never load 100 TB of image bytes
+    to count captions); requested columns are validated against the
+    contract schema so typos fail fast, and unknown extra columns in
+    the file are allowed (forward-compatible).
+    """
+    import ray.data as rd
+
+    if columns is not None:
+        unknown = set(columns) - set(IMAGE_TABLE_COLUMNS)
+        if unknown:
+            raise ValueError(
+                f"not in the image-table contract: {sorted(unknown)}")
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                "Lance dataset given but pylance is not installed; "
+                "install pylance or convert to parquet") from exc
+        return rd.read_lance(path, columns=columns)
+    return rd.read_parquet(path, columns=columns)

@@ -149,3 +149,36 @@ def test_frame_sample_stage(ray_session):
     out = bad.map_batches(FrameSample, batch_format="pyarrow",
                           concurrency=1).take_all()
     assert out[0]["decode_ok"] is False or out[0]["decode_ok"] == False  # noqa: E712
+
+
+def test_read_image_table_parquet_contract(ray_session, tmp_path):
+    """Round-trip the input_hint schema through the storage reader with
+    column pruning, then run the decode-validate stage over it."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from markdown_lab_ray.sources.io import read_image_table
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import DecodeValidate
+    from markdown_lab_ray.sources.synth import reference_pixels_fn
+
+    spec = SiteSpec(n_images=40)
+    table = build_images_table(spec)
+    p = str(tmp_path / "images.parquet")
+    pq.write_table(table, p)
+
+    pruned = read_image_table(p, columns=["image_id", "w", "h"])
+    assert set(pruned.schema().names) == {"image_id", "w", "h"}
+    assert pruned.count() == 40
+
+    full = read_image_table(p).map_batches(
+        DecodeValidate, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2),
+        fn_constructor_kwargs=dict(ref_fn=reference_pixels_fn(spec)))
+    out = full.to_pandas()
+    assert len(out) == 40 and bool(out["pixels_ok"].all())
+
+    with pytest.raises(ValueError):
+        read_image_table(p, columns=["nope"])
+    with pytest.raises(RuntimeError):
+        read_image_table(str(tmp_path / "corpus.lance"))
