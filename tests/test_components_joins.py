@@ -163,3 +163,26 @@ def test_cc_distributed_random_graph_matches_union_find(ray_session):
     touched = sorted(set(edges.u) | set(edges.v))
     uf = connected_components(list(zip(edges.u, edges.v)), touched)
     assert dict(zip(out.node, out.label)) == uf
+
+
+def test_bucketed_hash_join_full_outer(ray_session):
+    """how='outer': unmatched rows of BOTH sides survive with nulls
+    (per-bucket pd.merge outer; bucket co-location makes it exact)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2], np.int64),
+         "lv": np.array([10, 20], np.int64)})).repartition(2)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([2, 3], np.int64),
+         "rv": np.array([200, 300], np.int64)}))
+    out = (bucketed_hash_join(left, right, key="k", n_buckets=4,
+                              how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["lv"].isna().tolist() == [False, False, True]
+    assert out["rv"].isna().tolist() == [True, False, False]
