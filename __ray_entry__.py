@@ -1018,6 +1018,23 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_embedding_project(sf_dir: str):
+    """Johnson–Lindenstrauss random projection of the embedding table
+    to 16 dims (the cheap dim-reduce before ANN indexing at corpus
+    scale).  Deterministic seeded matrix, broadcast once; rows-only
+    (matrix products aren't SQL) — JL distance preservation and
+    repartition-stability are asserted in tests/test_stages.py."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import random_projection
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+              .column("embedding")[0].as_py())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return random_projection(ds, dim=dim, out_dim=16)
+
+
 def q_cap_per_source(sf_dir: str):
     """Domain-cap curation rule (``cap_per_key``): at most 10 docs per
     source, chosen by the content-independent (md5(id), id) order —
@@ -2202,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": q_cap_per_source,
         "redact_props": q_redact_props,
         # rows-only (non-SQL-expressible)
+        "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
         "minhash_clusters": q_minhash_clusters,

@@ -398,3 +398,39 @@ def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10,
     return (df.sort_values(["score", id_col], ascending=[False, True],
                            kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def random_projection(ds, dim: int, out_dim: int, seed: int = 42,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      out_col: str = "proj"):
+    """Johnson–Lindenstrauss random projection: embed ``dim``-d vectors
+    into ``out_dim`` dims with a seeded Gaussian matrix scaled by
+    1/sqrt(out_dim) (pairwise distances preserved in expectation —
+    the standard cheap dim-reduce before ANN indexing or clustering
+    at corpus scale).
+
+    Deterministic and distributed-stable: the matrix derives only from
+    ``(seed, dim, out_dim)``, built once per task from the broadcast
+    handle, applied as one numpy matmul per batch.  Pure map — no
+    shuffle, output is (id, list<float> proj)."""
+    import ray
+
+    if out_dim <= 0 or out_dim > dim:
+        raise ValueError("need 0 < out_dim <= dim")
+    rng = np.random.RandomState(seed)
+    mat = (rng.standard_normal((dim, out_dim)).astype(np.float32)
+           / np.float32(np.sqrt(out_dim)))
+    mat_ref = ray.put(mat)
+
+    def project(batch: pa.Table, mref) -> pa.Table:
+        m = ray.get(mref)
+        vecs = _embedding_matrix(batch, emb_col)
+        proj = vecs.astype(np.float32) @ m
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: pa.array(list(proj), pa.list_(pa.float32())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          fn_kwargs=dict(mref=mat_ref))

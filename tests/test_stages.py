@@ -135,3 +135,39 @@ def test_histogram_quantiles_constant_and_single_row(ray_session):
            .to_pandas().set_index("k"))
     assert out.loc["x", "p50"] == 7.0
     assert out.loc["y", "p50"] == 3.5
+
+
+def test_random_projection_jl_property_and_determinism(ray_session):
+    """Seeded JL projection: pairwise distances roughly preserved,
+    identical output at any partitioning, invalid dims raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import random_projection
+
+    rng = np.random.RandomState(3)
+    n, dim, out_dim = 120, 64, 24
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+
+    def run(parts):
+        out = (random_projection(rd.from_pandas(df).repartition(parts),
+                                 dim=dim, out_dim=out_dim)
+               .to_pandas().sort_values("vec_id"))
+        return np.stack(out["proj"].to_numpy())
+
+    p2, p5 = run(2), run(5)
+    assert p2.shape == (n, out_dim)
+    assert np.array_equal(p2, p5)            # partitioning-independent
+    # JL: projected pairwise distances within a loose factor of originals
+    idx = rng.choice(n, size=(40, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_orig = np.linalg.norm(vecs[idx[:, 0]] - vecs[idx[:, 1]], axis=1)
+    d_proj = np.linalg.norm(p2[idx[:, 0]] - p2[idx[:, 1]], axis=1)
+    ratio = d_proj / d_orig
+    assert 0.5 < ratio.min() and ratio.max() < 1.6
+    with pytest.raises(ValueError):
+        random_projection(rd.from_pandas(df), dim=dim, out_dim=0)
