@@ -1018,6 +1018,94 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Dedup retention policy: per exact-duplicate cluster keep the
+    HIGHEST-QUALITY copy (ties → smallest doc_id) — the step after
+    cluster assignment in a curation run (don't keep an arbitrary
+    copy; keep the best one).  Quality is scored in the same pass that
+    hashes the text, raw text never shuffles — only
+    (doc_id, quality, text_md5) rows move through ONE hash-bucketed
+    groupby; the per-bucket winner pick is a vectorized sort +
+    drop_duplicates (cluster label = min doc_id of the group,
+    matching the ``dedup_clusters`` oracle's labeling)."""
+    import pandas as pd
+
+    from markdown_lab_ray.stages.bucketing import key_buckets
+    from markdown_lab_ray.stages.text import (add_text_hash_batch,
+                                              quality_batch)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def proj(b: pa.Table) -> pa.Table:
+        q = b["quality"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "quality": pa.array(np.floor(q * 1e6 + 0.5) / 1e6,
+                                             pa.float64())})
+
+    hashed = (scored.map_batches(proj, batch_format="pyarrow")
+              .map_batches(add_text_hash_batch, batch_format="pyarrow"))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "quality", "text_md5"]]
+        return df.assign(_hb=key_buckets(df["text_md5"].to_numpy(), 64))
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_md5", "quality", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        win = g.drop_duplicates("text_md5", keep="first")
+        cl = g.groupby("text_md5", sort=False)["doc_id"].min()
+        return pd.DataFrame({
+            "cluster_id": win["text_md5"].map(cl).to_numpy(dtype=np.int64),
+            "doc_id": win["doc_id"].to_numpy(dtype=np.int64),
+            "quality": win["quality"].to_numpy(dtype=np.float64),
+        })
+
+    return (hashed.map_batches(tag, batch_format="pandas")
+            .groupby("_hb").map_groups(best, batch_format="pandas"))
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH scored AS (
+  SELECT doc_id, text, round(greatest(least(
+             0.25 * least(n_words / 100.0, 1.0)
+             + 0.25 * (1 - punct_ratio)
+             + 0.25 * least(stop_ratio / 0.4, 1.0)
+             + 0.25 * (1 - digit_ratio), 1.0), 0.0), 6) AS quality
+  FROM (
+    SELECT doc_id, text,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+          AS n_words,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                * 1.0 / length(text) END AS punct_ratio,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                * 1.0 / length(text) END AS digit_ratio,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> list_contains(
+                        ['the','and','of','a','to','in','is','it','that',
+                         'for','der','die','das','und','ist','ein','zu',
+                         'den','von','mit','le','la','les','et','de','un',
+                         'une','est','que','pour','el','los','y','una',
+                         'es','por'], x)))
+                * 1.0 / array_length(regexp_split_to_array(trim(text),
+                                                           '\s+')) END
+          AS stop_ratio
+    FROM documents)),
+lab AS (
+  SELECT doc_id, quality,
+         min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM scored)
+SELECT cluster_id, doc_id, quality FROM lab WHERE rn = 1
+"""
+
+
 def q_embedding_project(sf_dir: str):
     """Johnson–Lindenstrauss random projection of the embedding table
     to 16 dims (the cheap dim-reduce before ANN indexing at corpus
@@ -2218,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_outliers": q_event_outliers,
         "cap_per_source": q_cap_per_source,
         "redact_props": q_redact_props,
+        "dedup_keep_best": q_dedup_keep_best,
         # rows-only (non-SQL-expressible)
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
@@ -2301,4 +2390,5 @@ def oracle_sql() -> dict[str, str]:
         "event_outliers": SQL_EVENT_OUTLIERS,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "redact_props": SQL_REDACT_PROPS,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     }

@@ -391,3 +391,42 @@ def test_cap_per_key_matches_hash_order_oracle(ray_session, ids, k):
     want = set(d.sort_values(["_h", "doc_id"])
                .groupby("src", sort=False).head(k)["doc_id"])
     assert set(out["doc_id"]) == want
+
+
+def test_dedup_keep_best_picks_highest_quality_copy(ray_session):
+    """With genuine duplicate texts, the kept copy per cluster is the
+    max-quality one (ties → smallest id) and the cluster label is the
+    group's min doc_id — exercised via the full query path on a
+    synthetic table, compared against DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    import __ray_entry__ as entrymod
+
+    # doc 0/2/4 share text A (different ids only), 1/3 share text B
+    texts = ["alpha beta gamma delta epsilon " * 4,
+             "one two three numbers 99 !!!! " * 3]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([texts[0], texts[1], texts[0], texts[1],
+                          texts[0]], pa.string()),
+        "lang": pa.array(["en"] * 5), "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([len(texts[0])] * 5, pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        got = (entrymod.queries()["dedup_keep_best"](d).to_pandas()
+               .sort_values("cluster_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'")
+        want = (con.sql(entrymod.oracle_sql()["dedup_keep_best"]).df()
+                .sort_values("cluster_id").reset_index(drop=True))
+    assert len(got) == 2                       # one survivor per cluster
+    assert got["cluster_id"].tolist() == [0, 1]
+    # identical texts ⇒ identical quality ⇒ tie-break keeps min id
+    assert got["doc_id"].tolist() == [0, 1]
+    for c in ("cluster_id", "doc_id", "quality"):
+        assert got[c].tolist() == want[c].tolist()
