@@ -1018,6 +1018,73 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_new_documents(sf_dir: str):
+    """Incremental (cross-run) dedup: documents of the "current run"
+    (doc_id % 5 != 0) whose text was NOT seen in the "previous run"
+    (doc_id % 5 == 0).  The scale path, exact end-to-end:
+
+      1. build a Bloom filter over the previous run's text hashes
+         (per-block bitmaps OR-reduced — the driver holds one bitmap,
+         never the keys);
+      2. one stateless pass splits the current run: definitely-new
+         rows (filter says absent — no false negatives) pass straight
+         through with NO join;
+      3. only the maybe-seen remainder (FP-rate-sized) takes the
+         ``bucketed_anti_join`` against the previous hashes.
+
+    At a 1% FP rate, 99% of genuinely-new data skips the shuffle
+    entirely; output is exact, not approximate."""
+    import ray
+
+    from markdown_lab_ray.stages.bloom import build_bloom
+    from markdown_lab_ray.stages.joins import bucketed_anti_join
+    from markdown_lab_ray.stages.text import add_text_hash_batch
+
+    def hash_and_tag(b: pa.Table) -> pa.Table:
+        b = add_text_hash_batch(b)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text_md5": b.column("text_md5"),
+                         "_run": pa.array((ids % 5 == 0))})
+
+    docs = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(hash_and_tag, batch_format="pyarrow"))
+    prev = (docs.filter(expr="_run == True")
+            .select_columns(["doc_id", "text_md5"]).materialize())
+    cur = (docs.filter(expr="_run == False")
+           .select_columns(["doc_id", "text_md5"]))
+
+    bloom = build_bloom(prev, "text_md5", m_bits=1 << 17, k=7)
+    bloom_ref = ray.put(bloom)
+
+    def split(batch: pa.Table, bref, want_new: bool) -> pa.Table:
+        bf = ray.get(bref)
+        seen = bf.contains(
+            batch.column("text_md5").to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(~seen if want_new else seen))
+
+    definitely_new = cur.map_batches(
+        split, batch_format="pyarrow",
+        fn_kwargs=dict(bref=bloom_ref, want_new=True))
+    maybe_seen = cur.map_batches(
+        split, batch_format="pyarrow",
+        fn_kwargs=dict(bref=bloom_ref, want_new=False))
+    confirmed_new = bucketed_anti_join(
+        maybe_seen, prev.select_columns(["text_md5"]), key="text_md5",
+        n_buckets=16)
+
+    out = definitely_new.union(confirmed_new)
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
+SQL_NEW_DOCUMENTS = """
+SELECT doc_id FROM documents
+WHERE doc_id % 5 <> 0
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 = 0)
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Dedup retention policy: per exact-duplicate cluster keep the
     HIGHEST-QUALITY copy (ties → smallest doc_id) — the step after
@@ -2307,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": q_cap_per_source,
         "redact_props": q_redact_props,
         "dedup_keep_best": q_dedup_keep_best,
+        "new_documents": q_new_documents,
         # rows-only (non-SQL-expressible)
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
@@ -2391,4 +2459,5 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "redact_props": SQL_REDACT_PROPS,
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+        "new_documents": SQL_NEW_DOCUMENTS,
     }

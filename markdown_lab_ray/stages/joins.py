@@ -150,11 +150,26 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     right_tagged = right_ds.map_batches(tag, batch_format="pyarrow",
                                         fn_kwargs=dict(side="r"))
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    # exact output schema for the inner path (outer variants introduce
+    # nulls that widen int columns, so they stay pandas)
+    out_schema = pa.schema(
+        [(n, t) for n, t in fields if n in left_cols]
+        + [(n, t) for n, t in fields
+           if n in right_cols and n != key])
+
+    def join_bucket(df: pd.DataFrame):
         lhs = df[df["__side"] == "l"][left_cols]
         rhs = df[df["__side"] == "r"][[key] + [c for c in right_cols
                                                if c != key]]
-        return lhs.merge(rhs, on=key, how=how)
+        merged = lhs.merge(rhs, on=key, how=how)
+        if how != "inner":
+            return merged
+        # emit Arrow with the exact schema: empty object-dtype pandas
+        # blocks break Ray's block-size estimator ("cannot call
+        # vectorize" log spam) and degrade block accounting
+        return pa.Table.from_pandas(
+            merged[out_schema.names], preserve_index=False,
+            schema=out_schema)
 
     both = left_tagged.union(right_tagged)
     return both.groupby("__bucket").map_groups(join_bucket,
@@ -203,11 +218,17 @@ def _bucketed_membership_join(left_ds, right_ds, key: str,
     right_tagged = (right_ds.select_columns([key])
                     .map_batches(tag_right_keys, batch_format="pyarrow"))
 
-    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema(left_fields)
+
+    def filter_bucket(df: pd.DataFrame) -> pa.Table:
         lhs = df[df["__side"] == "l"]
         right_keys = df.loc[df["__side"] == "r", key].unique()
         mask = lhs[key].isin(right_keys)
-        return lhs[mask if keep_matched else ~mask][left_cols]
+        out = lhs[mask if keep_matched else ~mask][left_cols]
+        # Arrow with the exact left schema (empty object-dtype pandas
+        # blocks break Ray's size estimator)
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=out_schema)
 
     both = left_tagged.union(right_tagged)
     return both.groupby("__bucket").map_groups(filter_bucket,
