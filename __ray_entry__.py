@@ -1018,6 +1018,41 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_dup_span_frac(sf_dir: str):
+    """Span-level duplication signal (``duplicate_span_stats``): per
+    document, the fraction of its 8-word windows occurring ≥ 2 times
+    anywhere in the corpus — the Lee-et-al-style repeated-span metric
+    that document-level dedup misses."""
+    from markdown_lab_ray.stages.dedup import duplicate_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_span_stats(ds, n=8)
+
+
+SQL_DUP_SPAN_FRAC = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 7),
+                i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+  FROM words WHERE len(w) >= 8),
+cnt AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+per AS (
+  SELECT sh.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN cnt USING (g) GROUP BY sh.doc_id)
+SELECT w.doc_id,
+       CAST(coalesce(p.n_sh, 0) AS BIGINT) AS n_shingles,
+       round(CASE WHEN p.n_sh IS NULL THEN 0.0
+                  ELSE p.n_dup * 1.0 / p.n_sh END, 6) AS dup_span_frac
+FROM words w LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_new_documents(sf_dir: str):
     """Incremental (cross-run) dedup: documents of the "current run"
     (doc_id % 5 != 0) whose text was NOT seen in the "previous run"
@@ -2375,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_props": q_redact_props,
         "dedup_keep_best": q_dedup_keep_best,
         "new_documents": q_new_documents,
+        "dup_span_frac": q_dup_span_frac,
         # rows-only (non-SQL-expressible)
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
@@ -2460,4 +2496,5 @@ def oracle_sql() -> dict[str, str]:
         "redact_props": SQL_REDACT_PROPS,
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "new_documents": SQL_NEW_DOCUMENTS,
+        "dup_span_frac": SQL_DUP_SPAN_FRAC,
     }

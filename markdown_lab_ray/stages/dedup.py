@@ -767,3 +767,81 @@ def connected_components(pairs, ids) -> dict:
                 ra, rb = rb, ra
             parent[rb] = ra
     return {i: find(i) for i in ids}
+
+
+def duplicate_span_stats(ds, n: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 32):
+    """Span-level (cross-document) duplication signal — the
+    exact-substring-dedup approximation on word ``n``-gram shingles
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": repeated spans, not just repeated documents, degrade
+    models).  Per document: the fraction of its ``n``-word windows
+    whose shingle occurs ≥ 2 times ANYWHERE in the corpus (including
+    elsewhere in the same document).
+
+    Shape: explode (doc, shingle-md5) rows → ONE keyed Count shuffle →
+    ``bucketed_hash_join`` back onto the rows → per-doc partial sums →
+    tiny keyed Sum.  Shingle identity is its md5 (32-byte keys shuffle
+    instead of raw spans; the same equality-by-digest contract the
+    exact-dedup family uses).  Documents with < n words emit
+    ``n_shingles = 0, dup_span_frac = 0``.
+
+    Output: (doc_id, n_shingles, dup_span_frac[6 dp]).
+    """
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import bucketed_hash_join
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids_out, ghs = [], []
+        ids = batch.column(id_col).to_pylist()
+        for rid, t in zip(ids, batch.column(text_col).to_pylist()):
+            words = (t or "").lower().split()
+            for i in range(len(words) - n + 1):
+                ids_out.append(rid)
+                ghs.append(hashlib.md5(
+                    " ".join(words[i:i + n]).encode()).hexdigest())
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "gh": pa.array(ghs, pa.string())})
+
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    counts = sh.groupby("gh").aggregate(Count(alias_name="c"))
+    joined = bucketed_hash_join(sh, counts, key="gh",
+                                n_buckets=n_buckets)
+
+    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dup = (df["c"].to_numpy(dtype=np.int64) >= 2).astype(np.int64)
+        g = (pd.DataFrame({id_col: df[id_col].to_numpy(),
+                           "n_p": np.ones(len(dup), np.int64),
+                           "d_p": dup})
+             .groupby(id_col, sort=False).sum().reset_index())
+        return g.astype({"n_p": "int64", "d_p": "int64"})
+
+    stats = (joined.map_batches(per_doc_partial, batch_format="pandas")
+             .groupby(id_col)
+             .aggregate(Sum("n_p", alias_name="n_sh"),
+                        Sum("d_p", alias_name="n_dup")))
+
+    all_ids = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col)}),
+        batch_format="pyarrow")
+    full = bucketed_hash_join(all_ids, stats, key=id_col,
+                              n_buckets=n_buckets, how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n_sh = df["n_sh"].fillna(0).to_numpy(dtype=np.int64)
+        n_dup = df["n_dup"].fillna(0).to_numpy(dtype=np.float64)
+        frac = np.where(n_sh > 0, n_dup / np.maximum(n_sh, 1), 0.0)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            "n_shingles": n_sh,
+            "dup_span_frac": np.floor(frac * 1e6 + 0.5) / 1e6,
+        })
+
+    return full.map_batches(finish, batch_format="pandas")

@@ -137,3 +137,36 @@ def test_phash_degenerate_bucket_cap(ray_session, caplog):
                                      hamming_threshold=6, bucket_cap=16)
     assert len(pairs) == 16 * 15 // 2
     assert "capped" in caplog.text
+
+
+def test_duplicate_span_stats_flags_shared_spans(ray_session):
+    """Cross-doc repeated 4-gram spans are flagged; unique docs get 0;
+    a doc shorter than n emits n_shingles=0."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import duplicate_span_stats
+
+    shared = "alpha beta gamma delta"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            f"start {shared} end one",       # shares the 4-gram with doc 1
+            f"intro {shared} outro two",
+            "totally unique words here today friend",
+            "tiny",                           # < 4 words
+        ]})
+    out = (duplicate_span_stats(rd.from_pandas(df).repartition(2), n=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[3, "n_shingles"] == 0
+    assert out.loc[3, "dup_span_frac"] == 0.0
+    assert out.loc[2, "dup_span_frac"] == 0.0
+    # docs 0/1: 7 words → 4 windows, exactly one window is the shared
+    # 4-gram → frac 0.25
+    assert out.loc[0, "n_shingles"] == 4
+    assert out.loc[0, "dup_span_frac"] == 0.25
+    assert out.loc[1, "dup_span_frac"] == 0.25
+    with pytest.raises(ValueError):
+        duplicate_span_stats(rd.from_pandas(df), n=0)
