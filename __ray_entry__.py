@@ -1084,10 +1084,12 @@ def q_new_documents(sf_dir: str):
 
     docs = (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(hash_and_tag, batch_format="pyarrow"))
+    # both sides are consumed twice (bloom build + join; new/maybe
+    # split) — pin the narrow (id, md5) rows so hashing runs once
     prev = (docs.filter(expr="_run == True")
             .select_columns(["doc_id", "text_md5"]).materialize())
     cur = (docs.filter(expr="_run == False")
-           .select_columns(["doc_id", "text_md5"]))
+           .select_columns(["doc_id", "text_md5"]).materialize())
 
     bloom = build_bloom(prev, "text_md5", m_bits=1 << 17, k=7)
     bloom_ref = ray.put(bloom)
