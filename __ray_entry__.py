@@ -1018,6 +1018,34 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_segment_share(sf_dir: str):
+    """Percent-of-total: each market segment's share of total order
+    value (the window-aggregate `sum() OVER ()` shape).  The keyed
+    aggregate is distributed (broadcast-join + Sum shuffle of
+    partials); the share division runs on the O(segments) result —
+    5 rows — which is driver-sized by construction."""
+    import pandas as pd
+
+    seg = q_segment_sales(sf_dir)        # pandas (O(segments) rows)
+    total = float(seg["total_price"].sum())
+    share = seg["total_price"].to_numpy(dtype=np.float64) / total
+    return pd.DataFrame({
+        "c_mktsegment": seg["c_mktsegment"].to_numpy(),
+        "share": np.floor(share * 1e6 + 0.5) / 1e6,
+    })
+
+
+SQL_SEGMENT_SHARE = """
+WITH seg AS (
+  SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment)
+SELECT c_mktsegment,
+       round(total_price / sum(total_price) OVER (), 6) AS share
+FROM seg
+"""
+
+
 def q_dup_span_frac(sf_dir: str):
     """Span-level duplication signal (``duplicate_span_stats``): per
     document, the fraction of its 8-word windows occurring ≥ 2 times
@@ -2413,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "new_documents": q_new_documents,
         "dup_span_frac": q_dup_span_frac,
+        "segment_share": q_segment_share,
         # rows-only (non-SQL-expressible)
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
@@ -2499,4 +2528,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "new_documents": SQL_NEW_DOCUMENTS,
         "dup_span_frac": SQL_DUP_SPAN_FRAC,
+        "segment_share": SQL_SEGMENT_SHARE,
     }
