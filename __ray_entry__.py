@@ -2369,6 +2369,100 @@ def q_aspect_buckets(sf_dir: str):
             .map_batches(aspect_bucket_batch, batch_format="pyarrow"))
 
 
+def _customer_supplier_edges(sf_dir: str):
+    """Directed customer→supplier edge list (distinct pairs that share
+    an order), nodes namespaced custkey*2 / suppkey*2+1 so the two key
+    spaces can't collide.  One bucketed join + one distinct shuffle."""
+    from ray.data.aggregate import Count
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+          .map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow"))
+    j = bucketed_hash_join(li, orders, key="o_orderkey", n_buckets=16)
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        src = b.column("o_custkey").to_numpy(zero_copy_only=False) * 2
+        dst = b.column("l_suppkey").to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return (j.map_batches(mk_edges, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="__c"))
+            .map_batches(lambda b: b.select(["src", "dst"]),
+                         batch_format="pyarrow"))
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration integer PageRank over the customer→supplier graph
+    (power iteration in exact int64 arithmetic so the unrolled-CTE
+    DuckDB twin reproduces it bit-for-bit; floats would be
+    order-dependent).  Two keyed shuffles per iteration."""
+    from markdown_lab_ray.stages.graph import pagerank_integer
+
+    pr = pagerank_integer(_customer_supplier_edges(sf_dir),
+                          n_iter=3, n_buckets=16)
+    return (pr.to_pandas().sort_values("node").reset_index(drop=True))
+
+
+_PR_ITER = """
+r{t} AS (SELECT n.node,
+                150000000 + COALESCE(SUM((r.rank*85)//(100*o.d)), 0) AS rank
+         FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         LEFT JOIN r{p} r ON r.node = e.src
+         LEFT JOIN outdeg o ON o.src = e.src
+         GROUP BY n.node)"""
+
+SQL_PAGERANK = ("""
+WITH edges AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),"""
+                + ",".join(_PR_ITER.format(t=t, p=t - 1)
+                           for t in (1, 2, 3))
+                + """
+SELECT node, rank FROM r3 ORDER BY node
+""")
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Terms above 1/32 corpus frequency with exact counts, found by
+    the sketch-then-recount pattern: Misra-Gries partials per batch →
+    keyed Sum → O(k²)-bounded candidate broadcast → exact recount of
+    candidates only.  Exact output ⇒ SQL-oracle-able, unlike a raw
+    sketch."""
+    from markdown_lab_ray.stages.sketch import heavy_hitters_exact
+
+    return heavy_hitters_exact(
+        _read(sf_dir, "documents", ["text"]), text_col="text", k=32)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                               '[\p{L}\p{N}_]+')) AS term
+              FROM documents)
+SELECT term, count(*) AS n_term
+FROM toks GROUP BY term
+HAVING count(*) * 32 > (SELECT count(*) FROM toks)
+ORDER BY n_term DESC, term
+"""
+
+
+def q_hll_distinct_terms(sf_dir: str):
+    """HyperLogLog distinct-token estimate (p=12): one 4 KiB register
+    row per block regardless of data size, merged by element-wise max.
+    Rows-only — the estimator is approximate by design; tests assert
+    ≤5% error vs the exact distinct count."""
+    from markdown_lab_ray.stages.sketch import hll_distinct_terms
+
+    return hll_distinct_terms(_read(sf_dir, "documents", ["text"]), p=12)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2442,7 +2536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_documents": q_new_documents,
         "dup_span_frac": q_dup_span_frac,
         "segment_share": q_segment_share,
+        "pagerank": q_pagerank,
+        "heavy_hitters": q_heavy_hitters,
         # rows-only (non-SQL-expressible)
+        "hll_distinct_terms": q_hll_distinct_terms,
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
@@ -2529,4 +2626,6 @@ def oracle_sql() -> dict[str, str]:
         "new_documents": SQL_NEW_DOCUMENTS,
         "dup_span_frac": SQL_DUP_SPAN_FRAC,
         "segment_share": SQL_SEGMENT_SHARE,
+        "pagerank": SQL_PAGERANK,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
     }
