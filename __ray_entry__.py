@@ -2463,6 +2463,67 @@ def q_hll_distinct_terms(sf_dir: str):
     return hll_distinct_terms(_read(sf_dir, "documents", ["text"]), p=12)
 
 
+def q_cumulative_spend(sf_dir: str):
+    """Running total per user (SUM OVER ... ROWS UNBOUNDED PRECEDING)
+    in exact integer cents — one bucketed keyed shuffle."""
+    from markdown_lab_ray.stages.analytics import cumulative_sum_cents
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return cumulative_sum_cents(ds)
+
+
+SQL_CUMULATIVE_SPEND = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum_cents
+FROM events
+"""
+
+
+def q_budget_apportion(sf_dir: str):
+    """Hamilton largest-remainder split of a 1000-unit fetch budget
+    across event types proportional to row counts (the crawl engine's
+    per-host budget-allocation shape, restated over a registered
+    table so DuckDB can twin it)."""
+    from markdown_lab_ray.stages.analytics import budget_apportion
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return budget_apportion(ds, key_col="event_type", budget=1000)
+
+
+SQL_BUDGET_APPORTION = """
+WITH cnt AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+tot AS (SELECT sum(n_rows) AS n FROM cnt),
+q AS (SELECT event_type, n_rows,
+             (1000 * n_rows) // n AS fl,
+             (1000 * n_rows) % n AS rem
+      FROM cnt, tot),
+lo AS (SELECT 1000 - sum(fl) AS leftover FROM q),
+r AS (SELECT event_type, n_rows, fl, rem,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+      FROM q)
+SELECT event_type, n_rows,
+       CAST(fl + CASE WHEN rk <= (SELECT leftover FROM lo)
+                      THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM r ORDER BY event_type
+"""
+
+
+def q_image_keep_best(sf_dir: str):
+    """Image-dedup retention: highest-resolution copy per exact-phash
+    group over the synthetic image corpus (rows-only — the image table
+    isn't a registered SQL view; tested vs a pandas oracle)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import keep_best_resolution
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    return keep_best_resolution(
+        ds.select_columns(["image_id", "w", "h", "phash"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2538,8 +2599,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_share": q_segment_share,
         "pagerank": q_pagerank,
         "heavy_hitters": q_heavy_hitters,
+        "cumulative_spend": q_cumulative_spend,
+        "budget_apportion": q_budget_apportion,
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
+        "image_keep_best": q_image_keep_best,
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,
@@ -2628,4 +2692,6 @@ def oracle_sql() -> dict[str, str]:
         "segment_share": SQL_SEGMENT_SHARE,
         "pagerank": SQL_PAGERANK,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "cumulative_spend": SQL_CUMULATIVE_SPEND,
+        "budget_apportion": SQL_BUDGET_APPORTION,
     }

@@ -445,3 +445,67 @@ def zscore_outliers(ds, key_col: str, value_col: str, id_col: str,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           fn_kwargs=dict(stats_ref=ref))
+
+
+def cumulative_sum_cents(ds, key_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value", id_col: str = "event_id",
+                         n_buckets: int = 64):
+    """Running total per key (SUM() OVER ... ROWS UNBOUNDED PRECEDING)
+    in exact integer cents.  Same one-bucketed-shuffle shape as
+    ``rolling_sum_cents`` — the unbounded window is just the cumsum
+    without the lag subtraction.  Output: (key, id, cum_sum_cents)."""
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        g = g.assign(_c=_cents(g[value_col].to_numpy()))
+        csum = g.groupby(key_col, sort=False)["_c"].cumsum()
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "cum_sum_cents": csum.to_numpy(dtype=np.int64),
+        })
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(cum, batch_format="pandas")
+
+
+def budget_apportion(ds, key_col: str, budget: int):
+    """Hamilton largest-remainder apportionment: split an integer
+    ``budget`` across keys proportionally to their row counts — the
+    crawl engine's per-host fetch-budget allocation shape (a politeness
+    budget split over hosts by frontier mass), restated over any keyed
+    table.
+
+    floor_i = (B*c_i) // n; the B - Σfloor leftovers go to the keys
+    with the largest remainders (B*c_i) % n, ties to the smaller key.
+    Exact integer arithmetic end-to-end ⇒ DuckDB-twin-reproducible.
+
+    The count pass is a native distributed Count; the apportionment
+    itself runs on the O(keys) count rows — driver-sized for the
+    key cardinalities this is meant for (hosts per crawl round,
+    event types); at higher cardinality the same math distributes as
+    a map_batches over the count rows plus one scalar broadcast.
+    Returns pandas (key, n_rows, budget) sorted by key."""
+    from ray.data.aggregate import Count
+
+    cnt = (ds.groupby(key_col).aggregate(Count(alias_name="n_rows"))
+           .to_pandas().sort_values(key_col).reset_index(drop=True))
+    c = cnt["n_rows"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    fl = (budget * c) // n
+    rem = (budget * c) % n
+    leftover = int(budget - fl.sum())
+    give = np.zeros(len(c), np.int64)
+    if leftover > 0:
+        # rank by remainder desc, key asc (cnt is already key-sorted,
+        # so a stable argsort on -rem breaks ties by key)
+        order = np.argsort(-rem, kind="stable")
+        give[order[:leftover]] = 1
+    return pd.DataFrame({
+        key_col: cnt[key_col],
+        "n_rows": c,
+        "budget": fl + give,
+    })

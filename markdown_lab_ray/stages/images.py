@@ -374,3 +374,43 @@ class DecodeValidate:
             if passthrough in batch.column_names:
                 out[passthrough] = batch.column(passthrough)
         return pa.table(out)
+
+
+def keep_best_resolution(ds, group_col: str = "phash",
+                         id_col: str = "image_id", n_buckets: int = 32):
+    """Image-dedup retention policy: within each duplicate group
+    (exact-phash cluster by default, or a CC cluster label from the
+    near-dup path) keep the single highest-resolution copy — max
+    (w*h), ties to the smallest id.  The document-side twin is
+    ``dedup.dedup_keep_best`` (quality score); images rank by pixel
+    count instead.
+
+    Combiner-first: each batch is reduced to its per-group best row
+    BEFORE the one bucketed shuffle, so at most one row per (group,
+    batch) moves — never the corpus.  Returns (group, id, w, h)."""
+    import pandas as pd
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_px=df["w"].to_numpy(np.int64)
+                       * df["h"].to_numpy(np.int64))
+        df = df.sort_values([group_col, "_px", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        win = df.drop_duplicates(group_col, keep="first")
+        return pd.DataFrame({
+            group_col: win[group_col].to_numpy(),
+            id_col: win[id_col].to_numpy(),
+            "w": win["w"].to_numpy(np.int64),
+            "h": win["h"].to_numpy(np.int64),
+        })
+
+    from markdown_lab_ray.stages.bucketing import key_buckets
+
+    combined = ds.map_batches(best, batch_format="pandas")
+    tagged = combined.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return (tagged.groupby("_b")
+            .map_groups(lambda g: best(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
