@@ -2524,6 +2524,51 @@ def q_image_keep_best(sf_dir: str):
         ds.select_columns(["image_id", "w", "h", "phash"]))
 
 
+def q_convert_payloads(sf_dir: str):
+    """The flagship parse→render path, oracled at FULL TEXT fidelity:
+    every rendered markdown payload (headings, 30-word paragraphs,
+    trailing list) must equal the SQL twin's string reconstruction
+    character-for-character — a much stronger check than the
+    count-aggregate twins (``chunk_counts``, ``render_format_counts``).
+    Same pipeline as ``convert_documents`` minus the chunk-count column
+    (chunker semantics aren't SQL-expressible)."""
+    from markdown_lab_ray.pipelines.convert import convert_documents
+
+    return convert_documents(sf_dir).drop_columns(["n_chunks"])
+
+
+SQL_CONVERT_PAYLOADS = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents),
+p AS (
+  SELECT doc_id, source, ws,
+         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(ws), 30),
+                                  i -> array_to_string(ws[i:i+29], ' '))
+         END AS paras
+  FROM t)
+SELECT 'https://docs.example.com/' || source || '/' || doc_id AS url,
+       'Doc ' || doc_id AS title,
+       '# Doc ' || doc_id || chr(10) || chr(10)
+         || '# Document ' || doc_id || chr(10) || chr(10)
+         || '## ' || source
+         || CASE WHEN len(ws) = 0 THEN ''
+                 ELSE chr(10) || chr(10)
+                      || array_to_string(paras, chr(10) || chr(10)) END
+         || CASE WHEN len(ws) = 0 THEN ''
+                 ELSE chr(10) || chr(10) || '- '
+                      || array_to_string(ws[1:LEAST(3, len(ws))],
+                                         chr(10) || '- ') END
+         AS payload,
+       CAST(0 AS BIGINT) AS n_links,
+       CAST(0 AS BIGINT) AS n_images
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2601,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
+        "convert_payloads": q_convert_payloads,
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
@@ -2694,4 +2740,5 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "cumulative_spend": SQL_CUMULATIVE_SPEND,
         "budget_apportion": SQL_BUDGET_APPORTION,
+        "convert_payloads": SQL_CONVERT_PAYLOADS,
     }

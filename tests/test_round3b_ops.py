@@ -83,3 +83,22 @@ def test_image_keep_best_matches_pandas(ray_session):
         want.astype({"w": "int64", "h": "int64"}))
     # one survivor per duplicate group, and it's the largest
     assert got["phash"].is_unique
+
+
+def test_convert_payloads_matches_duckdb_full_text(ray_session):
+    """Character-for-character equality of every rendered markdown
+    payload vs the SQL string reconstruction (the strongest oracle in
+    the convert family)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = (entry.q_convert_payloads(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(entry.SQL_CONVERT_PAYLOADS).df()
+            .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_links": "int64", "n_images": "int64"}), want)
