@@ -2569,6 +2569,35 @@ FROM p
 """
 
 
+def q_crawl_host_rank(sf_dir: str):
+    """Authority-based frontier prioritization: crawl the synthetic
+    web, build the distinct cross-host link graph from the docs
+    checkpoints, and PageRank the hosts (integer power iteration, the
+    same kernel the oracled ``pagerank`` query runs).  The resulting
+    (host, rank) table is what a crawl scheduler would join onto the
+    frontier to order hosts by link authority.  Rows-only: crawl
+    outputs aren't registered SQL views; equality with a local power
+    iteration is asserted in tests."""
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import read_host_edges, run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+    from markdown_lab_ray.stages.graph import pagerank_integer
+
+    spec = SiteSpec(n_hosts=8, pages_per_host=12, n_images=40)
+    cfg = EngineConfig(requests_per_second=1.0, round_seconds=60.0,
+                       max_rounds=2, max_depth=1, seen_shards=4,
+                       fetch_concurrency=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        edges = read_host_edges(tmp)
+        ranks = pagerank_integer(edges, n_iter=3, n_buckets=8)
+        return (ranks.to_pandas().sort_values("node")
+                .reset_index(drop=True)
+                .rename(columns={"node": "host"}))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2650,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
+        "crawl_host_rank": q_crawl_host_rank,
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,

@@ -915,3 +915,44 @@ def read_crawl_order(out_dir: str):
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["round", "host", "fetch_order"],
                            kind="mergesort").reset_index(drop=True)
+
+
+def read_host_edges(out_dir: str):
+    """Distinct cross-host link edges (src_host → dst_host) from the
+    docs checkpoints — the link graph used for authority-based frontier
+    prioritization (PageRank over hosts).  Streaming: the explode runs
+    in ``map_batches`` over the checkpoint files and only (src, dst)
+    pairs reach the one distinct shuffle; self-edges (intra-host nav)
+    are dropped at the source."""
+    import glob
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..kernels.urls import get_domain_from_url
+
+    files = sorted(glob.glob(
+        os.path.join(out_dir, "rounds", "round=*", "docs", "*.parquet")))
+    if not files:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"src": pd.Series(dtype="object"),
+             "dst": pd.Series(dtype="object")}))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src_col, dst_col = [], []
+        for h, links in zip(batch.column("host").to_pylist(),
+                            batch.column("links").to_pylist()):
+            for link in links or []:
+                dst = get_domain_from_url(link)
+                if dst and dst != h:
+                    src_col.append(h)
+                    dst_col.append(dst)
+        return pa.table({"src": pa.array(src_col, pa.string()),
+                         "dst": pa.array(dst_col, pa.string())})
+
+    return (rd.read_parquet(files, columns=["host", "links"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="__c"))
+            .map_batches(lambda b: b.select(["src", "dst"]),
+                         batch_format="pyarrow"))

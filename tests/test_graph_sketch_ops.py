@@ -32,9 +32,11 @@ def _pagerank_local(edges, n_iter=3, scale=10 ** 9, damping=85):
         for s, d in edges:
             inc[d] += (rank[s] * damping) // (100 * outdeg[s])
         rank = {n: base + inc[n] for n in nodes}
-    return pd.DataFrame({"node": nodes,
-                         "rank": [rank[n] for n in nodes]}).astype(
-        {"node": "int64", "rank": "int64"})
+    out = pd.DataFrame({"node": nodes,
+                        "rank": [rank[n] for n in nodes]})
+    if out["node"].dtype != object:          # string keys stay strings
+        out = out.astype({"node": "int64"})
+    return out.astype({"rank": "int64"})
 
 
 def test_pagerank_matches_local_power_iteration(ray_session):
@@ -135,3 +137,37 @@ def test_hll_small_range_linear_counting():
     regs = _hll_partial([f"v{i}" for i in range(30)], p=12)
     est = hll_estimate(regs)
     assert abs(est - 30) <= 2  # linear-counting regime is near-exact
+
+
+def test_crawl_host_rank_matches_local_and_deterministic(ray_session):
+    """The crawl → host-graph → PageRank composition equals a local
+    power iteration over the same edges, and the string-keyed graph
+    path (hosts, not int ids) works end-to-end."""
+    import __ray_entry__ as entry
+
+    got = entry.q_crawl_host_rank(SF)
+    assert len(got) > 1
+    assert got["host"].is_unique
+
+    # rebuild the edges locally from a second identical crawl and run
+    # the reference power iteration on string keys
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import read_host_edges, run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=8, pages_per_host=12, n_images=40)
+    cfg = EngineConfig(requests_per_second=1.0, round_seconds=60.0,
+                       max_rounds=2, max_depth=1, seen_shards=4,
+                       fetch_concurrency=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        edges = [(r["src"], r["dst"])
+                 for r in read_host_edges(tmp).take_all()]
+    want = _pagerank_local(sorted(set(edges))).rename(
+        columns={"node": "host"})
+    want["host"] = want["host"].astype(object)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}),
+        want.astype({"rank": "int64"}))
