@@ -2598,6 +2598,17 @@ def q_crawl_host_rank(sf_dir: str):
                 .rename(columns={"node": "host"}))
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Per-document bigram-LM perplexity (train on corpus → broadcast
+    → score: the model-based quality-gate shape).  Rows-only — the
+    two-pass float pipeline isn't SQL-expressible; tests assert exact
+    equality with a single-process scorer."""
+    from markdown_lab_ray.stages.text import ngram_lm_perplexity
+
+    return ngram_lm_perplexity(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2680,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
         "crawl_host_rank": q_crawl_host_rank,
+        "lm_perplexity": q_lm_perplexity,
         "embedding_project": q_embedding_project,
         "aspect_buckets": q_aspect_buckets,
         "events_quantile_sketch": q_events_quantile_sketch,

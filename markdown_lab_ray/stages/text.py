@@ -211,3 +211,117 @@ def redact_batch(batch: pa.Table, text_col: str = "text",
     return (batch
             .append_column(out_col, pa.array(out, pa.string()))
             .append_column(count_col, pa.array(counts)))
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model perplexity (model-based quality scoring)
+# ---------------------------------------------------------------------------
+
+def _unigram_bigram_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch unigram/bigram counts (the combiner: token streams
+    collapse to (gram, n) rows before the one keyed shuffle)."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        ws = (t or "").lower().split()
+        uni.update(ws)
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    grams = [("u:" + g, n) for g, n in uni.items()] + \
+            [("b:" + g, n) for g, n in bi.items()]
+    return pa.table({
+        "gram": pa.array([g for g, _ in grams], pa.string()),
+        "n": pa.array([n for _, n in grams], pa.int64())})
+
+
+def train_bigram_lm(ds, text_col: str = "text", max_bigrams: int = 1 << 16):
+    """Corpus bigram LM with Laplace smoothing, trained distributed:
+    per-batch count combiners → one keyed Sum → the model (unigram
+    counts + the top-``max_bigrams`` bigrams + vocab size) pulled to
+    the driver for broadcast.
+
+    The bigram table is CAPPED at ``max_bigrams`` (kept by count desc,
+    gram asc — deterministic): a dropped bigram scores as unseen,
+    which only makes rare continuations look slightly rarer; the cap
+    bounds the broadcast at O(V + max_bigrams) regardless of corpus
+    size.  Returns (uni: dict, bi: dict, v: int)."""
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(_unigram_bigram_partial,
+                             batch_format="pyarrow",
+                             fn_kwargs=dict(text_col=text_col))
+              .groupby("gram").aggregate(Sum("n", alias_name="n")))
+
+    import pyarrow.compute as pc
+
+    def split(batch: pa.Table, want_prefix: str) -> pa.Table:
+        mask = pc.starts_with(batch.column("gram"), want_prefix)
+        return batch.filter(mask)
+
+    uni_rows = counts.map_batches(
+        split, batch_format="pyarrow",
+        fn_kwargs=dict(want_prefix="u:")).take_all()
+    uni = {r["gram"][2:]: int(r["n"]) for r in uni_rows}
+
+    bi_ds = counts.map_batches(split, batch_format="pyarrow",
+                               fn_kwargs=dict(want_prefix="b:"))
+    # distributed top-k: total order (n desc, gram asc) then limit —
+    # only max_bigrams rows reach the driver
+    bi_rows = (bi_ds.sort(["n", "gram"], descending=[True, False])
+               .limit(max_bigrams).take_all())
+    bi = {r["gram"][2:]: int(r["n"]) for r in bi_rows}
+    return uni, bi, len(uni)
+
+
+def perplexity_batch(batch: pa.Table, model_ref, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-document bigram perplexity under the broadcast LM:
+    nll = -(1/n)·Σ ln((c(w1 w2)+1) / (c(w1)+V)), ppl = exp(nll).
+    Deterministic: bigrams are summed in document order with float64,
+    so the distributed result equals a single-process scorer exactly."""
+    import ray
+
+    uni, bi, v = ray.get(model_ref)
+    ids = batch.column(id_col)
+    nlls, ppls, ns = [], [], []
+    for t in batch.column(text_col).to_pylist():
+        ws = (t or "").lower().split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            nlls.append(0.0)
+            ppls.append(1.0)
+            ns.append(0)
+            continue
+        total = np.float64(0.0)
+        for w1, w2 in pairs:
+            c_bi = bi.get(f"{w1} {w2}", 0)
+            c_uni = uni.get(w1, 0)
+            total += np.log((c_bi + 1.0) / (c_uni + v))
+        nll = -total / len(pairs)
+        nlls.append(float(nll))
+        ppls.append(float(np.exp(nll)))
+        ns.append(len(pairs))
+    return pa.table({
+        id_col: ids,
+        "n_bigrams": pa.array(ns, pa.int64()),
+        "nll": pa.array(nlls, pa.float64()),
+        "ppl": pa.array(ppls, pa.float64())})
+
+
+def ngram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
+                        max_bigrams: int = 1 << 16):
+    """Train-broadcast-score: the LM trains on the full Dataset (one
+    keyed shuffle of gram partials), ships ONCE via ``ray.put``, and
+    every batch scores against the same handle — the model-based
+    quality-filter shape (perplexity gates à la CCNet/Gopher) with a
+    deterministic n-gram model standing in for the neural scorer this
+    container can't run."""
+    import ray
+
+    model_ref = ray.put(train_bigram_lm(ds, text_col=text_col,
+                                        max_bigrams=max_bigrams))
+    return ds.map_batches(perplexity_batch, batch_format="pyarrow",
+                          fn_kwargs=dict(model_ref=model_ref,
+                                         text_col=text_col,
+                                         id_col=id_col))

@@ -102,3 +102,76 @@ def test_convert_payloads_matches_duckdb_full_text(ray_session):
             .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"n_links": "int64", "n_images": "int64"}), want)
+
+
+def _lm_local(texts, max_bigrams=1 << 16):
+    """Single-process twin of train_bigram_lm + perplexity_batch."""
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = (t or "").lower().split()
+        uni.update(ws)
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    if len(bi) > max_bigrams:
+        kept = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:max_bigrams]
+        bi = dict(kept)
+    v = len(uni)
+    rows = []
+    for t in texts:
+        ws = (t or "").lower().split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            rows.append((0, 0.0, 1.0))
+            continue
+        total = np.float64(0.0)
+        for w1, w2 in pairs:
+            total += np.log((bi.get(f"{w1} {w2}", 0) + 1.0)
+                            / (uni.get(w1, 0) + v))
+        nll = -total / len(pairs)
+        rows.append((len(pairs), float(nll), float(np.exp(nll))))
+    return rows
+
+
+def test_lm_perplexity_matches_local_exactly(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    got = (entry.q_lm_perplexity(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    df = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    rows = _lm_local(df["text"].tolist())
+    want = pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64"),
+        "n_bigrams": [r[0] for r in rows],
+        "nll": [r[1] for r in rows],
+        "ppl": [r[2] for r in rows],
+    }).astype({"n_bigrams": "int64"})
+    # exact float equality: both paths sum bigrams in document order
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # sanity: a gibberish doc scores worse than a typical one
+    assert got["ppl"].min() > 1.0
+
+
+def test_lm_bigram_cap_deterministic(ray_session):
+    """With a tiny bigram cap the kept set is (count desc, gram asc)
+    deterministic, and scoring still matches the local twin under the
+    same cap."""
+    from markdown_lab_ray.stages.text import ngram_lm_perplexity
+
+    texts = ["a b a b c d", "a b c d c d", "x y x y"] * 5
+    df = pd.DataFrame({"doc_id": np.arange(15, dtype=np.int64),
+                       "text": texts})
+    ds = _rd().from_pandas(df).repartition(4)
+    got = (ngram_lm_perplexity(ds, max_bigrams=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    rows = _lm_local(texts, max_bigrams=3)
+    want = pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_bigrams": [r[0] for r in rows],
+        "nll": [r[1] for r in rows],
+        "ppl": [r[2] for r in rows],
+    }).astype({"n_bigrams": "int64"})
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
