@@ -2609,6 +2609,72 @@ def q_lm_perplexity(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_render_xml_payloads(sf_dir: str):
+    """The M10 XML renderer oracled at FULL TEXT fidelity: every
+    ``<Document>`` payload (headings, paragraphs, trailing list, the
+    empty-section self-closing tags) must equal the SQL string
+    reconstruction character-for-character — the XML twin of
+    ``convert_payloads``."""
+    from markdown_lab_ray.pipelines.convert import documents_pages
+    from markdown_lab_ray.stages.convert import parse_batch, render_batch
+
+    return (documents_pages(sf_dir)
+            .map_batches(parse_batch, batch_format="pyarrow")
+            .map_batches(render_batch, batch_format="pyarrow",
+                         fn_kwargs=dict(fmt="xml")))
+
+
+SQL_RENDER_XML_PAYLOADS = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents),
+p AS (
+  SELECT doc_id, source, ws,
+         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(ws), 30),
+                                  i -> array_to_string(ws[i:i+29], ' '))
+         END AS paras
+  FROM t)
+SELECT 'https://docs.example.com/' || source || '/' || doc_id AS url,
+       'xml' AS format,
+       '<?xml version="1.0" ?>' || chr(10)
+       || '<Document>' || chr(10)
+       || '  <title>Doc ' || doc_id || '</title>' || chr(10)
+       || '  <base_url>https://docs.example.com/' || source || '/'
+           || doc_id || '</base_url>' || chr(10)
+       || '  <headings>' || chr(10)
+       || '    <heading level="1">Document ' || doc_id
+           || '</heading>' || chr(10)
+       || '    <heading level="2">' || source || '</heading>' || chr(10)
+       || '  </headings>' || chr(10)
+       || CASE WHEN len(ws) = 0 THEN '  <paragraphs/>' || chr(10)
+               ELSE '  <paragraphs>' || chr(10)
+                    || array_to_string(
+                         list_transform(paras,
+                           q -> '    <paragraph>' || q || '</paragraph>'),
+                         chr(10)) || chr(10)
+                    || '  </paragraphs>' || chr(10) END
+       || '  <links/>' || chr(10)
+       || '  <images/>' || chr(10)
+       || CASE WHEN len(ws) = 0 THEN '  <lists/>' || chr(10)
+               ELSE '  <lists>' || chr(10)
+                    || '    <list ordered="false">' || chr(10)
+                    || array_to_string(
+                         list_transform(ws[1:LEAST(3, len(ws))],
+                           w -> '      <item>' || w || '</item>'),
+                         chr(10)) || chr(10)
+                    || '    </list>' || chr(10)
+                    || '  </lists>' || chr(10) END
+       || '  <code_blocks/>' || chr(10)
+       || '  <blockquotes/>' || chr(10)
+       || '</Document>' || chr(10)
+       AS payload
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2687,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
+        "render_xml_payloads": q_render_xml_payloads,
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
@@ -2783,4 +2850,5 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_spend": SQL_CUMULATIVE_SPEND,
         "budget_apportion": SQL_BUDGET_APPORTION,
         "convert_payloads": SQL_CONVERT_PAYLOADS,
+        "render_xml_payloads": SQL_RENDER_XML_PAYLOADS,
     }

@@ -175,3 +175,20 @@ def test_lm_bigram_cap_deterministic(ray_session):
         "ppl": [r[2] for r in rows],
     }).astype({"n_bigrams": "int64"})
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_render_xml_payloads_matches_duckdb_full_text(ray_session):
+    """Character-for-character XML payload equality vs the SQL string
+    reconstruction (the M10 renderer's full-fidelity oracle)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = (entry.q_render_xml_payloads(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(entry.SQL_RENDER_XML_PAYLOADS).df()
+            .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
