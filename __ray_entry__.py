@@ -2675,6 +2675,76 @@ FROM p
 """
 
 
+def q_render_json_payloads(sf_dir: str):
+    """The M9 JSON renderer oracled at FULL TEXT fidelity — the JSON
+    twin of ``convert_payloads`` / ``render_xml_payloads``; with those
+    two this covers all three output formats character-for-character."""
+    from markdown_lab_ray.pipelines.convert import documents_pages
+    from markdown_lab_ray.stages.convert import parse_batch, render_batch
+
+    return (documents_pages(sf_dir)
+            .map_batches(parse_batch, batch_format="pyarrow")
+            .map_batches(render_batch, batch_format="pyarrow",
+                         fn_kwargs=dict(fmt="json")))
+
+
+SQL_RENDER_JSON_PAYLOADS = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents),
+p AS (
+  SELECT doc_id, source, ws,
+         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(ws), 30),
+                                  i -> array_to_string(ws[i:i+29], ' '))
+         END AS paras
+  FROM t)
+SELECT 'https://docs.example.com/' || source || '/' || doc_id AS url,
+       'json' AS format,
+       '{' || chr(10)
+       || '  "title": "Doc ' || doc_id || '",' || chr(10)
+       || '  "base_url": "https://docs.example.com/' || source || '/'
+           || doc_id || '",' || chr(10)
+       || '  "headings": [' || chr(10)
+       || '    {' || chr(10)
+       || '      "level": 1,' || chr(10)
+       || '      "text": "Document ' || doc_id || '"' || chr(10)
+       || '    },' || chr(10)
+       || '    {' || chr(10)
+       || '      "level": 2,' || chr(10)
+       || '      "text": "' || source || '"' || chr(10)
+       || '    }' || chr(10)
+       || '  ],' || chr(10)
+       || CASE WHEN len(ws) = 0 THEN '  "paragraphs": [],' || chr(10)
+               ELSE '  "paragraphs": [' || chr(10)
+                    || array_to_string(
+                         list_transform(paras, q -> '    "' || q || '"'),
+                         ',' || chr(10)) || chr(10)
+                    || '  ],' || chr(10) END
+       || '  "links": [],' || chr(10)
+       || '  "images": [],' || chr(10)
+       || CASE WHEN len(ws) = 0 THEN '  "lists": [],' || chr(10)
+               ELSE '  "lists": [' || chr(10)
+                    || '    {' || chr(10)
+                    || '      "ordered": false,' || chr(10)
+                    || '      "items": [' || chr(10)
+                    || array_to_string(
+                         list_transform(ws[1:LEAST(3, len(ws))],
+                           w -> '        "' || w || '"'),
+                         ',' || chr(10)) || chr(10)
+                    || '      ]' || chr(10)
+                    || '    }' || chr(10)
+                    || '  ],' || chr(10) END
+       || '  "code_blocks": [],' || chr(10)
+       || '  "blockquotes": []' || chr(10)
+       || '}'
+       AS payload
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2754,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
         "render_xml_payloads": q_render_xml_payloads,
+        "render_json_payloads": q_render_json_payloads,
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
@@ -2851,4 +2922,5 @@ def oracle_sql() -> dict[str, str]:
         "budget_apportion": SQL_BUDGET_APPORTION,
         "convert_payloads": SQL_CONVERT_PAYLOADS,
         "render_xml_payloads": SQL_RENDER_XML_PAYLOADS,
+        "render_json_payloads": SQL_RENDER_JSON_PAYLOADS,
     }

@@ -192,3 +192,21 @@ def test_render_xml_payloads_matches_duckdb_full_text(ray_session):
     want = (con.execute(entry.SQL_RENDER_XML_PAYLOADS).df()
             .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_render_json_payloads_matches_duckdb_full_text(ray_session):
+    """Character-for-character JSON payload equality vs the SQL string
+    reconstruction — all three render formats are now full-fidelity
+    oracled (markdown via convert_payloads, xml, json)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = (entry.q_render_json_payloads(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(entry.SQL_RENDER_JSON_PAYLOADS).df()
+            .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
