@@ -161,3 +161,77 @@ def read_image_table(path: str, columns: list[str] | None = None):
                 "install pylance or convert to parquet") from exc
         return rd.read_lance(path, columns=columns)
     return rd.read_parquet(path, columns=columns)
+
+
+def write_sharded_parquet(ds, out_dir: str, key_col: str,
+                          n_shards: int = 64, resume: bool = True):
+    """Resumable partitioned-parquet sink: rows are hash-bucketed on
+    ``key_col`` into ``n_shards`` directories (``shard=K/``), each
+    marked complete by a ``_SHARD_DONE`` sentinel written AFTER its
+    files land.  A re-run with ``resume=True`` prunes already-done
+    shards with a distributed filter and writes only the missing ones —
+    the never-one-giant-file / skip-finished-partitions contract the
+    crawl's per-round checkpoints implement, generalized to any
+    Dataset.
+
+    Per-shard writes stream through ``write_parquet`` one shard at a
+    time ONLY in the final sentinel pass — the data pass is a single
+    partitioned write, so the pipeline stays streaming end-to-end.
+    Returns the list of shard ids written this run."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.bucketing import key_buckets
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = set()
+    if resume:
+        for p in glob.glob(os.path.join(out_dir, "shard=*", "_SHARD_DONE")):
+            done.add(int(os.path.basename(os.path.dirname(p)).split("=")[1]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        shards = key_buckets(batch.column(key_col).to_pandas().to_numpy(),
+                             n_shards)
+        out = batch.append_column("shard", pa.array(shards, pa.int64()))
+        if done:
+            import numpy as np
+            import pyarrow.compute as pc
+            mask = pa.array(~np.isin(shards, list(done)))
+            out = out.filter(mask)
+        return out
+
+    # no emptiness pre-check: count() would execute the pipeline once
+    # and write_parquet would re-execute it; an all-shards-done resume
+    # just writes a 0-row sink (root-level metadata only, which the
+    # shard-dir reader ignores)
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged.write_parquet(out_dir, partition_cols=["shard"])
+
+    written = []
+    for shard_dir in glob.glob(os.path.join(out_dir, "shard=*")):
+        sid = int(os.path.basename(shard_dir).split("=")[1])
+        sentinel = os.path.join(shard_dir, "_SHARD_DONE")
+        if sid not in done and not os.path.exists(sentinel):
+            with open(sentinel, "w") as f:
+                f.write("ok\n")
+            written.append(sid)
+    return sorted(written)
+
+
+def read_sharded_parquet(out_dir: str, columns=None):
+    """Reader for ``write_sharded_parquet`` output: only COMPLETE
+    shards (sentinel present) are read, so a reader racing a resumed
+    writer never sees a partial shard."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    files = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "shard=*",
+                                           "_SHARD_DONE"))):
+        files.extend(sorted(glob.glob(
+            os.path.join(os.path.dirname(p), "*.parquet"))))
+    return rd.read_parquet(files, columns=columns)

@@ -191,3 +191,73 @@ def test_microbench_runs():
     assert out.returncode == 0
     data = json.loads(out.stdout.strip())
     assert any(k.startswith("convert/") for k in data)
+
+
+def test_write_sharded_parquet_resume(ray_session, tmp_path):
+    """Kill-and-resume contract: delete some shards' sentinels + files,
+    re-run, and the final read equals the full dataset with no
+    duplicates; untouched shards are not rewritten."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.io import (
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64) % 37,
+                       "v": np.arange(500, dtype=np.int64)})
+    out = str(tmp_path / "sharded")
+    ds = rd.from_pandas(df).repartition(5)
+    first = write_sharded_parquet(ds, out, key_col="k", n_shards=8)
+    assert first == sorted(first) and len(first) > 0
+
+    # simulate a partial failure: wipe two shards entirely
+    victims = sorted(glob.glob(os.path.join(out, "shard=*")))[:2]
+    for v in victims:
+        shutil.rmtree(v)
+    # record mtimes of a surviving shard's files (must not be rewritten)
+    survivor = sorted(glob.glob(os.path.join(out, "shard=*")))[0]
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(os.path.join(survivor, "*.parquet"))}
+
+    second = write_sharded_parquet(rd.from_pandas(df).repartition(5),
+                                   out, key_col="k", n_shards=8)
+    assert len(second) == len(victims)
+
+    after = {p: os.path.getmtime(p)
+             for p in glob.glob(os.path.join(survivor, "*.parquet"))}
+    assert before == after  # resume skipped the finished shard
+
+    got = (read_sharded_parquet(out).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v"]], df)
+
+
+def test_read_sharded_parquet_ignores_incomplete(ray_session, tmp_path):
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.io import (
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64) % 5,
+                       "v": np.arange(100, dtype=np.int64)})
+    out = str(tmp_path / "sharded2")
+    write_sharded_parquet(rd.from_pandas(df), out, key_col="k", n_shards=4)
+    # strip one sentinel: that shard must disappear from reads
+    sentinels = sorted(glob.glob(os.path.join(out, "shard=*/_SHARD_DONE")))
+    os.remove(sentinels[0])
+    got = read_sharded_parquet(out).to_pandas()
+    assert 0 < len(got) < len(df)
