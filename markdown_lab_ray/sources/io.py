@@ -185,11 +185,21 @@ def write_sharded_parquet(ds, out_dir: str, key_col: str,
 
     from markdown_lab_ray.stages.bucketing import key_buckets
 
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     done = set()
     if resume:
         for p in glob.glob(os.path.join(out_dir, "shard=*", "_SHARD_DONE")):
             done.add(int(os.path.basename(os.path.dirname(p)).split("=")[1]))
+    # wipe shard dirs that have files but NO sentinel (a crash between
+    # the data write and the sentinel pass): write_parquet appends new
+    # UUID-named files next to stale ones, so resuming into a partial
+    # dir would duplicate every one of its rows
+    for shard_dir in glob.glob(os.path.join(out_dir, "shard=*")):
+        sid = int(os.path.basename(shard_dir).split("=")[1])
+        if sid not in done:
+            shutil.rmtree(shard_dir, ignore_errors=True)
 
     def tag(batch: pa.Table) -> pa.Table:
         shards = key_buckets(batch.column(key_col).to_pandas().to_numpy(),
@@ -223,7 +233,8 @@ def write_sharded_parquet(ds, out_dir: str, key_col: str,
 def read_sharded_parquet(out_dir: str, columns=None):
     """Reader for ``write_sharded_parquet`` output: only COMPLETE
     shards (sentinel present) are read, so a reader racing a resumed
-    writer never sees a partial shard."""
+    writer never sees a partial shard — zero complete shards yields an
+    empty (schema-less) dataset, not an error."""
     import glob
     import os
 
@@ -234,4 +245,6 @@ def read_sharded_parquet(out_dir: str, columns=None):
                                            "_SHARD_DONE"))):
         files.extend(sorted(glob.glob(
             os.path.join(os.path.dirname(p), "*.parquet"))))
+    if not files:
+        return rd.from_items([])
     return rd.read_parquet(files, columns=columns)

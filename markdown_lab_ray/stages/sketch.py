@@ -188,6 +188,10 @@ def heavy_hitters_exact(ds, text_col: str = "text", k: int = 20):
 
     total_tbl = merged.map_batches(
         keep_total, batch_format="pyarrow").take_all()
+    if not total_tbl:  # zero-batch input: no sentinel rows at all
+        import pandas as pd
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n_term": pd.Series(dtype="int64")})
     n_total = int(total_tbl[0]["w"])
     bar = n_total // (k * (k + 1))  # W > bar ⟸ F > n/k
 
@@ -245,12 +249,9 @@ def _hll_partial(values, p: int) -> np.ndarray:
     live = rem != 0
     while live.any():
         top = (rem & mask) != 0
-        done = live & top
         live &= ~top
         rho[live] += 1
         rem[live] = rem[live] << np.uint64(1)
-        if not live.any():
-            break
     rho[rest == 0] = np.uint8(64 - p + 1)
     np.maximum.at(regs, idx, rho)
     return regs

@@ -248,10 +248,14 @@ def train_bigram_lm(ds, text_col: str = "text", max_bigrams: int = 1 << 16):
     size.  Returns (uni: dict, bi: dict, v: int)."""
     from ray.data.aggregate import Sum
 
+    # materialize: the unigram and bigram consumers below would each
+    # re-execute the tokenize + keyed-Sum shuffle otherwise (Dataset
+    # lineage is not cached across consumers)
     counts = (ds.map_batches(_unigram_bigram_partial,
                              batch_format="pyarrow",
                              fn_kwargs=dict(text_col=text_col))
-              .groupby("gram").aggregate(Sum("n", alias_name="n")))
+              .groupby("gram").aggregate(Sum("n", alias_name="n"))
+              ).materialize()
 
     import pyarrow.compute as pc
 

@@ -261,3 +261,46 @@ def test_read_sharded_parquet_ignores_incomplete(ray_session, tmp_path):
     os.remove(sentinels[0])
     got = read_sharded_parquet(out).to_pandas()
     assert 0 < len(got) < len(df)
+
+
+def test_write_sharded_parquet_crash_before_sentinel_no_dups(ray_session,
+                                                             tmp_path):
+    """A shard whose files landed but whose sentinel didn't (crash
+    between the data write and the sentinel pass) must be wiped and
+    rewritten on resume — not appended to (which would duplicate every
+    row of the shard)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.io import (
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64) % 37,
+                       "v": np.arange(500, dtype=np.int64)})
+    out = str(tmp_path / "sharded3")
+    write_sharded_parquet(rd.from_pandas(df).repartition(5), out,
+                          key_col="k", n_shards=8)
+    # simulate the crash: sentinel gone, data files still present
+    victim = sorted(glob.glob(os.path.join(out, "shard=*/_SHARD_DONE")))[0]
+    os.remove(victim)
+
+    write_sharded_parquet(rd.from_pandas(df).repartition(5), out,
+                          key_col="k", n_shards=8)
+    got = (read_sharded_parquet(out).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v"]], df)  # no duplicates
+
+
+def test_read_sharded_parquet_empty_dir(ray_session, tmp_path):
+    from markdown_lab_ray.sources.io import read_sharded_parquet
+
+    out = str(tmp_path / "nothing")
+    import os
+    os.makedirs(out)
+    assert read_sharded_parquet(out).count() == 0
