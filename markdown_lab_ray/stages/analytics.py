@@ -494,18 +494,27 @@ def budget_apportion(ds, key_col: str, budget: int):
     cnt = (ds.groupby(key_col).aggregate(Count(alias_name="n_rows"))
            .to_pandas().sort_values(key_col).reset_index(drop=True))
     c = cnt["n_rows"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        key_col: cnt[key_col],
+        "n_rows": c,
+        "budget": apportion_counts(c, budget),
+    })
+
+
+def apportion_counts(c: np.ndarray, budget: int) -> np.ndarray:
+    """Pure Hamilton largest-remainder kernel over key-sorted counts:
+    floor quotas, then the B − Σfloor leftovers to the largest
+    remainders (ties → lower index = smaller key).  Satisfies the
+    quota property: floor(q_i) ≤ b_i ≤ ceil(q_i), Σb_i = B exactly."""
+    c = np.asarray(c, dtype=np.int64)
     n = int(c.sum())
     fl = (budget * c) // n
     rem = (budget * c) % n
     leftover = int(budget - fl.sum())
     give = np.zeros(len(c), np.int64)
     if leftover > 0:
-        # rank by remainder desc, key asc (cnt is already key-sorted,
-        # so a stable argsort on -rem breaks ties by key)
+        # stable argsort on -rem breaks remainder ties by index (the
+        # caller passes key-sorted counts, so index order = key order)
         order = np.argsort(-rem, kind="stable")
         give[order[:leftover]] = 1
-    return pd.DataFrame({
-        key_col: cnt[key_col],
-        "n_rows": c,
-        "budget": fl + give,
-    })
+    return fl + give

@@ -87,3 +87,83 @@ def test_seen_exactly_once(keys):
         first_idx.setdefault(k, i)
     for i, (k, is_new) in enumerate(zip(keys, flags)):
         assert is_new == (first_idx[k] == i)
+
+
+# ---------------------------------------------------------------------------
+# round-3 sketch / apportionment kernels (pure, no Ray)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10 ** 6),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=10 ** 6))
+def test_apportion_quota_property(counts, budget):
+    """Hamilton largest-remainder satisfies the quota property and
+    sums to the budget exactly."""
+    import numpy as np
+
+    from markdown_lab_ray.stages.analytics import apportion_counts
+
+    c = np.asarray(counts, dtype=np.int64)
+    b = apportion_counts(c, budget)
+    assert int(b.sum()) == budget
+    n = int(c.sum())
+    lo = (budget * c) // n              # floor(quota)
+    hi = -((-budget * c) // n)          # ceil(quota)
+    assert (b >= lo).all() and (b <= hi).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                min_size=0, max_size=300))
+def test_mg_partial_summary_guarantee(tokens):
+    """A Misra-Gries batch summary satisfies the mergeable-summaries
+    bound: weight(t) ≥ freq(t) − n/(k+1) for every token, ΣW ≤ n."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.sketch import _HH_TOTAL, _mg_partial_batch
+
+    k = 5
+    batch = pa.table({"text": pa.array([" ".join(tokens)], pa.string())})
+    out = _mg_partial_batch(batch, text_col="text", k=k)
+    weights = {t: w for t, w in zip(out.column("term").to_pylist(),
+                                    out.column("weight").to_pylist())}
+    n = weights.pop(_HH_TOTAL)
+    freq = Counter(t.lower() for t in tokens)
+    assert n == sum(freq.values())
+    assert sum(weights.values()) <= n
+    for t, f in freq.items():
+        assert weights.get(t, 0) >= f - n / (k + 1)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=4000), st.integers(0, 2 ** 31))
+def test_hll_relative_error(n_distinct, seed):
+    """HLL at p=12 stays within 6% for vocabularies up to 4k (σ≈1.6%,
+    so 6% ≈ 3.7σ — a deterministic-hash sketch either passes for a
+    given vocab or it doesn't; no flakiness)."""
+    from markdown_lab_ray.stages.sketch import _hll_partial, hll_estimate
+
+    vals = [f"v{seed}_{i}" for i in range(n_distinct)]
+    est = hll_estimate(_hll_partial(vals, p=12))
+    assert abs(est - n_distinct) / n_distinct < 0.06
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="xyz01", min_size=1, max_size=8),
+                min_size=0, max_size=200),
+       st.lists(st.text(alphabet="xyz01", min_size=1, max_size=8),
+                min_size=0, max_size=200))
+def test_hll_merge_is_union(a_vals, b_vals):
+    """max-merge of two register arrays equals the sketch of the
+    union — the mergeability property the distributed path relies on."""
+    import numpy as np
+
+    from markdown_lab_ray.stages.sketch import _hll_partial
+
+    a = _hll_partial(sorted(set(a_vals)), p=10)
+    b = _hll_partial(sorted(set(b_vals)), p=10)
+    u = _hll_partial(sorted(set(a_vals) | set(b_vals)), p=10)
+    assert np.array_equal(np.maximum(a, b), u)
