@@ -72,12 +72,24 @@ def cmd_convert(args) -> int:
                     .map_batches(render_batch, batch_format="pyarrow",
                                  fn_kwargs=dict(fmt=args.format)))
         out = args.out or "/tmp/mlr_convert"
-        write_rendered_files(rendered, out, args.format)
+        if args.shard_output:
+            # resumable partitioned sink: hash-bucketed shard dirs with
+            # per-shard completion sentinels — a killed run re-invoked
+            # with the same args skips finished shards
+            from .sources.io import write_sharded_parquet
+
+            written = write_sharded_parquet(
+                rendered, out, key_col="url", n_shards=args.shard_output)
+            print(f"wrote shards {written} of {args.shard_output} "
+                  f"to {out}")
+        else:
+            write_rendered_files(rendered, out, args.format)
         if args.chunks:
             chunks = rendered.map_batches(chunk_explode_batch,
                                           batch_format="pyarrow")
             write_chunks_jsonl(chunks, out + "_chunks")
-        print(f"wrote {out}")
+        if not args.shard_output:
+            print(f"wrote {out}")
         return 0
 
     print("convert: need --html or --input-parquet", file=sys.stderr)
@@ -241,6 +253,10 @@ def main(argv=None) -> int:
                    choices=["markdown", "json", "xml"])
     p.add_argument("--chunks", action="store_true")
     p.add_argument("--out")
+    p.add_argument("--shard-output", type=int, metavar="N",
+                   help="write N hash-bucketed parquet shards with "
+                        "per-shard resume sentinels instead of "
+                        "per-URL files")
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_convert)
 

@@ -304,3 +304,31 @@ def test_read_sharded_parquet_empty_dir(ray_session, tmp_path):
     import os
     os.makedirs(out)
     assert read_sharded_parquet(out).count() == 0
+
+
+def test_cli_convert_shard_output(ray_session, tmp_path):
+    """`convert --input-parquet --shard-output N` writes the resumable
+    sharded sink and a re-run skips the finished shards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.cli import main
+    from markdown_lab_ray.sources.io import read_sharded_parquet
+
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.table({
+        "url": pa.array([f"https://h/p{i}" for i in range(40)]),
+        "html": pa.array([f"<html><body><h1>T{i}</h1><p>body {i}"
+                          f"</p></body></html>" for i in range(40)]),
+    }), src)
+    out = str(tmp_path / "shards")
+    rc = main(["convert", "--input-parquet", src, "--out", out,
+               "--shard-output", "4"])
+    assert rc == 0
+    got = read_sharded_parquet(out)
+    assert got.count() == 40
+    # second run: everything already done, nothing rewritten
+    rc = main(["convert", "--input-parquet", src, "--out", out,
+               "--shard-output", "4"])
+    assert rc == 0
+    assert read_sharded_parquet(out).count() == 40
