@@ -2745,6 +2745,43 @@ FROM p
 """
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer ``k`` field
+    out of the JSON ``props`` column (missing/malformed → null,
+    matching SQL ``json_extract``) and aggregate exact integer stats
+    per event type — the event-properties shape every log pipeline
+    has.  Pure map + one native keyed aggregate."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from markdown_lab_ray.stages.text import json_extract_int_batch
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    extracted = ds.map_batches(
+        json_extract_int_batch, batch_format="pyarrow",
+        fn_kwargs=dict(col="props", key="k", out_col="k_val"))
+    agg = (extracted.groupby("event_type")
+           .aggregate(Sum("k_val", alias_name="sum_k"),
+                      Min("k_val", alias_name="min_k"),
+                      Max("k_val", alias_name="max_k"),
+                      Count(alias_name="n_events"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    for c in ("sum_k", "min_k", "max_k", "n_events"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+SQL_PROPS_STATS = r"""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2825,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_payloads": q_convert_payloads,
         "render_xml_payloads": q_render_xml_payloads,
         "render_json_payloads": q_render_json_payloads,
+        "props_stats": q_props_stats,
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
@@ -2923,4 +2961,5 @@ def oracle_sql() -> dict[str, str]:
         "convert_payloads": SQL_CONVERT_PAYLOADS,
         "render_xml_payloads": SQL_RENDER_XML_PAYLOADS,
         "render_json_payloads": SQL_RENDER_JSON_PAYLOADS,
+        "props_stats": SQL_PROPS_STATS,
     }

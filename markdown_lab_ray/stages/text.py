@@ -329,3 +329,22 @@ def ngram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
                           fn_kwargs=dict(model_ref=model_ref,
                                          text_col=text_col,
                                          id_col=id_col))
+
+
+def json_extract_int_batch(batch: pa.Table, col: str, key: str,
+                           out_col: str) -> pa.Table:
+    """Semi-structured payload extraction: pull an integer field out of
+    a JSON-string column (the event-properties shape).  Missing keys /
+    malformed JSON become null, mirroring SQL ``json_extract``
+    semantics, so the aggregate twins line up."""
+    import json
+
+    vals = []
+    for s in batch.column(col).to_pylist():
+        try:
+            v = json.loads(s).get(key) if s else None
+        except (json.JSONDecodeError, AttributeError):
+            v = None
+        vals.append(int(v) if isinstance(v, (int, float))
+                    and not isinstance(v, bool) else None)
+    return batch.append_column(out_col, pa.array(vals, pa.int64()))

@@ -210,3 +210,30 @@ def test_render_json_payloads_matches_duckdb_full_text(ray_session):
     want = (con.execute(entry.SQL_RENDER_JSON_PAYLOADS).df()
             .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_props_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = entry.q_props_stats(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(entry.SQL_PROPS_STATS).df()
+    for c in ("sum_k", "min_k", "max_k", "n_events"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_json_extract_malformed_to_null():
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.text import json_extract_int_batch
+
+    b = pa.table({"props": pa.array(
+        ['{"k": 3}', "not json", None, '{"other": 1}', '{"k": "str"}',
+         '{"k": true}'])})
+    out = json_extract_int_batch(b, col="props", key="k", out_col="k_val")
+    assert out.column("k_val").to_pylist() == [3, None, None, None,
+                                               None, None]
