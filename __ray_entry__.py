@@ -2426,8 +2426,11 @@ r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),"""
                 + ",".join(_PR_ITER.format(t=t, p=t - 1)
                            for t in (1, 2, 3))
                 + """
-SELECT node, rank FROM r3 ORDER BY node
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node
 """)
+# ^ the CAST matters: SUM(BIGINT) is HUGEINT in DuckDB, which pandas
+# renders as float64 — the driver's string-based value hash would then
+# see "1.15e9.0" vs the engine's int64 "1150000000" and mismatch.
 
 
 def q_heavy_hitters(sf_dir: str):
