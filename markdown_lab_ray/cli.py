@@ -121,15 +121,22 @@ def cmd_crawl(args) -> int:
                               **EngineConfig.env_overrides(),
                               **flag_overrides}).validate()
 
-    if args.synthetic:
+    if args.resolver == "http":
+        # real-network fetch tier (sources/http.py): one session per
+        # fetch actor, reference retry taxonomy.  Requires --seeds.
+        from .sources.http import HttpResolver
+        timeout, retries = cfg.timeout, cfg.max_retries
+        web_factory = lambda: HttpResolver(  # noqa: E731
+            timeout=timeout, max_retries=retries)
+        seeds = []
+        if not args.seeds:
+            print("crawl --resolver http: --seeds links.txt is required",
+                  file=sys.stderr)
+            return 2
+    else:
         spec = SiteSpec(n_hosts=args.hosts, pages_per_host=args.pages)
         seeds = spec.seed_urls()
         web_factory = lambda: SyntheticWeb(spec)  # noqa: E731
-    else:
-        print("crawl: only --synthetic is supported in this sandbox "
-              "(no network); the fetch tier accepts any resolver with "
-              ".resolve(url)", file=sys.stderr)
-        return 2
 
     if args.seeds:
         from .kernels.sitemap import parse_links_file
@@ -141,6 +148,35 @@ def cmd_crawl(args) -> int:
     print(f"rounds={res.rounds} fetched={res.fetched} failed={res.failed} "
           f"out={args.out}")
     return 0
+
+
+def cmd_batch(args) -> int:
+    """Reference `mlab batch links.txt` (scraper.py:444-598): fetch the
+    listed URLs directly — no sitemap discovery — convert each to the
+    requested format, write per-URL rendered files + parquet."""
+    _ensure_ray(args.num_cpus)
+    from .kernels.sitemap import parse_links_file
+    from .pipelines.convert import run_batch_convert
+
+    with open(args.links, encoding="utf-8") as f:
+        urls = parse_links_file(f.read())
+    if not urls:
+        print(f"batch: no URLs in {args.links}", file=sys.stderr)
+        return 2
+
+    if args.resolver == "http":
+        from .sources.http import HttpResolver
+        web_factory = lambda: HttpResolver()  # noqa: E731
+    else:
+        from .sources.synth import SiteSpec, SyntheticWeb
+        spec = SiteSpec(n_hosts=args.hosts, pages_per_host=args.pages)
+        web_factory = lambda: SyntheticWeb(spec)  # noqa: E731
+
+    n_ok, n_failed = run_batch_convert(
+        web_factory, urls, args.out, fmt=args.format,
+        save_chunks=args.chunks)
+    print(f"converted={n_ok} failed={n_failed} out={args.out}")
+    return 0 if n_ok else 1
 
 
 def cmd_status(args) -> int:
@@ -266,6 +302,10 @@ def main(argv=None) -> int:
     p.add_argument("--config", help="json/yaml EngineConfig file "
                    "(flags override file values)")
     p.add_argument("--synthetic", action="store_true", default=True)
+    p.add_argument("--resolver", choices=["synthetic", "http"],
+                   default="synthetic",
+                   help="fetch tier: deterministic synthetic web or a "
+                        "real HTTP session pool (sources/http.py)")
     p.add_argument("--hosts", type=int, default=9)
     p.add_argument("--pages", type=int, default=40)
     p.add_argument("--rps", type=float)
@@ -274,6 +314,22 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_crawl)
+
+    p = sub.add_parser("batch", help="fetch+convert a links file "
+                       "directly (no discovery; reference `batch` verb)")
+    p.add_argument("links", help="links.txt: one URL per line "
+                   "(# comments / blanks skipped)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", default="markdown",
+                   choices=["markdown", "json", "xml"])
+    p.add_argument("--chunks", action="store_true",
+                   help="also write RAG chunks sidecar parquet")
+    p.add_argument("--resolver", choices=["synthetic", "http"],
+                   default="synthetic")
+    p.add_argument("--hosts", type=int, default=9)
+    p.add_argument("--pages", type=int, default=40)
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("status", help="inspect a crawl output dir "
                        "(rounds, counts, partial/resume state)")

@@ -79,3 +79,79 @@ def chunk_documents(sf_dir: str, cfg: EngineConfig | None = None):
                          batch_size=cfg.chunk_batch_size,
                          fn_kwargs=dict(chunk_size=cfg.chunk_size,
                                         chunk_overlap=cfg.chunk_overlap)))
+
+
+def _fetch_render_batch(batch: pa.Table, web_factory, fmt: str,
+                        chunk_sink=None, chunk_size: int = 1000,
+                        chunk_overlap: int = 200) -> pa.Table:
+    """Fetch each URL directly (NO sitemap discovery — the reference
+    `batch` verb fetches the listed links as-is, scraper.py:444-598),
+    parse, render to ``fmt``.  Worker-process-cached resolver; failures
+    become status rows (S3 tolerance)."""
+    from ..kernels.html_kernels import parse_html_to_document
+    from ..kernels.render import render_document
+    from ..stages.convert import EMPTY_DOC, chunk_explode_batch
+    from .crawl import _WEB_CACHE, _worker_cached
+
+    web = _worker_cached(_WEB_CACHE, web_factory, lambda f: f())
+    urls = batch.column("loc").to_pylist()
+    statuses, titles, payloads = [], [], []
+    for loc in urls:
+        status, body = web.resolve(loc)
+        html = body if isinstance(body, str) else ""
+        if status != 200 or not html:
+            doc = dict(EMPTY_DOC, base_url=loc)
+        else:
+            try:
+                doc = parse_html_to_document(html, loc)
+            except Exception:
+                doc = dict(EMPTY_DOC, base_url=loc)
+        statuses.append(status)
+        titles.append(doc["title"])
+        payloads.append(render_document(doc, fmt))
+    out = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "status": pa.array(statuses, pa.int32()),
+        "title": pa.array(titles, pa.string()),
+        "payload": pa.array(payloads, pa.string()),
+    })
+    if chunk_sink:
+        import pyarrow.compute as pc
+
+        from .crawl import _write_chunk_sidecar
+        ok = out.filter(pc.equal(out.column("status"), 200))
+        _write_chunk_sidecar(ok, chunk_sink, chunk_size, chunk_overlap)
+    return out
+
+
+def run_batch_convert(web_factory, urls: list[str], out_dir: str,
+                      fmt: str = "markdown", save_chunks: bool = False,
+                      cfg: EngineConfig | None = None):
+    """The reference `mlab batch links.txt` surface on the Ray engine:
+    fetch every listed URL (depth 0, no discovery), convert to ``fmt``,
+    write per-URL rendered files (reference filename scheme) plus a
+    lossless parquet checkpoint (and a chunks sidecar when asked).
+    Returns (n_ok, n_failed)."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.io import write_rendered_files
+
+    cfg = cfg or EngineConfig()
+    rows = [{"loc": u, "seq": i} for i, u in enumerate(urls)]
+    n_blocks = max(1, min(len(rows), 64))
+    ds = rd.from_items(rows, override_num_blocks=n_blocks)
+    chunk_sink = os.path.join(out_dir, "chunks") if save_chunks else None
+    docs = ds.map_batches(
+        _fetch_render_batch, batch_format="pyarrow",
+        batch_size=cfg.fetch_batch_size,
+        fn_kwargs=dict(web_factory=web_factory, fmt=fmt,
+                       chunk_sink=chunk_sink, chunk_size=cfg.chunk_size,
+                       chunk_overlap=cfg.chunk_overlap)).materialize()
+    os.makedirs(out_dir, exist_ok=True)
+    docs.write_parquet(os.path.join(out_dir, "docs"), compression="zstd")
+    write_rendered_files(docs.filter(expr="status == 200"),
+                         os.path.join(out_dir, "rendered"), fmt)
+    n_ok = docs.filter(expr="status == 200").count()
+    return n_ok, len(urls) - n_ok

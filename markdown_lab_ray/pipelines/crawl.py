@@ -376,14 +376,22 @@ def make_host_processor(shards, web_factory, budget: int):
     intra-round dedup (same seen_key ⟹ same host, so host groups see
     all duplicates) → URL-seen contains-filter → robots allow →
     politeness schedule.  Returns the scheduled/deferred rows as an
-    Arrow block."""
+    Arrow block.
+
+    ``shards=None`` skips the in-group URL-seen probe: the driver runs
+    the probe as a ``SeenProbe(mode="filter_unseen")`` map_batches stage
+    BEFORE the groupby instead (reads are idempotent, so filtering
+    before intra-round dedup is equivalent), which batches the shard
+    RPCs per BLOCK — probe call count ∝ blocks × shards, not host
+    groups × shards."""
     empty = _SCHEDULE_PA_SCHEMA.empty_table()
 
     def process(df):
         df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
               .drop_duplicates("seen_key", keep="first"))
-        flags = _probe_contains(shards, df["seen_key"].tolist())
-        df = df[[not f for f in flags]]
+        if shards is not None:
+            flags = _probe_contains(shards, df["seen_key"].tolist())
+            df = df[[not f for f in flags]]
         if df.empty:
             return empty
         host_rules = _robots_rules(web_factory, df["host"].iloc[0])
@@ -413,7 +421,9 @@ def make_salted_preprocessor(shards, web_factory, budget: int):
     rows as *contenders* (the global per-host top-budget is a subset of
     the union of per-salt top-budgets); the rest defer immediately.
     Bounds any single pandas group to ~|host rows| / n_salts, so a
-    10^6-URL host can't blow up one scheduler task (SURVEY §7.5)."""
+    10^6-URL host can't blow up one scheduler task (SURVEY §7.5).
+    ``shards=None`` skips the in-group probe (pre-filtered upstream —
+    see ``make_host_processor``)."""
     import numpy as np
 
     empty = _SALTED_PA_SCHEMA.empty_table()
@@ -421,8 +431,9 @@ def make_salted_preprocessor(shards, web_factory, budget: int):
     def process(df):
         df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
               .drop_duplicates("seen_key", keep="first"))
-        flags = _probe_contains(shards, df["seen_key"].tolist())
-        df = df[[not f for f in flags]]
+        if shards is not None:
+            flags = _probe_contains(shards, df["seen_key"].tolist())
+            df = df[[not f for f in flags]]
         if len(df):
             host_rules = _robots_rules(web_factory, df["host"].iloc[0])
             df = df[[host_rules.allows(u) for u in df["loc"]]]
@@ -601,15 +612,22 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         timings: dict[str, float] = {}
         t0 = _time.time()
 
-        # a–d fused: dedup + seen-filter + robots + schedule inside ONE
+        # a–d fused: dedup + seen-filter + robots + schedule around ONE
         # groupby(host) (two keyed stages when schedule_salts > 1, which
-        # bounds the per-task group size for hot hosts)
+        # bounds the per-task group size for hot hosts).  The URL-seen
+        # probe runs as a map_batches stage BEFORE the groupby: reads
+        # are idempotent, so filtering pre-dedup is equivalent, and the
+        # shard RPC count is ∝ blocks × shards instead of host groups ×
+        # shards (a 10^5-host round would otherwise issue 10^5
+        # synchronous probe fan-outs from inside the group fns)
+        unseen = frontier.map_batches(
+            SeenProbe(shards, mode="filter_unseen"), batch_format="pyarrow")
         if cfg.schedule_salts > 1:
-            pre = frontier.map_batches(
+            pre = unseen.map_batches(
                 add_salt_batch, batch_format="pyarrow",
                 fn_kwargs=dict(n_salts=cfg.schedule_salts)
             ).groupby(["host", "salt"]).map_groups(
-                make_salted_preprocessor(shards, web_factory, budget),
+                make_salted_preprocessor(None, web_factory, budget),
                 batch_format="pandas")
             pre = pre.materialize()  # branched by two filters below —
             # without this the groupby + seen-probe RPCs would run twice
@@ -622,8 +640,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                                           batch_format="pyarrow")
                         .union(salted_out)).materialize()
         else:
-            schedule = frontier.groupby("host").map_groups(
-                make_host_processor(shards, web_factory, budget),
+            schedule = unseen.groupby("host").map_groups(
+                make_host_processor(None, web_factory, budget),
                 batch_format="pandas"
             ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                           ).materialize()

@@ -177,7 +177,13 @@ def write_sharded_parquet(ds, out_dir: str, key_col: str,
     Per-shard writes stream through ``write_parquet`` one shard at a
     time ONLY in the final sentinel pass — the data pass is a single
     partitioned write, so the pipeline stays streaming end-to-end.
-    Returns the list of shard ids written this run."""
+    Returns the list of shard ids written this run.
+
+    A ``_SHARDING.json`` manifest (key_col, n_shards) is written next
+    to the shards on first write; a resume whose parameters differ
+    fails fast — done-shards from the OLD layout would otherwise be
+    kept while new rows hash under the NEW layout, silently duplicating
+    or dropping rows."""
     import glob
     import os
 
@@ -188,6 +194,18 @@ def write_sharded_parquet(ds, out_dir: str, key_col: str,
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_SHARDING.json")
+    params = {"key_col": key_col, "n_shards": n_shards}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"sharding parameters changed: sink was written with "
+                f"{prior}, resume requested {params} — use a fresh "
+                f"out_dir or resume=False to rewrite")
+    with open(manifest_path, "w") as f:
+        json.dump(params, f)
     done = set()
     if resume:
         for p in glob.glob(os.path.join(out_dir, "shard=*", "_SHARD_DONE")):

@@ -91,6 +91,17 @@ def pagerank_integer(edges_ds, n_iter: int = 3, scale: int = 10 ** 9,
 
     nodes = distinct_nodes(edges_ds).repartition(n_buckets).materialize()
 
+    # enforce the documented int64 bound: worst-case a node receives
+    # every node's full damped rank, so n_nodes * scale * 100 must fit
+    # int64 — numpy would WRAP silently past it (ADVICE r03)
+    n_nodes = nodes.count()
+    if n_nodes * scale * 100 >= 2 ** 63:
+        max_scale = (2 ** 63) // (100 * max(n_nodes, 1))
+        raise ValueError(
+            f"pagerank_integer overflow risk: {n_nodes} nodes at "
+            f"scale={scale} exceeds int64 (n*scale*100 >= 2^63); "
+            f"pass scale <= {max_scale}")
+
     ranks = nodes.map_batches(
         lambda b: b.append_column(
             "rank", pa.array(np.full(b.num_rows, scale, np.int64))),

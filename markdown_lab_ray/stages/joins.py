@@ -176,6 +176,93 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
                                                batch_format="pandas")
 
 
+def bucketed_left_lookup_join(left_ds, right_ds, key: str,
+                              n_buckets: int = 32,
+                              found_col: str = "found"):
+    """Left join against a LOOKUP side that is unique on ``key`` (a
+    dimension table — e.g. the image+caption corpus keyed by image_id).
+    Every left row survives exactly once with the right columns attached
+    (nulls on miss) plus a bool ``found_col``.
+
+    Shape: the same ONE-shuffle bucketed pattern as
+    ``bucketed_hash_join``; the per-bucket probe is vectorized
+    ``pc.index_in`` + ``Table.take`` on Arrow blocks end-to-end — no
+    pandas merge, so int64 payloads (phash) survive misses without the
+    float64 widening a pandas left-merge would inflict, and binary
+    payload columns never round-trip through object dtype.
+
+    Contract: the right side must be unique on ``key`` (duplicates
+    resolve to the first occurrence inside the bucket, NOT a row
+    multiplication — use ``bucketed_hash_join`` for m:n joins)."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    right_only = [c for c in right_cols if c != key]
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"column collision (rename first): {sorted(overlap)}")
+    if found_col in left_cols or found_col in right_cols:
+        raise ValueError(f"found_col {found_col!r} collides with a column")
+
+    fields = [(n, _pa_type(t)) for n, t in
+              zip(left_schema.names, left_schema.types)] + [
+        (n, _pa_type(t)) for n, t in
+        zip(right_schema.names, right_schema.types) if n != key]
+    wide = pa.schema(fields + [("__bucket", pa.int32()),
+                               ("__side", pa.string())])
+    hash_as = _common_key_class(
+        _pa_type(dict(zip(left_schema.names, left_schema.types))[key]),
+        _pa_type(dict(zip(right_schema.names, right_schema.types))[key]),
+        key)
+
+    def tag(batch: pa.Table, side: str) -> pa.Table:
+        n = batch.num_rows
+        buckets = _bucket_ids(batch.column(key), n_buckets, hash_as)
+        cols = {}
+        for fld in wide:
+            if fld.name == "__bucket":
+                cols[fld.name] = pa.array(buckets)
+            elif fld.name == "__side":
+                cols[fld.name] = pa.array(
+                    np.full(n, side, dtype=object), pa.string())
+            elif fld.name in batch.column_names:
+                col = batch.column(fld.name)
+                cols[fld.name] = (col.cast(fld.type)
+                                  if col.type != fld.type else col)
+            else:
+                cols[fld.name] = _pad_column(n, fld.type)
+        return pa.table(cols, schema=wide)
+
+    left_tagged = left_ds.map_batches(tag, batch_format="pyarrow",
+                                      fn_kwargs=dict(side="l"))
+    right_tagged = right_ds.map_batches(tag, batch_format="pyarrow",
+                                        fn_kwargs=dict(side="r"))
+
+    out_schema = pa.schema(fields + [(found_col, pa.bool_())])
+
+    def probe_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(tbl.column("__side"), "l")
+        lt = tbl.filter(lmask).select(left_cols)
+        rt = tbl.filter(pc.invert(lmask)).select([key] + right_only)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.index_in(lt.column(key).combine_chunks(),
+                          value_set=rt.column(key).combine_chunks())
+        cols = {c: lt.column(c) for c in left_cols}
+        picked = rt.take(idx)  # null index → all-null row
+        for c in right_only:
+            cols[c] = picked.column(c)
+        cols[found_col] = pc.is_valid(idx)
+        return pa.table(cols, schema=out_schema)
+
+    both = left_tagged.union(right_tagged)
+    return both.groupby("__bucket").map_groups(probe_bucket,
+                                               batch_format="pyarrow")
+
+
 def _bucketed_membership_join(left_ds, right_ds, key: str,
                               n_buckets: int, keep_matched: bool):
     """Shared semi/anti shape: tag both sides with a bucket, union only

@@ -22,42 +22,86 @@ import numpy as np
 import pyarrow as pa
 
 
-def _bin_counts_batch(batch: pa.Table, key_col: str, value_col: str,
-                      bounds: dict, n_bins: int) -> pa.Table:
-    """Per-batch partial sketch: rows (key, flattened bin counts)."""
-    import pandas as pd
+class _BinCountsStage:
+    """Actor-pool binning stage: per-batch partial sketch rows
+    (key, lo, hi, bin counts).
 
-    keys = batch.column(key_col).to_pandas()
-    vals = np.asarray(batch.column(value_col).to_pandas(),
-                      dtype=np.float64)
-    out_keys, out_counts = [], []
-    for key, idx in pd.Series(range(len(keys))).groupby(keys).groups.items():
-        lo, hi = bounds[key]
-        width = max(hi - lo, 1e-300)
-        v = vals[np.asarray(idx)]
-        bins = np.minimum(((v - lo) / width * n_bins).astype(np.int64),
-                          n_bins - 1)
-        counts = np.bincount(bins, minlength=n_bins)
-        out_keys.append(key)
-        out_counts.append(counts.tolist())
-    return pa.table({
-        key_col: pa.array(out_keys),
-        "counts": pa.array(out_counts, pa.list_(pa.int64())),
-    })
+    The per-key global (lo, hi) bounds arrive as a LIST of Arrow block
+    refs (``Dataset.to_arrow_refs`` of the pass-1 minmax aggregate) —
+    the bounds never materialize on the driver; each actor reads them
+    zero-copy from the object store ONCE in ``__init__`` and probes
+    per batch with vectorized ``pc.index_in``.  Per-actor memory is
+    O(#distinct keys) Arrow columns (~24 B/key: ~240 MB at 10^7 keys,
+    shared via the object store across actors on a node)."""
+
+    def __init__(self, bounds_refs, key_col: str, value_col: str,
+                 n_bins: int):
+        import ray
+
+        self.key_col = key_col
+        self.value_col = value_col
+        self.n_bins = n_bins
+        tables = [t for t in ray.get(list(bounds_refs)) if t.num_rows]
+        if tables:
+            tbl = pa.concat_tables(tables)
+            self.keys = tbl.column(key_col).combine_chunks()
+            lo = np.asarray(tbl.column("lo").to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+            hi = np.asarray(tbl.column("hi").to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+        else:
+            self.keys = pa.array([], pa.string())
+            lo = hi = np.zeros(0, np.float64)
+        self.lo = lo
+        self.width = np.maximum(hi - lo, 1e-300)
+        self.hi = hi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        empty = pa.table({
+            self.key_col: pa.array([], self.keys.type),
+            "lo": pa.array([], pa.float64()),
+            "hi": pa.array([], pa.float64()),
+            "counts": pa.array([], pa.list_(pa.int64())),
+        })
+        if n == 0 or len(self.keys) == 0:
+            return empty
+        idx = pc.index_in(batch.column(self.key_col).combine_chunks(),
+                          value_set=self.keys)
+        idx_np = np.asarray(idx.to_numpy(zero_copy_only=False))
+        vals = np.asarray(batch.column(self.value_col).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        # every key came from pass 1 over the same dataset, so idx has
+        # no nulls; compact the batch's key set to local indices
+        uniq, local = np.unique(idx_np, return_inverse=True)
+        bins = np.minimum(
+            ((vals - self.lo[idx_np]) / self.width[idx_np]
+             * self.n_bins).astype(np.int64),
+            self.n_bins - 1)
+        flat = np.bincount(local * self.n_bins + bins,
+                           minlength=len(uniq) * self.n_bins)
+        counts = flat.reshape(len(uniq), self.n_bins)
+        return pa.table({
+            self.key_col: self.keys.take(pa.array(uniq, pa.int64())),
+            "lo": pa.array(self.lo[uniq], pa.float64()),
+            "hi": pa.array(self.hi[uniq], pa.float64()),
+            "counts": pa.array(counts.tolist(), pa.list_(pa.int64())),
+        })
 
 
-def _merge_quantiles_group(df, qs, bounds_ref, n_bins):
+def _merge_quantiles_group(df, qs, n_bins):
     """Merge a key's partial count vectors and read quantiles off the
-    cumulative histogram (linear interpolation inside the bin).
-    ``bounds_ref`` is the ``ray.put`` handle of the bounds dict — passed
-    as a ref so high-cardinality key sets aren't pickled into every
-    group task spec (they're read zero-copy from the object store)."""
+    cumulative histogram (linear interpolation inside the bin).  The
+    key's global (lo, hi) ride the partial rows, so the merge needs no
+    broadcast state at all."""
     import pandas as pd
-    import ray
 
     key = df.iloc[0, 0]
     counts = np.sum(np.stack([np.asarray(c) for c in df["counts"]]), axis=0)
-    lo, hi = ray.get(bounds_ref)[key]
+    lo = float(df["lo"].iloc[0])
+    hi = float(df["hi"].iloc[0])
     width = (hi - lo) / n_bins if hi > lo else 0.0
     total = counts.sum()
     cum = np.cumsum(counts)
@@ -76,55 +120,59 @@ def _merge_quantiles_group(df, qs, bounds_ref, n_bins):
 
 
 def histogram_quantiles(ds, key_col: str, value_col: str,
-                        qs=(0.5, 0.95), n_bins: int = 4096):
+                        qs=(0.5, 0.95), n_bins: int = 4096,
+                        concurrency=(1, 8)):
     """Approximate per-key quantiles via the two-pass histogram sketch.
 
     Error ≤ one bin width ((max−min)/n_bins) per key.  Shuffles only
-    (key, n_bins-int64) sketch rows — never the raw values.  Returns a
-    Dataset with one row per key: (key, p50, p95, ...).
+    (key, lo, hi, n_bins-int64) sketch rows — never the raw values.
+    Returns a Dataset with one row per key: (key, p50, p95, ...).
 
-    Driver-memory bound: the per-key (lo, hi) bounds dict lives on the
-    driver between the two passes — O(#distinct keys) × ~100 bytes, so
-    ~1 GB at 10^7 keys.  That covers every realistic "percentile per
-    category/host/event-type" workload (tested at 10^4 keys); a
-    key space beyond driver memory needs the bounds attached via
-    ``joins.bucketed_hash_join`` instead of the broadcast dict.  Both
-    passes read the dict zero-copy from the object store (one
-    ``ray.put``, the ref shared by partial and merge stages).
-    """
-    import ray
+    No driver-side key state at ANY cardinality: pass 1's per-key
+    (lo, hi) aggregate stays in the object store as Arrow block refs
+    (``to_arrow_refs``) and is read zero-copy by each binning actor in
+    ``__init__``; the merge reads each key's bounds off its own partial
+    rows.  Driver memory is O(#blocks) refs; per-actor memory is the
+    bounds table itself (~24 B/key — see ``_BinCountsStage``), the
+    operator's only cardinality bound."""
     from ray.data.aggregate import Max, Min
 
     minmax = (ds.groupby(key_col)
               .aggregate(Min(value_col, alias_name="lo"),
-                         Max(value_col, alias_name="hi")).to_pandas())
-    bounds = {k: (float(lo), float(hi)) for k, lo, hi in
-              zip(minmax[key_col], minmax["lo"], minmax["hi"])}
-    bounds_ref = ray.put(bounds)
+                         Max(value_col, alias_name="hi"))).materialize()
+    bounds_refs = minmax.to_arrow_refs()
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-        return _bin_counts_batch(batch, key_col, value_col,
-                                 _ray.get(bounds_ref), n_bins)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(
+        _BinCountsStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs=dict(bounds_refs=bounds_refs, key_col=key_col,
+                                   value_col=value_col, n_bins=n_bins))
     return partials.groupby(key_col).map_groups(
         _merge_quantiles_group, batch_format="pandas",
-        fn_kwargs=dict(qs=tuple(qs), bounds_ref=bounds_ref, n_bins=n_bins))
+        fn_kwargs=dict(qs=tuple(qs), n_bins=n_bins))
 
 
 # ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters (mergeable; Agarwal et al. 2012, public)
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = None  # compiled lazily; \w+ to match the top_terms oracle
+_TOKEN_RE = None  # compiled lazily
 
 
 def _tokens(texts):
+    """Tokenizer shared by the heavy-hitter / HLL sketches.  Uses the
+    ``regex`` module's explicit ``[\\p{L}\\p{N}_]+`` class so engine and
+    DuckDB oracle tokenize IDENTICALLY on non-ASCII text (Python
+    ``re``'s ``\\w`` also matches combining marks and Other_Alphabetic
+    codepoints and would diverge — ADVICE r03); falls back to ``re`` \\w+
+    only if ``regex`` is absent, where the contract is ASCII-only."""
     global _TOKEN_RE
     if _TOKEN_RE is None:
-        import re
-        _TOKEN_RE = re.compile(r"\w+")
+        try:
+            import regex
+            _TOKEN_RE = regex.compile(r"[\p{L}\p{N}_]+")
+        except ImportError:
+            import re
+            _TOKEN_RE = re.compile(r"\w+")
     for t in texts:
         yield from _TOKEN_RE.findall((t or "").lower())
 

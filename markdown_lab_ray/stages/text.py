@@ -235,17 +235,22 @@ def _unigram_bigram_partial(batch: pa.Table, text_col: str) -> pa.Table:
         "n": pa.array([n for _, n in grams], pa.int64())})
 
 
-def train_bigram_lm(ds, text_col: str = "text", max_bigrams: int = 1 << 16):
+def train_bigram_lm(ds, text_col: str = "text", max_bigrams: int = 1 << 16,
+                    max_unigrams: int = 1 << 17):
     """Corpus bigram LM with Laplace smoothing, trained distributed:
-    per-batch count combiners → one keyed Sum → the model (unigram
-    counts + the top-``max_bigrams`` bigrams + vocab size) pulled to
-    the driver for broadcast.
+    per-batch count combiners → one keyed Sum → the model (top
+    unigram/bigram counts + vocab size) pulled to the driver for
+    broadcast.
 
-    The bigram table is CAPPED at ``max_bigrams`` (kept by count desc,
-    gram asc — deterministic): a dropped bigram scores as unseen,
-    which only makes rare continuations look slightly rarer; the cap
-    bounds the broadcast at O(V + max_bigrams) regardless of corpus
-    size.  Returns (uni: dict, bi: dict, v: int)."""
+    BOTH tables are CAPPED deterministically (kept by count desc, gram
+    asc): a dropped bigram scores as unseen; a dropped (rare) unigram
+    scores with count 0 in the smoothed numerator's denominator — the
+    vocab size ``v`` used for smoothing stays EXACT (a distributed
+    count, never a driver pull), so the cap only perturbs scores of
+    documents dominated by out-of-cap rare words.  Broadcast is
+    O(max_unigrams + max_bigrams) regardless of corpus size — no
+    unbounded ``take_all`` of the vocabulary (ADVICE r03).
+    Returns (uni: dict, bi: dict, v: int)."""
     from ray.data.aggregate import Sum
 
     # materialize: the unigram and bigram consumers below would each
@@ -263,19 +268,22 @@ def train_bigram_lm(ds, text_col: str = "text", max_bigrams: int = 1 << 16):
         mask = pc.starts_with(batch.column("gram"), want_prefix)
         return batch.filter(mask)
 
-    uni_rows = counts.map_batches(
-        split, batch_format="pyarrow",
-        fn_kwargs=dict(want_prefix="u:")).take_all()
+    uni_ds = counts.map_batches(split, batch_format="pyarrow",
+                                fn_kwargs=dict(want_prefix="u:")
+                                ).materialize()
+    vocab_size = uni_ds.count()  # exact V for smoothing, never pulled
+    # distributed top-k: total order (n desc, gram asc) then limit —
+    # only the capped head reaches the driver
+    uni_rows = (uni_ds.sort(["n", "gram"], descending=[True, False])
+                .limit(max_unigrams).take_all())
     uni = {r["gram"][2:]: int(r["n"]) for r in uni_rows}
 
     bi_ds = counts.map_batches(split, batch_format="pyarrow",
                                fn_kwargs=dict(want_prefix="b:"))
-    # distributed top-k: total order (n desc, gram asc) then limit —
-    # only max_bigrams rows reach the driver
     bi_rows = (bi_ds.sort(["n", "gram"], descending=[True, False])
                .limit(max_bigrams).take_all())
     bi = {r["gram"][2:]: int(r["n"]) for r in bi_rows}
-    return uni, bi, len(uni)
+    return uni, bi, vocab_size
 
 
 def perplexity_batch(batch: pa.Table, model_ref, text_col: str = "text",
@@ -335,9 +343,14 @@ def json_extract_int_batch(batch: pa.Table, col: str, key: str,
                            out_col: str) -> pa.Table:
     """Semi-structured payload extraction: pull an integer field out of
     a JSON-string column (the event-properties shape).  Missing keys /
-    malformed JSON become null, mirroring SQL ``json_extract``
-    semantics, so the aggregate twins line up."""
+    malformed JSON become null.  Float values ROUND half away from zero
+    like DuckDB's ``CAST(... AS BIGINT)`` (int() would truncate 3.7 → 3
+    and silently diverge from the SQL twin; Python's round() is
+    half-to-even and diverges at exact .5); the synth events table
+    holds integer values only, so this path is exercised by unit
+    tests, not the oracle."""
     import json
+    import math
 
     vals = []
     for s in batch.column(col).to_pylist():
@@ -345,6 +358,14 @@ def json_extract_int_batch(batch: pa.Table, col: str, key: str,
             v = json.loads(s).get(key) if s else None
         except (json.JSONDecodeError, AttributeError):
             v = None
-        vals.append(int(v) if isinstance(v, (int, float))
-                    and not isinstance(v, bool) else None)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            vals.append(None)
+        elif isinstance(v, float):
+            if v != v or math.isinf(v):
+                vals.append(None)
+            else:
+                vals.append(int(math.floor(v + 0.5) if v >= 0
+                                else math.ceil(v - 0.5)))
+        else:
+            vals.append(int(v))
     return batch.append_column(out_col, pa.array(vals, pa.int64()))

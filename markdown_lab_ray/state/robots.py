@@ -60,6 +60,11 @@ class LocalRobotsCache:
         rules = self.cache.get(host)
         if rules is None:
             status, body = self.resolve_fn(f"https://{host}/robots.txt")
+            if status == 0:
+                # connection-level failure (real-network resolvers return
+                # status 0; http-only hosts can't serve https): retry the
+                # plain-http scheme before concluding "no robots.txt"
+                status, body = self.resolve_fn(f"http://{host}/robots.txt")
             rules = parse_robots(body) if status == 200 and body else RobotsRules()
             self.cache[host] = rules
         return rules

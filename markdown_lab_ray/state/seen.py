@@ -100,6 +100,11 @@ class _SeenCore:
         self.filter = CuckooFilter(capacity, seed)
         self.exact: dict[str, int] = {}
         self.filter_ok = True
+        # RPC accounting: one increment per contains_many/check_and_add
+        # CALL (not per key) — lets tests assert the probe fan-out is
+        # ∝ blocks × shards, never ∝ host groups × shards
+        self.n_probe_calls = 0
+        self.n_mark_calls = 0
 
     def _mark(self, key: str, round_no: int) -> None:
         self.exact[key] = round_no
@@ -110,6 +115,7 @@ class _SeenCore:
         """For each key: True iff it was NOT seen before (and mark it
         seen), OR it was marked in this same ``round_no`` (>= 0) — the
         task-retry idempotence case.  Exactly-once across rounds."""
+        self.n_mark_calls += 1
         out = []
         for key in keys:
             if self.filter_ok and not self.filter.contains(key):
@@ -127,6 +133,7 @@ class _SeenCore:
         return out
 
     def contains_many(self, keys: list[str]) -> list[bool]:
+        self.n_probe_calls += 1
         out = []
         for key in keys:
             if self.filter_ok and not self.filter.contains(key):
@@ -147,6 +154,10 @@ class _SeenCore:
 
     def size(self) -> int:
         return len(self.exact)
+
+    def rpc_stats(self) -> dict:
+        return {"probe_calls": self.n_probe_calls,
+                "mark_calls": self.n_mark_calls}
 
 
 class LocalSeen(_SeenCore):

@@ -149,3 +149,27 @@ def test_resume_discards_partial_round(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         read_crawl_order(full_dir).reset_index(drop=True),
         read_crawl_order(part_dir).reset_index(drop=True))
+
+
+def test_probe_rpc_count_scales_with_shards_not_groups(ray_session):
+    """VERDICT r03 #6: the URL-seen probe runs pre-groupby per BLOCK, so
+    shard RPC count is bounded by blocks × shards — independent of the
+    number of host groups (200 hosts here, 4 blocks, 8 shards)."""
+    import ray
+    import ray.data as rd
+
+    from markdown_lab_ray.state.seen import SeenProbe, create_seen_shards
+
+    n_hosts, n_blocks, n_shards = 200, 4, 8
+    shards = create_seen_shards(n_shards, 1 << 12)
+    rows = [{"seen_key": f"https://h{i}.test/p", "host": f"h{i}.test"}
+            for i in range(n_hosts)]
+    ds = rd.from_items(rows).repartition(n_blocks)
+    out = ds.map_batches(SeenProbe(shards, mode="filter_unseen"),
+                         batch_format="pyarrow").materialize()
+    assert out.count() == n_hosts  # nothing seen yet → all pass
+    calls = sum(s["probe_calls"] for s in
+                ray.get([sh.rpc_stats.remote() for sh in shards]))
+    assert calls <= n_blocks * n_shards  # 32, not ∝ 200 host groups
+    for sh in shards:
+        ray.kill(sh)

@@ -332,3 +332,55 @@ def test_cli_convert_shard_output(ray_session, tmp_path):
                "--shard-output", "4"])
     assert rc == 0
     assert read_sharded_parquet(out).count() == 40
+
+
+def test_cli_batch_links_file(ray_session, tmp_path, capsys):
+    """`mlab batch links.txt` end-to-end (reference scraper.py:444-598):
+    direct fetch of the listed URLs — no discovery — per-URL rendered
+    files + parquet checkpoint + chunks sidecar."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.cli import main
+
+    links = tmp_path / "links.txt"
+    links.write_text(
+        "# seed list\n"
+        "https://h000.example.com/page/1\n"
+        "\n"
+        "https://h001.example.com/page/2\n"
+        "https://h000.example.com/page/999\n")  # 404 → failure row
+    out = str(tmp_path / "batch_out")
+    rc = main(["batch", str(links), "--out", out, "--chunks"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "converted=2 failed=1" in captured
+    docs = pq.read_table(glob.glob(f"{out}/docs/*.parquet"))
+    assert docs.num_rows == 3
+    by_url = dict(zip(docs.column("url").to_pylist(),
+                      docs.column("status").to_pylist()))
+    assert by_url["https://h000.example.com/page/999"] == 404
+    rendered = glob.glob(f"{out}/rendered/*.md")
+    assert len(rendered) == 2  # only the 200s
+    assert glob.glob(f"{out}/chunks/*.parquet")
+    # payload is real markdown from the page parse
+    payloads = docs.column("payload").to_pylist()
+    assert any("# " in (p or "") for p in payloads)
+
+
+def test_cli_batch_json_format(ray_session, tmp_path):
+    from markdown_lab_ray.cli import main
+
+    links = tmp_path / "links.txt"
+    links.write_text("https://h000.example.com/page/1\n")
+    out = str(tmp_path / "bj")
+    rc = main(["batch", str(links), "--out", out, "--format", "json"])
+    assert rc == 0
+    import glob
+    import json
+
+    files = glob.glob(f"{out}/rendered/*.json")
+    assert len(files) == 1
+    doc = json.loads(open(files[0]).read())
+    assert doc["base_url"] == "https://h000.example.com/page/1"

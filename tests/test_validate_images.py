@@ -80,3 +80,143 @@ def test_seen_mark_idempotent_within_round():
     # default (-1) marking is never retry-idempotent
     assert seen.check_and_add(["k9"]) == [True]
     assert seen.check_and_add(["k9"]) == [False]
+
+
+# ---------------------------------------------------------------------------
+# join strategies (VERDICT r03 #1: bucketed hash join replaces broadcast)
+# ---------------------------------------------------------------------------
+
+def _refs_table():
+    import pyarrow as pa
+    # include misses ("nope") and a BIG int64 phash probe downstream
+    return pa.table({
+        "page_url": pa.array([f"https://h/p{i}" for i in range(6)]),
+        "alt": pa.array([f"alt{i}" for i in range(6)]),
+        "src": pa.array([f"https://img/x{i}.png" for i in range(6)]),
+        "image_id": pa.array(["img000000", "img000001", "nope",
+                              "img000002", "nope2", "img000001"]),
+    })
+
+
+def _sorted_rows(ds):
+    rows = ds.take_all()
+    return sorted(rows, key=lambda r: (r["page_url"], r["image_id"]))
+
+
+def test_choose_join_strategy_thresholds():
+    import pyarrow as pa
+
+    from markdown_lab_ray.pipelines.validate_images import choose_join_strategy
+
+    small = build_images_table(SiteSpec(n_images=10))
+    assert choose_join_strategy(small, broadcast_max_bytes=64 << 20) == \
+        "broadcast"
+    assert choose_join_strategy(small, broadcast_max_bytes=10) == "bucketed"
+    assert choose_join_strategy("a/path.lance", 64 << 20) == "bucketed"
+    assert choose_join_strategy(None, 64 << 20) == "bucketed"
+
+
+def test_attach_image_table_broadcast_equals_bucketed(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.pipelines.validate_images import attach_image_table
+
+    table = build_images_table(SiteSpec(n_images=20))
+    refs = rd.from_arrow(_refs_table())
+    a = _sorted_rows(attach_image_table(refs, table, strategy="broadcast"))
+    b = _sorted_rows(attach_image_table(refs, table, strategy="bucketed"))
+    assert a == b
+    found = [r for r in a if r["found"]]
+    missing = [r for r in a if not r["found"]]
+    assert len(found) == 4 and len(missing) == 2
+    assert all(r["bytes"] is None and r["phash"] is None for r in missing)
+    # int64 phash survives the bucketed path bit-exact (no float64
+    # widening on miss-bearing columns)
+    by_id = {r["image_id"]: r for r in found}
+    import pyarrow.compute as pc
+    idx = table.column("image_id").to_pylist().index("img000001")
+    assert by_id["img000001"]["phash"] == table.column("phash")[idx].as_py()
+
+
+def test_bucketed_path_never_broadcasts_table(ray_session, monkeypatch,
+                                              tmp_path):
+    """The 100-TB shape: image table given as a PATH (streaming read).
+    The bucketed path must not construct the broadcast stage nor
+    ray.put the full image table on the driver."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    import markdown_lab_ray.pipelines.validate_images as vi
+    from markdown_lab_ray.sources.io import read_image_table
+
+    table = build_images_table(SiteSpec(n_images=30))
+    pq_path = str(tmp_path / "images.parquet")
+    pq.write_table(table, pq_path)
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast stage used on bucketed path")
+
+    monkeypatch.setattr(vi.JoinImageTable, "__init__", boom)
+    real_put = ray.put
+
+    def guarded_put(obj, **kw):
+        import pyarrow as pa
+        assert not (isinstance(obj, pa.Table)
+                    and "bytes" in getattr(obj, "column_names", [])), \
+            "full image table ray.put on bucketed path"
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", guarded_put)
+    refs = rd.from_arrow(_refs_table())
+    images = read_image_table(
+        pq_path, columns=["image_id", "bytes", "w", "h", "fmt",
+                          "caption", "phash"])
+    out = vi.attach_image_table(refs, images, strategy="bucketed")
+    rows = out.take_all()
+    assert len(rows) == 6
+    assert sum(r["found"] for r in rows) == 4
+
+
+def test_validate_crawled_images_bucketed_matches_broadcast(ray_session,
+                                                            tmp_path):
+    """End-to-end: the two join strategies produce identical validation
+    rows (the fixture-lock for the flagship join)."""
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.pipelines.validate_images import validate_crawled_images
+
+    out = str(tmp_path / "crawl")
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), out, CFG)
+    table = build_images_table(SPEC)
+    ref = reference_pixels_fn(SPEC)
+
+    def key(r):
+        return (r["page_url"], r["image_id"])
+
+    a = sorted(validate_crawled_images(out, table, ref_fn=ref,
+                                       strategy="broadcast").take_all(),
+               key=key)
+    b = sorted(validate_crawled_images(out, table, ref_fn=ref,
+                                       strategy="bucketed").take_all(),
+               key=key)
+    assert a == b
+    assert len(a) > 0 and all(r["pixels_ok"] for r in a)
+
+
+def test_validate_crawled_images_from_path(ray_session, tmp_path):
+    """images_path variant: column-pruned read feeds the bucketed join."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.pipelines.validate_images import validate_crawled_images
+
+    out = str(tmp_path / "crawl")
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), out, CFG)
+    table = build_images_table(SPEC)
+    pq_path = str(tmp_path / "images.parquet")
+    pq.write_table(table, pq_path)
+
+    rows = validate_crawled_images(
+        out, images_path=pq_path, ref_fn=reference_pixels_fn(SPEC)
+    ).take_all()
+    assert rows and all(r["pixels_ok"] and r["caption_ok"] for r in rows)
