@@ -163,6 +163,35 @@ def read_image_table(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def write_image_table(ds, path: str):
+    """Write an image+caption corpus Dataset — the write twin of
+    ``read_image_table``, same seam: a ``.lance`` path routes to
+    ``Dataset.write_lance`` (fragment-parallel, the north-star storage
+    for wide binary columns) when ``pylance`` is installed and raises
+    an actionable error when it isn't (this container has no pylance,
+    so the Lance branch is exercised in tests up to that seam); any
+    other path writes parquet.
+
+    The Dataset schema is validated against the contract columns
+    (extra columns allowed, missing contract columns fail fast) so a
+    malformed corpus never lands in the checkpoint format."""
+    missing = set(IMAGE_TABLE_COLUMNS) - set(ds.schema().names)
+    if missing:
+        raise ValueError(
+            f"image-table contract columns missing: {sorted(missing)}")
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                "Lance path given but pylance is not installed; "
+                "install pylance or write parquet") from exc
+        ds.write_lance(path)
+        return path
+    ds.write_parquet(path)
+    return path
+
+
 def write_sharded_parquet(ds, out_dir: str, key_col: str,
                           n_shards: int = 64, resume: bool = True):
     """Resumable partitioned-parquet sink: rows are hash-bucketed on

@@ -182,3 +182,76 @@ def test_read_image_table_parquet_contract(ray_session, tmp_path):
         read_image_table(p, columns=["nope"])
     with pytest.raises(RuntimeError):
         read_image_table(str(tmp_path / "corpus.lance"))
+
+
+def test_write_image_table_seam(ray_session, tmp_path):
+    """Write twin of the read seam: parquet round-trips through
+    read_image_table; a .lance path hits the pylance seam (actionable
+    error here — this container has no pylance; the branch calls
+    Dataset.write_lance when it is installed); contract violations
+    fail fast."""
+    import importlib.util
+
+    import pytest
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.io import (
+        read_image_table,
+        write_image_table,
+    )
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+
+    table = build_images_table(SiteSpec(n_images=12))
+    ds = rd.from_arrow(table)
+
+    out = str(tmp_path / "corpus_pq")
+    write_image_table(ds, out)
+    back = read_image_table(out).take_all()
+    assert len(back) == 12
+    assert sorted(r["image_id"] for r in back) == \
+        sorted(table.column("image_id").to_pylist())
+
+    if importlib.util.find_spec("lance") is None:
+        with pytest.raises(RuntimeError, match="pylance"):
+            write_image_table(ds, str(tmp_path / "corpus.lance"))
+    else:  # pragma: no cover — real-cluster path
+        write_image_table(ds, str(tmp_path / "corpus.lance"))
+        assert read_image_table(
+            str(tmp_path / "corpus.lance")).count() == 12
+
+    with pytest.raises(ValueError, match="contract columns missing"):
+        write_image_table(ds.drop_columns(["caption"]),
+                          str(tmp_path / "bad"))
+
+
+def test_sharded_parquet_manifest_guards_resume(ray_session, tmp_path):
+    """ADVICE r03: resuming a sharded sink with different sharding
+    parameters must fail fast, not silently mix layouts."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.io import (
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    df = pd.DataFrame({"k": [f"k{i}" for i in range(40)],
+                       "v": range(40)})
+    out = str(tmp_path / "shards")
+    write_sharded_parquet(rd.from_pandas(df), out, key_col="k", n_shards=4)
+    assert read_sharded_parquet(out).count() == 40
+
+    with pytest.raises(ValueError, match="sharding parameters changed"):
+        write_sharded_parquet(rd.from_pandas(df), out, key_col="k",
+                              n_shards=8)
+    with pytest.raises(ValueError, match="sharding parameters changed"):
+        write_sharded_parquet(rd.from_pandas(df), out, key_col="v",
+                              n_shards=4)
+    # same parameters: clean no-op resume
+    write_sharded_parquet(rd.from_pandas(df), out, key_col="k", n_shards=4)
+    assert read_sharded_parquet(out).count() == 40
+    # resume=False rewrites under the new layout
+    write_sharded_parquet(rd.from_pandas(df), out, key_col="k", n_shards=8,
+                          resume=False)
+    assert read_sharded_parquet(out).count() == 40
