@@ -1997,6 +1997,20 @@ def q_crawl_image_validation_bucketed(sf_dir: str):
         return validated.to_pandas()
 
 
+def q_image_dedup_pipeline(sf_dir: str):
+    """Flagship image-dedup composition: phash LSH pairs → distributed
+    connected components → keep the highest-resolution copy per
+    cluster (every 10th synth image is a jittered near-dup)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import image_dedup_keep_best
+
+    table = build_images_table(SiteSpec(n_images=200))
+    out = image_dedup_keep_best(rd.from_arrow(table)).to_pandas()
+    return out.sort_values(["cluster", "image_id"]).reset_index(drop=True)
+
+
 def q_batch_convert(sf_dir: str):
     """The reference `mlab batch links.txt` surface (direct fetch of a
     seed list, no discovery) as a pipeline: returns the converted docs
@@ -2945,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_formats": q_render_formats,
         "crawl_image_validation_bucketed": q_crawl_image_validation_bucketed,
         "batch_convert": q_batch_convert,
+        "image_dedup_pipeline": q_image_dedup_pipeline,
     }
 
 

@@ -125,6 +125,10 @@ def cmd_crawl(args) -> int:
         # real-network fetch tier (sources/http.py): one session per
         # fetch actor, reference retry taxonomy.  Requires --seeds.
         from .sources.http import HttpResolver
+        if cfg.robots_cache == "worker":
+            # real network → robots.txt fetched once cluster-wide via
+            # the sharded robots actors, not once per worker process
+            cfg = cfg.update(robots_cache="actor")
         timeout, retries = cfg.timeout, cfg.max_retries
         web_factory = lambda: HttpResolver(  # noqa: E731
             timeout=timeout, max_retries=retries)

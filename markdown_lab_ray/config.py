@@ -51,6 +51,11 @@ class EngineConfig:
                                        # fetch actors (sleeps!); the round
                                        # budget still bounds volume
     seen_capacity_per_shard: int = 1 << 20
+    robots_cache: str = "worker"       # "worker" (per-process cache) |
+                                       # "actor" (sharded robots actors:
+                                       # one fetch per host cluster-wide
+                                       # — use for real networks)
+    robots_shards: int = 4
 
     # -- misc
     seed: int = 42
@@ -76,6 +81,8 @@ class EngineConfig:
                              "'json', or 'xml'")
         if self.fetch_mode not in ("actors", "tasks"):
             raise ValueError("fetch_mode must be 'actors' or 'tasks'")
+        if self.robots_cache not in ("worker", "actor"):
+            raise ValueError("robots_cache must be 'worker' or 'actor'")
         return self
 
     @classmethod

@@ -371,7 +371,7 @@ def _group_to_arrow(df, schema: pa.Schema) -> pa.Table:
     return _conform(pa.Table.from_pandas(df, preserve_index=False), schema)
 
 
-def make_host_processor(shards, web_factory, budget: int):
+def make_host_processor(shards, robots_factory, budget: int):
     """The fused per-host round step (ONE groupby instead of three):
     intra-round dedup (same seen_key ⟹ same host, so host groups see
     all duplicates) → URL-seen contains-filter → robots allow →
@@ -394,7 +394,7 @@ def make_host_processor(shards, web_factory, budget: int):
             df = df[[not f for f in flags]]
         if df.empty:
             return empty
-        host_rules = _robots_rules(web_factory, df["host"].iloc[0])
+        host_rules = _robots_rules(robots_factory, df["host"].iloc[0])
         keep = [host_rules.allows(u) for u in df["loc"]]
         df = df[keep]
         if df.empty:
@@ -415,7 +415,7 @@ def add_salt_batch(batch: pa.Table, n_salts: int) -> pa.Table:
     return batch.append_column("salt", pa.array(salts, pa.int32()))
 
 
-def make_salted_preprocessor(shards, web_factory, budget: int):
+def make_salted_preprocessor(shards, robots_factory, budget: int):
     """Stage 1 of hot-host scheduling: per (host, salt) group — dedup,
     seen-filter, robots — then keep only the group's top-``budget``
     rows as *contenders* (the global per-host top-budget is a subset of
@@ -435,7 +435,7 @@ def make_salted_preprocessor(shards, web_factory, budget: int):
             flags = _probe_contains(shards, df["seen_key"].tolist())
             df = df[[not f for f in flags]]
         if len(df):
-            host_rules = _robots_rules(web_factory, df["host"].iloc[0])
+            host_rules = _robots_rules(robots_factory, df["host"].iloc[0])
             df = df[[host_rules.allows(u) for u in df["loc"]]]
         if df.empty:
             return empty
@@ -457,12 +457,38 @@ def make_host_finalizer(budget: int):
     return process
 
 
-def _robots_rules(web_factory, host: str):
-    """Per-worker-process cached robots rules (same cache the filter
-    task uses)."""
-    cache = _worker_cached(_ROBOTS_CACHE, web_factory,
-                           lambda f: LocalRobotsCache(f().resolve))
+def _robots_rules(robots_factory, host: str):
+    """Per-worker-process cached robots rules.  ``robots_factory()``
+    returns any object with ``rules_for(host)`` — ``LocalRobotsCache``
+    (worker mode: each process fetches/derives rules itself; right for
+    the pure-function synthetic web) or ``ActorRobotsCache`` (actor
+    mode: the sharded robots actor tier fetches each host's robots.txt
+    exactly once cluster-wide; right for real networks)."""
+    cache = _worker_cached(_ROBOTS_CACHE, robots_factory, lambda f: f())
     return cache.rules_for(host)
+
+
+class _LocalRobotsFactory:
+    """Picklable robots_factory for worker mode."""
+
+    def __init__(self, web_factory):
+        self.web_factory = web_factory
+
+    def __call__(self):
+        return LocalRobotsCache(self.web_factory().resolve)
+
+
+class _ActorRobotsFactory:
+    """Picklable robots_factory for the sharded-actor mode (north rule:
+    robots.txt cache actors).  Holds the shard handles; each worker
+    process builds one memoizing client over them."""
+
+    def __init__(self, shards):
+        self.shards = shards
+
+    def __call__(self):
+        from ..state.robots import ActorRobotsCache
+        return ActorRobotsCache(self.shards)
 
 
 def links_explode_batch(batch: pa.Table) -> pa.Table:
@@ -574,6 +600,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
     budget = round_budget(cfg.requests_per_second, cfg.round_seconds)
     shards = create_seen_shards(cfg.seen_shards, cfg.seen_capacity_per_shard,
                                 cfg.seed)
+    if cfg.robots_cache == "actor":
+        # sharded robots cache actors: each host's robots.txt fetched
+        # exactly once cluster-wide (the real-network politeness tier)
+        from ..state.robots import create_robots_shards
+        robots_factory = _ActorRobotsFactory(
+            create_robots_shards(cfg.robots_shards, web_factory))
+    else:
+        # worker mode: per-process rules cache; right for the synthetic
+        # pure-function web where a "fetch" is a deterministic compute
+        robots_factory = _LocalRobotsFactory(web_factory)
     result = CrawlResult(out_dir=out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -586,9 +622,14 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
 
     t_disc = _time.time()
     if frontier is None:
+        # one block per seed up to a cap: per-seed tasks maximize
+        # discovery parallelism for normal seed lists, while a 10^6-seed
+        # frontier doesn't explode into 10^6 scheduler-bound tiny blocks
+        # (past the cap each task walks several seeds sequentially)
+        n_seed_blocks = max(1, min(len(seed_urls), total_cpus * 8))
         seeds = rd.from_items([
             {"seed": s, "seed_idx": i} for i, s in enumerate(seed_urls)],
-            override_num_blocks=max(1, len(seed_urls)))
+            override_num_blocks=n_seed_blocks)
         frontier = seeds.map_batches(
             discover_batch, batch_format="pyarrow", batch_size=1,
             fn_kwargs=dict(
@@ -627,7 +668,7 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 add_salt_batch, batch_format="pyarrow",
                 fn_kwargs=dict(n_salts=cfg.schedule_salts)
             ).groupby(["host", "salt"]).map_groups(
-                make_salted_preprocessor(None, web_factory, budget),
+                make_salted_preprocessor(None, robots_factory, budget),
                 batch_format="pandas")
             pre = pre.materialize()  # branched by two filters below —
             # without this the groupby + seen-probe RPCs would run twice
@@ -641,7 +682,7 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                         .union(salted_out)).materialize()
         else:
             schedule = unseen.groupby("host").map_groups(
-                make_host_processor(None, web_factory, budget),
+                make_host_processor(None, robots_factory, budget),
                 batch_format="pandas"
             ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                           ).materialize()

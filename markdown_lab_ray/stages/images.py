@@ -414,3 +414,56 @@ def keep_best_resolution(ds, group_col: str = "phash",
     return (tagged.groupby("_b")
             .map_groups(lambda g: best(g.drop(columns=["_b"])),
                         batch_format="pandas"))
+
+
+def image_dedup_keep_best(images_ds, hamming_threshold: int = 6,
+                          n_buckets: int = 32):
+    """End-to-end image near-dup dedup — the graft payload's flagship
+    composition: phash band LSH → in-band Hamming-verified pairs →
+    distributed connected components (large-star/small-star) → keep the
+    single highest-resolution copy per duplicate cluster.
+
+    Returns a Dataset of survivors (cluster, image_id, w, h): one row
+    per cluster, singletons included (an image with no near-dups is its
+    own cluster and survives).  Every stage is the already-bounded
+    operator: pairs are O(result) via capped band buckets, CC shuffles
+    edge rows only, the final arg-max is the combiner-first
+    ``keep_best_resolution``."""
+    import ray.data as rd
+
+    from .dedup import connected_components_distributed
+    from .joins import bucketed_left_lookup_join
+
+    pairs = phash_near_dup_pairs(images_ds,
+                                 hamming_threshold=hamming_threshold)
+    # Arrow-typed edge table (a pandas-block dataset would hand the CC
+    # python-class dtypes instead of pa.DataType)
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array(pairs["a"].tolist(), pa.string()),
+        "v": pa.array(pairs["b"].tolist(), pa.string()),
+    }))
+    ids = images_ds.select_columns(["image_id"]).map_batches(
+        lambda b: pa.table({"node": b.column("image_id")}),
+        batch_format="pyarrow")
+    labels = connected_components_distributed(edges, ids_ds=ids)
+    labels = labels.map_batches(
+        lambda b: pa.table({"image_id": b.column("node"),
+                            "cluster": b.column("label")}),
+        batch_format="pyarrow")
+    dims = images_ds.select_columns(["image_id", "w", "h"])
+    labeled = bucketed_left_lookup_join(dims, labels, "image_id",
+                                        n_buckets=n_buckets)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        # every id is in the CC output (ids_ds covers singletons), so
+        # found is always true; drop it and order the columns
+        return pa.table({
+            "cluster": batch.column("cluster"),
+            "image_id": batch.column("image_id"),
+            "w": batch.column("w").cast(pa.int64()),
+            "h": batch.column("h").cast(pa.int64()),
+        })
+
+    labeled = labeled.map_batches(conform, batch_format="pyarrow")
+    return keep_best_resolution(labeled, group_col="cluster",
+                                id_col="image_id", n_buckets=n_buckets)

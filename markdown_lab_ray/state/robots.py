@@ -79,3 +79,57 @@ def create_robots_cache(resolve_fn):
         pass
 
     return RobotsCacheActor.remote(resolve_fn)
+
+
+def create_robots_shards(num_shards: int, web_factory):
+    """Robots cache as a SHARDED actor tier addressed by
+    ``crc32(host) % num_shards`` (north rule: "robots.txt cache
+    actors").  Each shard owns its own resolver (built from
+    ``web_factory`` inside the actor) and fetches a host's robots.txt
+    exactly ONCE cluster-wide — a real-network crawl otherwise
+    re-fetches it once per worker process per host.  ``n_fetches``
+    exposes the fetch count so tests can assert the exactly-once
+    property."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class RobotsShard:
+        def __init__(self, factory):
+            self.cache = LocalRobotsCache(factory().resolve)
+            self.fetches = 0
+
+        def rules_for(self, host: str) -> RobotsRules:
+            known = host in self.cache.cache
+            rules = self.cache.rules_for(host)
+            if not known:
+                self.fetches += 1
+            return rules
+
+        def n_fetches(self) -> int:
+            return self.fetches
+
+    return [RobotsShard.remote(web_factory) for _ in range(num_shards)]
+
+
+class ActorRobotsCache:
+    """Worker-side client for the robots shard tier: two-tier lookup
+    (in-process memo → shard actor → one real fetch).  Same
+    ``rules_for(host)`` surface as ``LocalRobotsCache``, so the crawl's
+    group fns and filter stages take either interchangeably.  Actor
+    handles pickle into tasks; the memo bounds RPCs to one per
+    (worker process, host)."""
+
+    def __init__(self, shards):
+        self.shards = shards
+        self.local: dict[str, RobotsRules] = {}
+
+    def rules_for(self, host: str) -> RobotsRules:
+        import ray
+        import zlib as _z
+
+        rules = self.local.get(host)
+        if rules is None:
+            shard = self.shards[_z.crc32(host.encode()) % len(self.shards)]
+            rules = ray.get(shard.rules_for.remote(host))
+            self.local[host] = rules
+        return rules

@@ -173,3 +173,38 @@ def test_probe_rpc_count_scales_with_shards_not_groups(ray_session):
     assert calls <= n_blocks * n_shards  # 32, not ∝ 200 host groups
     for sh in shards:
         ray.kill(sh)
+
+
+def test_robots_actor_cache_exactly_once_and_parity(ray_session, tmp_path):
+    """robots_cache="actor" (north rule: robots.txt cache actors): the
+    shard tier fetches each host's robots.txt exactly ONCE cluster-wide
+    and the crawl output is identical to worker mode."""
+    import ray
+
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+    from markdown_lab_ray.state.robots import create_robots_shards
+
+    cfg_actor = EngineConfig(**{**CFG.__dict__, "robots_cache": "actor",
+                                "robots_shards": 3})
+    a_dir, w_dir = str(tmp_path / "actor"), str(tmp_path / "worker")
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), a_dir,
+                  cfg_actor)
+    run_crawl_ray(lambda: SyntheticWeb(SPEC), SPEC.seed_urls(), w_dir, CFG)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        read_crawl_order(a_dir).reset_index(drop=True),
+        read_crawl_order(w_dir).reset_index(drop=True))
+
+    # exactly-once property, asserted directly on the shard tier
+    shards = create_robots_shards(3, lambda: SyntheticWeb(SPEC))
+    from markdown_lab_ray.state.robots import ActorRobotsCache
+    client_a = ActorRobotsCache(shards)
+    client_b = ActorRobotsCache(shards)  # second "worker process"
+    hosts = SPEC.hosts()
+    for client in (client_a, client_b, client_a):
+        for h in hosts:
+            client.rules_for(h)
+    fetches = sum(ray.get([s.n_fetches.remote() for s in shards]))
+    assert fetches == len(hosts)  # one real fetch per host, ever
+    for s in shards:
+        ray.kill(s)

@@ -220,3 +220,42 @@ def test_validate_crawled_images_from_path(ray_session, tmp_path):
         out, images_path=pq_path, ref_fn=reference_pixels_fn(SPEC)
     ).take_all()
     assert rows and all(r["pixels_ok"] and r["caption_ok"] for r in rows)
+
+
+def test_image_dedup_keep_best_pipeline(ray_session):
+    """Flagship image-dedup composition: every 10th synth image is a
+    near-dup of its predecessor — each such pair must collapse to ONE
+    survivor (the higher-resolution copy), singletons all survive."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.images import image_dedup_keep_best
+
+    spec = SiteSpec(n_images=100)
+    table = build_images_table(spec)
+    out = image_dedup_keep_best(rd.from_arrow(table)).take_all()
+    survivors = {r["image_id"] for r in out}
+    n_imgs = table.num_rows
+    by_id = {r["image_id"]: (r["w"], r["h"]) for r in
+             table.select(["image_id", "w", "h"]).to_pylist()}
+
+    # near-dup construction: k % 10 == 9 duplicates k-1 (same dims)
+    dup_pairs = [(spec.image_id(k - 1), spec.image_id(k))
+                 for k in range(1, n_imgs) if k % 10 == 9]
+    assert len(out) < n_imgs  # something actually collapsed
+    collapsed = 0
+    for a, b in dup_pairs:
+        both = (a in survivors) + (b in survivors)
+        if both == 1:
+            collapsed += 1
+            winner = a if a in survivors else b
+            loser = b if a in survivors else a
+            wa, ha = by_id[winner]
+            wl, hl = by_id[loser]
+            # keep-best: max pixel count, ties to smallest id
+            assert (wa * ha, loser) >= (wl * hl, winner), (winner, loser)
+    # phash bands at threshold 6 catch most of the jittered copies
+    assert collapsed >= len(dup_pairs) * 2 // 3
+    assert len(out) == n_imgs - collapsed
+    # determinism
+    out2 = image_dedup_keep_best(rd.from_arrow(table)).take_all()
+    assert sorted(r["image_id"] for r in out2) == sorted(survivors)
