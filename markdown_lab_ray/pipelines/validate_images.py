@@ -46,22 +46,26 @@ _TABLE_COLS = ("bytes", "w", "h", "fmt", "caption", "phash")
 
 def explode_image_refs_batch(batch: pa.Table) -> pa.Table:
     """docs rows (url, images list<struct{alt,src}>) → one row per image
-    reference with the image_id parsed from the src URL."""
-    urls, alts, srcs, ids = [], [], [], []
-    for url, images in zip(batch.column("url").to_pylist(),
-                           batch.column("images").to_pylist()):
-        for ref in images or []:
-            src = ref["src"]
-            stem = src.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-            urls.append(url)
-            alts.append(ref["alt"])
-            srcs.append(src)
-            ids.append(stem)
+    reference with the image_id parsed from the src URL.  Fully
+    vectorized: list_flatten + parent-index take for the explode, regex
+    substring kernels for the basename/stem — no Python loop in the
+    flagship join's feed stage."""
+    import pyarrow.compute as pc
+
+    images = batch.column("images").combine_chunks()
+    flat = pc.list_flatten(images)  # struct{alt, src} array
+    parents = pc.list_parent_indices(images)
+    urls = batch.column("url").take(parents)
+    alts = pc.struct_field(flat, "alt")
+    srcs = pc.struct_field(flat, "src")
+    basenames = pc.replace_substring_regex(srcs, r"^.*/", "")
+    stems = pc.replace_substring_regex(basenames, r"\.[^./]*$", "")
     return pa.table({
-        "page_url": pa.array(urls, pa.string()),
-        "alt": pa.array(alts, pa.string()),
-        "src": pa.array(srcs, pa.string()),
-        "image_id": pa.array(ids, pa.string()),
+        "page_url": urls.cast(pa.string()) if urls.type != pa.string()
+        else urls,
+        "alt": alts.cast(pa.string()),
+        "src": srcs.cast(pa.string()),
+        "image_id": stems.cast(pa.string()),
     })
 
 
