@@ -237,3 +237,91 @@ def test_json_extract_malformed_to_null():
     out = json_extract_int_batch(b, col="props", key="k", out_col="k_val")
     assert out.column("k_val").to_pylist() == [3, None, None, None,
                                                None, None]
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE pins
+# ---------------------------------------------------------------------------
+
+def test_json_extract_int_rounds_like_sql_cast(ray_session):
+    """ADVICE r03: floats round HALF AWAY FROM ZERO like DuckDB
+    CAST(... AS BIGINT), not truncate, not banker's-round."""
+    import json
+
+    import duckdb
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.text import json_extract_int_batch
+
+    vals = [3.7, 2.5, 3.5, -2.5, -3.7, 7, None, True]
+    rows = [json.dumps({"k": v}) if v is not None else "{}" for v in vals]
+    batch = pa.table({"props": pa.array(rows, pa.string())})
+    out = json_extract_int_batch(batch, "props", "k", "k_int")
+    got = out.column("k_int").to_pylist()
+
+    con = duckdb.connect()
+    expected = []
+    for v in vals:
+        if v is None or isinstance(v, bool):
+            expected.append(None)  # engine contract: bools/missing → null
+        else:
+            expected.append(con.execute(
+                f"SELECT CAST({v} AS BIGINT)").fetchone()[0])
+    assert got == expected  # 3.7→4, 2.5→3, 3.5→4, -2.5→-3, -3.7→-4
+
+
+def test_bigram_lm_unigram_cap_and_exact_vocab(ray_session):
+    """ADVICE r03: the unigram broadcast is capped (count desc, gram
+    asc) while the smoothing vocab size stays EXACT."""
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.text import train_bigram_lm
+
+    texts = (["alpha beta"] * 8 + ["gamma delta"] * 4
+             + ["epsilon zeta", "eta theta"])
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)),
+                                      "text": texts}))
+    uni, bi, v = train_bigram_lm(ds, max_unigrams=4, max_bigrams=64)
+    assert v == 8  # exact distinct unigrams, not len(uni)
+    assert len(uni) == 4
+    # the cap keeps the most frequent grams, ties by gram asc
+    assert uni["alpha"] == 8 and uni["beta"] == 8
+    assert uni["delta"] == 4 and uni["gamma"] == 4
+    assert "epsilon" not in uni  # out-of-cap rare word → scores as 0
+
+
+def test_pagerank_int64_bound_enforced(ray_session):
+    """ADVICE r03: an overflow-risky scale raises instead of silently
+    wrapping int64."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import pagerank_integer
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3], pa.int64()),
+        "dst": pa.array([2, 3, 1], pa.int64())}))
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_integer(edges, n_iter=1, scale=2 ** 61)
+    # a sane scale still works
+    out = pagerank_integer(edges, n_iter=1, scale=10 ** 6).take_all()
+    assert len(out) == 3
+
+
+def test_sketch_tokenizer_matches_duckdb_on_non_ascii():
+    """ADVICE r03: the heavy-hitter tokenizer must agree with the
+    oracle's [\\p{L}\\p{N}_]+ on combining marks / non-ASCII."""
+    import duckdb
+
+    from markdown_lab_ray.stages.sketch import _tokens
+
+    text = "café naïve பா 123_x"  # combining acute,
+    # precomposed ï, Tamil + combining vowel sign, digits+underscore
+    got = list(_tokens([text]))
+    con = duckdb.connect()
+    expected = [t for (t,) in con.execute(
+        "SELECT unnest(regexp_extract_all(lower($1), '[\\p{L}\\p{N}_]+'))",
+        [text]).fetchall()]
+    assert got == expected
