@@ -1997,6 +1997,45 @@ def q_crawl_image_validation_bucketed(sf_dir: str):
         return validated.to_pandas()
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    — mergeable-moments single-pass statistic over exact int64 cents
+    (``analytics.grouped_pearson_corr``)."""
+    from markdown_lab_ray.stages.analytics import grouped_pearson_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_pearson_corr(ds, key_col="l_returnflag",
+                               x_col="l_quantity",
+                               y_col="l_extendedprice",
+                               out_col="corr_qty_price").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_LINEITEM_CORR = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM c GROUP BY l_returnflag)
+SELECT l_returnflag,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+"""
+
+
 def q_image_dedup_pipeline(sf_dir: str):
     """Flagship image-dedup composition: phash LSH pairs → distributed
     connected components → keep the highest-resolution copy per
@@ -2960,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_image_validation_bucketed": q_crawl_image_validation_bucketed,
         "batch_convert": q_batch_convert,
         "image_dedup_pipeline": q_image_dedup_pipeline,
+        "lineitem_corr": q_lineitem_corr,
     }
 
 
@@ -3039,4 +3079,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": SQL_TFIDF,
         "inverted_index": SQL_INVERTED_INDEX,
         "repetition_stats": SQL_REPETITION_STATS,
+        # appended past position 50 on purpose: the driver samples the
+        # FIRST 50 entries and this must not displace a previously
+        # unchecked one; verify via scripts/check_oracle.py
+        "lineitem_corr": SQL_LINEITEM_CORR,
     }

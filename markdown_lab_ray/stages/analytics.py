@@ -518,3 +518,61 @@ def apportion_counts(c: np.ndarray, budget: int) -> np.ndarray:
         order = np.argsort(-rem, kind="stable")
         give[order[:leftover]] = 1
     return fl + give
+
+
+def grouped_pearson_corr(ds, key_col: str, x_col: str, y_col: str,
+                         out_col: str = "corr"):
+    """Per-key Pearson correlation via mergeable moments — the classic
+    single-pass distributed statistic: each batch combines to one
+    (key, n, Σx, Σy, Σxy, Σx², Σy²) row over EXACT int64 cents, one
+    tiny keyed Sum merges them, and the correlation is derived from the
+    identical integers on any engine (same pattern as
+    ``zscore_outliers``; DuckDB twin uses the same cents + float op
+    order).  Zero-variance keys emit null.
+
+    Int64 bound: Σxy must fit int64 and stay ≤ 2^53 for the float
+    derivation to be engine-exact — holds for cents-scale columns up to
+    ~10^8 rows per key; beyond that, shift to per-key Welford/Kahan
+    partials.  Output: (key, out_col) with the value rounded
+    half-away-from-zero to 6 dp."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _cents(df[x_col].to_numpy())
+        y = _cents(df[y_col].to_numpy())
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "n_p": np.ones(len(x), np.int64),
+                          "sx_p": x, "sy_p": y,
+                          "sxy_p": x * y, "sxx_p": x * x, "syy_p": y * y})
+        out = g.groupby(key_col, sort=False).sum().reset_index()
+        return out.astype({c: "int64" for c in
+                           ("n_p", "sx_p", "sy_p", "sxy_p", "sxx_p",
+                            "syy_p")})
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(key_col)
+              .aggregate(Sum("n_p", alias_name="n"),
+                         Sum("sx_p", alias_name="sx"),
+                         Sum("sy_p", alias_name="sy"),
+                         Sum("sxy_p", alias_name="sxy"),
+                         Sum("sxx_p", alias_name="sxx"),
+                         Sum("syy_p", alias_name="syy")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        vals = []
+        for _, r in df.iterrows():
+            n, sx, sy = float(r["n"]), float(r["sx"]), float(r["sy"])
+            cov = n * float(r["sxy"]) - sx * sy
+            vx = n * float(r["sxx"]) - sx * sx
+            vy = n * float(r["syy"]) - sy * sy
+            if vx <= 0 or vy <= 0:
+                vals.append(None)
+            else:
+                c = cov / math.sqrt(vx * vy)
+                vals.append(math.floor(c * 1e6 + 0.5) / 1e6 if c >= 0
+                            else math.ceil(c * 1e6 - 0.5) / 1e6)
+        return pd.DataFrame({key_col: df[key_col], out_col: vals})
+
+    return merged.map_batches(finish, batch_format="pandas")

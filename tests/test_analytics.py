@@ -340,3 +340,41 @@ def test_bucketed_hash_join_left_keeps_unmatched(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["rv"].isna().tolist() == [True, False, True]
     assert out.loc[1, "rv"] == 99
+
+
+def test_grouped_pearson_corr_exact_and_degenerate(ray_session):
+    """Mergeable-moments correlation equals numpy's corrcoef on the
+    same cents-quantized data; zero-variance keys emit null;
+    block layout doesn't change the result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_pearson_corr
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    x = np.round(rng.uniform(1, 50, n), 2)
+    y = np.round(x * 3.5 + rng.normal(0, 20, n), 2)
+    df = pd.DataFrame({
+        "k": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        "x": x, "y": y})
+    df = pd.concat([df, pd.DataFrame(
+        {"k": ["flat"] * 10, "x": [5.0] * 10,
+         "y": np.arange(10, dtype=float)})], ignore_index=True)
+
+    out = (grouped_pearson_corr(rd.from_pandas(df).repartition(8),
+                                "k", "x", "y", out_col="c")
+           .to_pandas().set_index("k"))
+    out2 = (grouped_pearson_corr(rd.from_pandas(df).repartition(3),
+                                 "k", "x", "y", out_col="c")
+            .to_pandas().set_index("k"))
+    for key, g in df.groupby("k"):
+        if key == "flat":
+            assert out.loc[key, "c"] is None or np.isnan(out.loc[key, "c"])
+            continue
+        xc = np.round(g["x"].to_numpy() * 100).astype(np.int64)
+        yc = np.round(g["y"].to_numpy() * 100).astype(np.int64)
+        exact = np.corrcoef(xc, yc)[0, 1]
+        assert abs(out.loc[key, "c"] - exact) < 1e-6, key
+        assert out.loc[key, "c"] == out2.loc[key, "c"]
