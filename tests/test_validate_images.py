@@ -259,3 +259,27 @@ def test_image_dedup_keep_best_pipeline(ray_session):
     # determinism
     out2 = image_dedup_keep_best(rd.from_arrow(table)).take_all()
     assert sorted(r["image_id"] for r in out2) == sorted(survivors)
+
+
+def test_zero_image_refs_both_strategies(ray_session, tmp_path):
+    """Docs whose pages reference no images at all (empty lists and
+    nulls): both join strategies yield an empty result, no crash."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.pipelines.validate_images import validate_crawled_images
+
+    ddir = str(tmp_path / "rounds" / "round=0" / "docs")
+    os.makedirs(ddir)
+    img_t = pa.list_(pa.struct([("alt", pa.string()), ("src", pa.string())]))
+    pq.write_table(
+        pa.table({"url": pa.array(["https://h/p0", "https://h/p1"]),
+                  "images": pa.array([[], None], img_t)}),
+        os.path.join(ddir, "part.parquet"))
+    table = build_images_table(SiteSpec(n_images=5))
+    for strategy in ("broadcast", "bucketed"):
+        out = validate_crawled_images(str(tmp_path), table,
+                                      strategy=strategy)
+        assert out.count() == 0, strategy
