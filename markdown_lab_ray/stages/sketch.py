@@ -346,3 +346,43 @@ def hll_distinct_terms(ds, text_col: str = "text", p: int = 12):
     return pd.DataFrame({"distinct_estimate": [hll_estimate(merged)],
                          "p": [p],
                          "registers_nonzero": [int((merged > 0).sum())]})
+
+
+def hll_distinct_per_group(ds, key_col: str, value_col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT value) per key — the sketch twin of
+    ``analytics.distinct_count`` (exact, oracled as ``users_per_type``).
+
+    Why it exists: the exact two-level pattern shuffles one row per
+    DISTINCT (key, value) pair — at 10^10 events with high-cardinality
+    values that is the corpus itself.  Here each batch emits ONE
+    2^p-byte register row per key it contains, so the groupby moves
+    O(n_blocks × keys_per_block) fixed-size rows regardless of row or
+    value cardinality; registers merge by element-wise max (associative
+    + commutative → block order and retries never change the answer).
+    Relative error ≈ 1.04/√(2^p) ≈ 1.6% at p=12, asserted ≤ 5% vs the
+    exact path in tests.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key_col).to_pylist(),
+            "v": [str(v) for v in batch.column(value_col).to_pylist()],
+        })
+        keys, regs = [], []
+        for key, grp in df.groupby("k", sort=True):
+            keys.append(key)
+            regs.append(_hll_partial(sorted(set(grp["v"])), p).tolist())
+        return pa.table({key_col: pa.array(keys),
+                         "regs": pa.array(regs, pa.list_(pa.uint8()))})
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        merged = np.zeros(1 << p, np.uint8)
+        for r in df["regs"]:
+            merged = np.maximum(merged, np.asarray(r, np.uint8))
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "n_distinct_approx": [hll_estimate(merged)]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(merge,
+                                                batch_format="pandas")

@@ -1,0 +1,278 @@
+"""Round-4 additions: weighted reservoir sampling (A-ES), per-group
+HLL, and the audio multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_per_key (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+def _docs_table(n=400, n_keys=4):
+    rng = np.random.RandomState(7)
+    return pa.table({
+        "source": pa.array([f"s{i % n_keys}" for i in range(n)]),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_chars": pa.array(rng.randint(1, 5000, n).astype(np.int64)),
+    })
+
+
+def _local_aes_topk(table: pa.Table, k: int):
+    """Single-process oracle: exact A-ES top-k per key."""
+    import hashlib
+
+    rows = table.to_pylist()
+    pri = {}
+    for r in rows:
+        u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
+                16) / 2 ** 32
+        pri[r["doc_id"]] = u ** (1.0 / r["n_chars"])
+    out = {}
+    for r in rows:
+        out.setdefault(r["source"], []).append(r)
+    picked = []
+    for src, grp in out.items():
+        grp.sort(key=lambda r: (-pri[r["doc_id"]], r["doc_id"]))
+        picked.extend(grp[:k])
+    return sorted((r["source"], r["doc_id"]) for r in picked)
+
+
+def test_weighted_sample_matches_local_oracle(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_per_key
+
+    table = _docs_table()
+    ds = rd.from_arrow(table).repartition(6)
+    got = weighted_sample_per_key(ds, "source", "doc_id", "n_chars",
+                                  k=5).take_all()
+    assert sorted((r["source"], r["doc_id"]) for r in got) == \
+        _local_aes_topk(table, 5)
+
+
+def test_weighted_sample_layout_invariant(ray_session):
+    """Block layout must not change the sample (priorities derive from
+    ids, and the per-batch prune is a true combiner)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_per_key
+
+    table = _docs_table(n=300, n_keys=3)
+    picks = []
+    for parts in (1, 4, 11):
+        ds = rd.from_arrow(table).repartition(parts)
+        got = weighted_sample_per_key(ds, "source", "doc_id",
+                                      "n_chars", k=7).take_all()
+        picks.append(sorted((r["source"], r["doc_id"]) for r in got))
+    assert picks[0] == picks[1] == picks[2]
+
+
+def test_weighted_sample_matches_duckdb_window(ray_session):
+    """The documented SQL replication: pow(md5-hex-u, 1/w) window rank."""
+    import duckdb
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_per_key
+
+    table = _docs_table(n=250, n_keys=5)
+    con = duckdb.connect()
+    con.register("documents", table)
+    want = con.sql("""
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id, row_number() OVER (
+            PARTITION BY source
+            ORDER BY pow(
+              CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS DOUBLE)
+              / 4294967296.0, 1.0 / n_chars) DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= 4
+        ORDER BY source, doc_id
+    """).fetchall()
+    got = weighted_sample_per_key(rd.from_arrow(table).repartition(3),
+                                  "source", "doc_id", "n_chars",
+                                  k=4).take_all()
+    assert sorted((r["source"], r["doc_id"]) for r in got) == \
+        [tuple(w) for w in want]
+
+
+def test_weighted_sample_favors_heavy_rows(ray_session):
+    """Statistical sanity: with weights 1 vs 1000, the heavy half must
+    dominate the sample."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_per_key
+
+    n = 600
+    table = pa.table({
+        "source": pa.array(["s"] * n),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_chars": pa.array([1000 if i < n // 2 else 1
+                             for i in range(n)], pa.int64()),
+    })
+    got = weighted_sample_per_key(rd.from_arrow(table), "source",
+                                  "doc_id", "n_chars", k=50).take_all()
+    heavy = sum(1 for r in got if r["doc_id"] < n // 2)
+    assert heavy >= 45  # ~P[light picked] ≈ w_l/w_h per slot
+
+
+def test_weighted_sample_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_per_key
+
+    table = pa.table({"source": ["a"], "doc_id": [1], "n_chars": [0]})
+    with pytest.raises(ValueError):
+        weighted_sample_per_key(rd.from_arrow(table), "source",
+                                "doc_id", "n_chars", k=0)
+    ds = weighted_sample_per_key(rd.from_arrow(table), "source",
+                                 "doc_id", "n_chars", k=1)
+    with pytest.raises(Exception):  # surfaces the weights>0 ValueError
+        ds.take_all()
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_per_group
+# ---------------------------------------------------------------------------
+
+def test_hll_per_group_within_error(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sketch import hll_distinct_per_group
+
+    rng = np.random.RandomState(11)
+    n = 6000
+    keys = [f"t{i % 3}" for i in range(n)]
+    vals = [int(v) for v in rng.randint(0, 900, n)]
+    exact = {}
+    for k, v in zip(keys, vals):
+        exact.setdefault(k, set()).add(v)
+    ds = rd.from_arrow(pa.table({"event_type": keys, "user_id": vals}))
+    got = hll_distinct_per_group(ds.repartition(5), "event_type",
+                                 "user_id", p=12).take_all()
+    assert len(got) == 3
+    for r in got:
+        truth = len(exact[r["event_type"]])
+        assert abs(r["n_distinct_approx"] - truth) / truth <= 0.05
+
+
+def test_hll_per_group_layout_invariant(ray_session):
+    """Max-merge is associative+commutative: repartition must not
+    change any estimate."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sketch import hll_distinct_per_group
+
+    n = 2000
+    table = pa.table({
+        "event_type": [f"t{i % 4}" for i in range(n)],
+        "user_id": [i % 37 for i in range(n)],
+    })
+    outs = []
+    for parts in (1, 7):
+        got = hll_distinct_per_group(
+            rd.from_arrow(table).repartition(parts), "event_type",
+            "user_id", p=10).take_all()
+        outs.append(sorted((r["event_type"], r["n_distinct_approx"])
+                           for r in got))
+    assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# audio plumbing
+# ---------------------------------------------------------------------------
+
+def test_audio_codec_roundtrip_exact_and_lossy():
+    from markdown_lab_ray.stages.audio import (
+        fake_audio_decode,
+        fake_audio_encode,
+        snr_db,
+        synth_waveform,
+    )
+
+    wave = synth_waveform("aud-x", 16000, 16000)
+    exact, sr, fmt = fake_audio_decode(fake_audio_encode(wave, 16000,
+                                                         "pcm16"))
+    assert sr == 16000 and fmt == "pcm16"
+    assert np.array_equal(exact, wave)
+    lossy, _, fmt2 = fake_audio_decode(fake_audio_encode(wave, 16000,
+                                                         "lossy"))
+    assert fmt2 == "lossy"
+    assert not np.array_equal(lossy, wave)
+    assert snr_db(wave, lossy) >= 35.0
+
+
+def test_audio_features_match_numpy():
+    from markdown_lab_ray.stages.audio import audio_features
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    wave = np.clip(np.sin(2 * np.pi * 5 * t) * 32767, -32768,
+                   32767).astype(np.int16)
+    f = audio_features(wave, sr)
+    assert f["duration_s"] == pytest.approx(1.0)
+    # RMS of a full-scale sine ≈ 1/sqrt(2)
+    assert f["rms"] == pytest.approx(1 / np.sqrt(2), rel=0.01)
+    # 5 Hz over [0, 1): crossings at t=0.1..0.9 → exactly 9 sign flips
+    assert f["zero_cross_rate"] == pytest.approx(9 / (sr - 1))
+
+
+def test_audio_feature_stage_and_error_rows(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.audio import AudioFeatures, build_audio_rows
+
+    table = build_audio_rows(n=16)
+    bad = pa.table({
+        "audio_id": pa.array(["broken"]),
+        "bytes": pa.array([b"not audio"], pa.binary()),
+        "sr": pa.array([0], pa.int32()),
+        "n_samples": pa.array([0], pa.int32()),
+        "fmt": pa.array(["pcm16"]),
+        "transcript": pa.array(["x"]),
+    })
+    ds = rd.from_arrow(pa.concat_tables([table, bad]))
+    out = ds.map_batches(AudioFeatures, concurrency=2,
+                         batch_size=8,
+                         batch_format="pyarrow").take_all()
+    assert len(out) == 17
+    by_id = {r["audio_id"]: r for r in out}
+    assert by_id["broken"]["decode_ok"] is False
+    good = [r for r in out if r["decode_ok"]]
+    assert len(good) == 16
+    assert all(r["rms"] > 0 and r["duration_s"] > 0 for r in good)
+    # duration must equal n_samples / sr from the source table
+    src = {r["audio_id"]: r for r in table.to_pylist()}
+    for r in good:
+        assert r["duration_s"] == pytest.approx(
+            src[r["audio_id"]]["n_samples"] / src[r["audio_id"]]["sr"])
+
+
+def test_clip_sample_explodes_and_is_deterministic(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.audio import (
+        ClipSample,
+        build_audio_rows,
+        fake_audio_decode,
+    )
+
+    table = build_audio_rows(n=6)
+    ds = rd.from_arrow(table)
+    out = ds.map_batches(ClipSample(k=3, clip_s=0.25), concurrency=2,
+                         batch_format="pyarrow").take_all()
+    assert all(r["decode_ok"] for r in out)
+    per = {}
+    for r in out:
+        per.setdefault(r["audio_id"], []).append(r)
+    assert all(len(v) == 3 for v in per.values())
+    # clips decode and are bounded to clip_s
+    for r in out:
+        samples, sr, _ = fake_audio_decode(r["clip"])
+        assert len(samples) <= int(round(0.25 * sr))
+    out2 = ds.map_batches(ClipSample(k=3, clip_s=0.25),
+                          batch_format="pyarrow").take_all()
+    key = lambda r: (r["audio_id"], r["clip_idx"])  # noqa: E731
+    assert sorted((key(r), r["rms"]) for r in out) == \
+        sorted((key(r), r["rms"]) for r in out2)
