@@ -229,6 +229,15 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_tui(args) -> int:
+    """Curses crawl monitor (reference tui.py:432-821 surface — tabs
+    for status/rounds/config; ``--once`` renders a single frame to
+    stdout so scripts and tests can use it headlessly)."""
+    from .tui import run_tui
+
+    return run_tui(args.out, once=args.once, tab=args.tab)
+
+
 def cmd_sitemap(args) -> int:
     """Sitemap-only discovery export: robots → sitemap recursion →
     filters → frontier lines (no fetching; reference sitemap command)."""
@@ -359,6 +368,15 @@ def main(argv=None) -> int:
     p.add_argument("--save", help="write the effective config here "
                    "(.json/.yaml)")
     p.set_defaults(fn=cmd_config)
+
+    p = sub.add_parser("tui", help="curses crawl monitor (reference "
+                       "tui surface; --once prints one frame)")
+    p.add_argument("--out", required=True, help="crawl output dir to watch")
+    p.add_argument("--once", action="store_true",
+                   help="render one frame to stdout and exit")
+    p.add_argument("--tab", default="status",
+                   choices=("status", "rounds", "config"))
+    p.set_defaults(fn=cmd_tui)
 
     args = parser.parse_args(argv)
     code = args.fn(args)
