@@ -2105,6 +2105,38 @@ def q_audio_clips(sf_dir: str):
     return out.sort_values(["audio_id", "clip_idx"]).reset_index(drop=True)
 
 
+def q_caption_alignment(sf_dir: str):
+    """CLIP-style image–caption alignment scoring (deterministic
+    stand-in dual encoder; real actor-pool plumbing — model matrices
+    built once per actor).  Rows-only: hash featurizers aren't
+    SQL-expressible; pinned by the single-process twin in
+    tests/test_align.py."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.align import score_caption_alignment
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=120)))
+    out = score_caption_alignment(ds.repartition(4)).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def q_alignment_filter(sf_dir: str):
+    """Fused alignment gate: decode-score-filter in one actor pass,
+    keeping pairs whose alignment clears the threshold (the
+    pair-quality filter a multimodal training pipeline runs before
+    packing shards)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.align import alignment_filter
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=120)))
+    out = alignment_filter(ds.repartition(4), threshold=0.0).to_pandas()
+    out = out.drop(columns=["bytes"])  # binary column: keep result small
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_image_dedup_pipeline(sf_dir: str):
     """Flagship image-dedup composition: phash LSH pairs → distributed
     connected components → keep the highest-resolution copy per
@@ -3073,6 +3105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_type_hll": q_users_per_type_hll,
         "audio_features": q_audio_features,
         "audio_clips": q_audio_clips,
+        "caption_alignment": q_caption_alignment,
+        "alignment_filter": q_alignment_filter,
     }
 
 
