@@ -2661,6 +2661,28 @@ ORDER BY n_term DESC, term
 """
 
 
+def q_cms_heavy_hitters(sf_dir: str):
+    """Terms above 1/48 corpus frequency with exact counts via a
+    Count-Min sketch (the CMS twin of ``heavy_hitters``: sparse slot
+    increments merged by one keyed Sum, one-sided-error candidate
+    prune, exact recount).  Exact output ⇒ SQL-oracle-able."""
+    from markdown_lab_ray.stages.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _read(sf_dir, "documents", ["text"]), text_col="text", k=48)
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                               '[\p{L}\p{N}_]+')) AS term
+              FROM documents)
+SELECT term, count(*) AS n_term
+FROM toks GROUP BY term
+HAVING count(*) * 48 > (SELECT count(*) FROM toks)
+ORDER BY n_term DESC, term
+"""
+
+
 def q_hll_distinct_terms(sf_dir: str):
     """HyperLogLog distinct-token estimate (p=12): one 4 KiB register
     row per block regardless of data size, merged by element-wise max.
@@ -3065,6 +3087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_share": q_segment_share,
         "pagerank": q_pagerank,
         "heavy_hitters": q_heavy_hitters,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3139,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         # round-4 additions, inside the driver's checked window:
         "lineitem_corr": SQL_LINEITEM_CORR,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -249,6 +249,10 @@ def heavy_hitters_exact(ds, text_col: str = "text", k: int = 20):
     cand = (merged.map_batches(keep_heavy, batch_format="pyarrow")
             .take_all())  # ≤ k(k+1) rows by the mass argument
     candidates = {r["term"] for r in cand} - {_HH_TOTAL}
+    if not candidates:  # nothing clears the bar: empty result, fixed schema
+        import pandas as pd
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n_term": pd.Series(dtype="int64")})
     cand_ref = ray.put(candidates)
 
     def recount(batch: pa.Table) -> pa.Table:
@@ -386,3 +390,186 @@ def hll_distinct_per_group(ds, key_col: str, value_col: str, p: int = 12):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(merge,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public)
+# ---------------------------------------------------------------------------
+
+# pd.util.hash_array hash keys must be exactly 16 bytes; one fixed key
+# per depth row gives `depth` independent vectorized hash functions
+# that every worker process agrees on (same property key_buckets uses).
+_CMS_KEYS = ("cms-depth-00-key", "cms-depth-01-key",
+             "cms-depth-02-key", "cms-depth-03-key")
+
+
+def _cms_slots(terms: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n_terms) flattened slot ids: row d occupies
+    [d*width, (d+1)*width)."""
+    import pandas as pd
+
+    out = np.empty((depth, len(terms)), dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(terms, hash_key=_CMS_KEYS[d],
+                               categorize=False)
+        out[d] = d * width + (h % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def _cms_partial_batch(batch: pa.Table, text_col: str, depth: int,
+                       width: int, topn: int) -> pa.Table:
+    """Per-batch CMS partial: sparse nonzero (slot, count) increments —
+    CMS matrices merge by elementwise add, which a keyed Sum over slot
+    ids expresses with zero driver state — plus the batch's ``topn``
+    most frequent terms as heavy-hitter candidates (kind=1 rows)."""
+    from collections import Counter
+
+    c = Counter(_tokens(batch.column(text_col).to_pylist()))
+    if not c:
+        return pa.table({"kind": pa.array([], pa.int8()),
+                         "slot": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    terms = np.array(list(c.keys()), dtype=object)
+    counts = np.array(list(c.values()), dtype=np.int64)
+    slots = _cms_slots(terms, depth, width)
+    flat_slots = slots.ravel()
+    flat_counts = np.tile(counts, depth)
+    uniq, inv = np.unique(flat_slots, return_inverse=True)
+    summed = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(summed, inv, flat_counts)
+    order = np.lexsort((terms.astype(str), -counts))[:topn]
+    return pa.table({
+        "kind": pa.array([0] * len(uniq) + [1] * len(order), pa.int8()),
+        "slot": pa.array(np.concatenate([uniq, np.full(len(order), -1)]),
+                         pa.int64()),
+        "term": pa.array([""] * len(uniq) + list(terms[order]),
+                         pa.string()),
+        "c": pa.array(np.concatenate([summed, counts[order]]), pa.int64()),
+    })
+
+
+def cms_sketch(ds, text_col: str = "text", depth: int = 4,
+               width: int = 4096):
+    """Merged Count-Min sketch over a text column → ((depth, width)
+    int64 matrix, total token count).  One keyed Sum shuffle over slot
+    ids; the driver holds only the dense matrix (depth×width×8 bytes,
+    independent of corpus size).  Point-query estimates are one-sided:
+    estimate(t) ≥ true count, always."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    def keep_slots(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("kind"), 0))
+
+    merged = (ds.map_batches(_cms_partial_batch, batch_format="pyarrow",
+                             fn_kwargs=dict(text_col=text_col, depth=depth,
+                                            width=width, topn=1))
+              .map_batches(keep_slots, batch_format="pyarrow")
+              .groupby("slot").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    cms = np.zeros(depth * width, dtype=np.int64)
+    cms[merged["slot"].to_numpy()] = merged["c"].to_numpy()
+    cms = cms.reshape(depth, width)
+    # every depth row saw every token once ⇒ row mass == total count
+    return cms, int(cms[0].sum())
+
+
+def cms_estimate(cms: np.ndarray, terms) -> np.ndarray:
+    """Vectorized CMS point query: min over depth rows."""
+    depth, width = cms.shape
+    arr = np.array(list(terms), dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64)
+    slots = _cms_slots(arr, depth, width) - (
+        np.arange(depth)[:, None] * width)
+    return np.min(cms[np.arange(depth)[:, None], slots], axis=0)
+
+
+def cms_heavy_hitters(ds, text_col: str = "text", k: int = 24,
+                      depth: int = 4, width: int = 4096,
+                      topn_per_batch: int = 64):
+    """Terms with frequency strictly above n/k, EXACT counts, via a
+    Count-Min sketch (the CMS twin of ``heavy_hitters_exact``; same
+    sketch→candidates→exact-recount pattern, different sketch):
+
+    1. One pass emits sparse CMS increments + per-batch local top-N
+       candidate terms; a keyed Sum over slot ids merges the CMS.
+    2. Candidates (distinct local tops) are filtered by CMS estimate:
+       one-sided error (estimate ≥ truth) means NO true heavy hitter
+       is dropped — the filter only prunes, never misses.
+    3. Exact recount of survivors → strict ``count·k > n`` gate.
+
+    Exact, deterministic output ⇒ DuckDB-oracle-able.  Driver holds
+    the dense CMS (depth×width ints) and the pruned candidate set;
+    survivor count is bounded in practice by the < k heavy cells per
+    CMS row that an estimate above n/k must hash into.  A true heavy
+    hitter is ALWAYS a per-batch local top in at least one batch
+    whenever it is heavy in that batch; with frequency > n/k it is
+    heavy in at least one batch by averaging, so the candidate stream
+    covers all true heavy hitters for topn ≥ k (enforced)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    if topn_per_batch < k:
+        raise ValueError("topn_per_batch must be ≥ k for the averaging "
+                         "cover argument to hold")
+    partials = ds.map_batches(
+        _cms_partial_batch, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, depth=depth, width=width,
+                       topn=topn_per_batch)).materialize()
+
+    def keep_slots(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("kind"), 0))
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("kind"), 1))
+
+    merged = (partials.map_batches(keep_slots, batch_format="pyarrow")
+              .groupby("slot").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    cms = np.zeros(depth * width, dtype=np.int64)
+    if len(merged):
+        cms[merged["slot"].to_numpy()] = merged["c"].to_numpy()
+    cms = cms.reshape(depth, width)
+    n_total = int(cms[0].sum())
+    if n_total == 0:
+        import pandas as pd
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n_term": pd.Series(dtype="int64")})
+    cms_ref = ray.put(cms)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        mat = ray.get(cms_ref)
+        terms = np.array(batch.column("term").to_pylist(), dtype=object)
+        est = cms_estimate(mat, terms)
+        return batch.filter(pa.array(est * k > n_total))
+
+    cand_rows = (partials.map_batches(keep_cands, batch_format="pyarrow")
+                 .groupby("term").aggregate(Sum("c", alias_name="c"))
+                 .map_batches(prune, batch_format="pyarrow")
+                 .take_all())
+    candidates = {r["term"] for r in cand_rows}
+    if not candidates:  # nothing clears the bar: empty result, fixed schema
+        import pandas as pd
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n_term": pd.Series(dtype="int64")})
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        cset = ray.get(cand_ref)
+        c = Counter(t for t in _tokens(batch.column(text_col).to_pylist())
+                    if t in cset)
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n_term": pa.array(list(c.values()), pa.int64())})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n_term", alias_name="n_term"))
+             .to_pandas())
+    exact = exact[exact["n_term"] * k > n_total]
+    return (exact.sort_values(["n_term", "term"], ascending=[False, True])
+            .reset_index(drop=True))
