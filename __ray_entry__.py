@@ -1081,6 +1081,62 @@ FROM words w LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact-substring span REMOVAL (the transform twin of
+    ``dup_span_frac``): every duplicated 8-word window is removed from
+    all but its globally-first occurrence; surviving words re-joined.
+    Full clean text is oracle-checked char-for-char."""
+    from markdown_lab_ray.stages.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_SPANS = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS lw,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ow
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(generate_series(0, len(lw) - 8)) AS j, lw
+  FROM docs WHERE len(lw) >= 8),
+marked AS (
+  SELECT doc_id, j,
+         count(*) OVER (PARTITION BY g) AS c,
+         min(doc_id * 1048576 + j) OVER (PARTITION BY g) AS fo
+  FROM (SELECT doc_id, j,
+               array_to_string(list_slice(lw, j + 1, j + 8), ' ') AS g
+        FROM grams)),
+removed AS (
+  SELECT doc_id, j FROM marked
+  WHERE c >= 2 AND doc_id * 1048576 + j <> fo),
+word_rows AS (
+  SELECT doc_id, unnest(generate_series(0, len(ow) - 1)) AS j, ow
+  FROM docs WHERE len(ow) >= 1),
+kept AS (
+  SELECT w.doc_id, w.j, w.ow[w.j + 1] AS word,
+         EXISTS (SELECT 1 FROM removed r
+                 WHERE r.doc_id = w.doc_id
+                   AND r.j BETWEEN w.j - 7 AND w.j) AS cov
+  FROM word_rows w)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(d.ow) AS BIGINT) AS n_words,
+       CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed_words
+FROM docs d LEFT JOIN (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN NOT cov THEN word END,
+                             ' ' ORDER BY j), '') AS clean_text,
+         sum(CASE WHEN cov THEN 1 ELSE 0 END) AS n_removed
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_new_documents(sf_dir: str):
     """Incremental (cross-run) dedup: documents of the "current run"
     (doc_id % 5 != 0) whose text was NOT seen in the "previous run"
@@ -3088,6 +3144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "heavy_hitters": q_heavy_hitters,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "dedup_spans": q_dedup_spans,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3163,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr": SQL_LINEITEM_CORR,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+        "dedup_spans": SQL_DEDUP_SPANS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

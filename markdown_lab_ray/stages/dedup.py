@@ -845,3 +845,134 @@ def duplicate_span_stats(ds, n: int = 8, text_col: str = "text",
         })
 
     return full.map_batches(finish, batch_format="pandas")
+
+
+_SPAN_POS_BITS = 20  # ≤ 2^20 words per document (asserted at explode)
+
+
+def remove_duplicate_spans(ds, n: int = 8, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 32):
+    """Exact-substring deduplication as a TRANSFORM (the removal twin
+    of ``duplicate_span_stats``): every word ``n``-gram window that
+    occurs ≥ 2 times anywhere in the corpus is removed from every
+    occurrence EXCEPT the globally-first one (min (doc_id, pos)) —
+    Lee et al.'s keep-one-copy rule.  A word is dropped iff some
+    removed window covers it; surviving words are re-joined with
+    single spaces.
+
+    Shape: explode (doc_id, pos, shingle-md5) rows → one keyed
+    Count+Min shuffle per shingle (count + canonical first occurrence
+    in the same aggregate — no second pass) → filter to duplicated
+    shingles only → ``bucketed_hash_join`` back (the joined side holds
+    ONLY duplicated windows, a small fraction of the corpus) →
+    per-doc removed-window lists → bucketed left join onto the docs →
+    vectorized per-row rebuild.  Shingle identity is md5 over the
+    lowercased window (equality-by-digest, same contract as
+    ``duplicate_span_stats``); removal positions index the ORIGINAL
+    ``str.split()`` words, so casing/punctuation survive in kept text.
+
+    Output: (doc_id, clean_text, n_words, n_removed_words).
+    Documents with < n words pass through unchanged.
+    """
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Min
+
+    from .joins import bucketed_hash_join
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids_out, poss, ghs, owners = [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for rid, t in zip(ids, batch.column(text_col).to_pylist()):
+            words = (t or "").lower().split()
+            if len(words) >= (1 << _SPAN_POS_BITS):
+                raise ValueError(
+                    f"document {rid} exceeds 2^{_SPAN_POS_BITS} words; "
+                    "raise _SPAN_POS_BITS (owner key packs doc_id and "
+                    "pos into one int64)")
+            for i in range(len(words) - n + 1):
+                ids_out.append(rid)
+                poss.append(i)
+                ghs.append(hashlib.md5(
+                    " ".join(words[i:i + n]).encode()).hexdigest())
+                owners.append((rid << _SPAN_POS_BITS) | i)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "gh": pa.array(ghs, pa.string()),
+                         "owner": pa.array(owners, pa.int64())})
+
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    agg = sh.groupby("gh").aggregate(Count(alias_name="c"),
+                                     Min("owner", alias_name="first_owner"))
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater_equal(batch.column("c"), 2))
+
+    dups = agg.map_batches(dup_only, batch_format="pyarrow")
+    joined = bucketed_hash_join(sh, dups, key="gh", n_buckets=n_buckets)
+
+    def removed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["owner"].to_numpy(np.int64) != df["first_owner"].to_numpy(
+            np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[keep],
+            "pos": df["pos"].to_numpy(np.int64)[keep],
+        })
+
+    def collect_starts(df: pd.DataFrame) -> pa.Table:
+        # starts travel as a comma-joined STRING, not list<int64>:
+        # pandas blocks of equal-length list cells trip Ray's automatic
+        # TensorArray cast inside the join's fused output buffer, and
+        # object-of-list columns defeat schema inference — a scalar
+        # string column does neither and shuffles compactly
+        starts = ",".join(str(int(p)) for p in sorted(df["pos"]))
+        return pa.table({
+            id_col: pa.array([int(df[id_col].iloc[0])], pa.int64()),
+            "starts": pa.array([starts], pa.string()),
+        })
+
+    removed = (joined.map_batches(removed_rows, batch_format="pandas")
+               .groupby(id_col).map_groups(collect_starts,
+                                           batch_format="pandas"))
+    # a corpus with zero duplicated spans leaves `removed` fully empty
+    # (schema unknown → the join can't plan); a sentinel row under an
+    # impossible doc_id pins the schema and never matches a real doc
+    import ray.data as rd
+    sentinel = rd.from_arrow(pa.table({
+        id_col: pa.array([-1], pa.int64()),
+        "starts": pa.array([""], pa.string()),
+    }))
+    removed = removed.union(sentinel)
+    docs = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow")
+    full = bucketed_hash_join(docs, removed, key=id_col,
+                              n_buckets=n_buckets, how="left")
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, texts, n_words_col, n_removed = [], [], [], []
+        for rid, text, starts in zip(df[id_col], df[text_col],
+                                     df["starts"]):
+            words = (text or "").split()
+            if isinstance(starts, str) and starts:
+                cover = np.zeros(len(words), dtype=bool)
+                for s in starts.split(","):
+                    cover[int(s):int(s) + n] = True
+                kept = [w for w, c in zip(words, cover) if not c]
+                removed_count = int(cover.sum())
+            else:  # NaN (no removed spans joined) or empty string
+                kept = words
+                removed_count = 0
+            out_ids.append(np.int64(rid))
+            texts.append(" ".join(kept))
+            n_words_col.append(len(words))
+            n_removed.append(removed_count)
+        return pd.DataFrame({id_col: out_ids, "clean_text": texts,
+                             "n_words": n_words_col,
+                             "n_removed_words": n_removed})
+
+    return full.map_batches(rebuild, batch_format="pandas")
