@@ -1137,6 +1137,98 @@ ORDER BY doc_id
 """
 
 
+def q_training_mixture(sf_dir: str):
+    """Flagship curation composition: quality gate ≥ 0.6 → exact dedup
+    (keep-first) → decontamination against the benchmark subset
+    (doc_id % 37 == 0, 5-gram overlap = 0) → greedy packing at a
+    2000-token budget.  Every stage is an individually-oracled
+    operator; this checks the whole chain as one nested SQL query."""
+    from markdown_lab_ray.pipelines.mixture import training_mixture
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mod37(b: pa.Table, keep_eq: bool) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % 37 == 0) if keep_eq else (ids % 37 != 0)
+        return b.filter(pa.array(mask))
+
+    bench = docs.map_batches(mod37, batch_format="pyarrow",
+                             fn_kwargs=dict(keep_eq=True))
+    corpus = docs.map_batches(mod37, batch_format="pyarrow",
+                              fn_kwargs=dict(keep_eq=False))
+    out = training_mixture(corpus, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TRAINING_MIXTURE = r"""
+WITH scored AS (
+  SELECT doc_id, text,
+         greatest(least(
+             0.25 * least(n_words / 100.0, 1.0)
+             + 0.25 * (1 - punct_ratio)
+             + 0.25 * least(stop_ratio / 0.4, 1.0)
+             + 0.25 * (1 - digit_ratio), 1.0), 0.0) AS quality
+  FROM (
+    SELECT doc_id, text,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+          AS n_words,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                * 1.0 / length(text) END AS punct_ratio,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                * 1.0 / length(text) END AS digit_ratio,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> list_contains(
+                        ['the','and','of','a','to','in','is','it','that',
+                         'for','der','die','das','und','ist','ein','zu',
+                         'den','von','mit','le','la','les','et','de','un',
+                         'une','est','que','pour','el','los','y','una',
+                         'es','por'], x)))
+                * 1.0 / array_length(regexp_split_to_array(trim(text),
+                                                           '\s+')) END
+          AS stop_ratio
+    FROM documents WHERE doc_id % 37 <> 0)),
+gated AS (SELECT doc_id, text FROM scored WHERE quality >= 0.6),
+dedup AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+surv AS (SELECT g.doc_id, g.text FROM gated g JOIN dedup USING (doc_id)),
+ref AS (
+  SELECT DISTINCT array_to_string(w[i : i + 4], ' ') AS g
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents WHERE doc_id % 37 = 0),
+       UNNEST(range(1, len(w) - 3)) AS t(i)),
+hits AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS g
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM surv),
+             UNNEST(range(1, len(w) - 3)) AS t(i)) s
+  JOIN ref r USING (g)),
+clean AS (SELECT doc_id, text FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+counted AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM clean)
+SELECT doc_id, n_tokens, CAST(excl // 2000 AS BIGINT) AS pack_id
+FROM (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS excl
+      FROM counted)
+ORDER BY doc_id
+"""
+
+
 def q_new_documents(sf_dir: str):
     """Incremental (cross-run) dedup: documents of the "current run"
     (doc_id % 5 != 0) whose text was NOT seen in the "previous run"
@@ -3145,6 +3237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "dedup_spans": q_dedup_spans,
+        "training_mixture": q_training_mixture,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3221,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "dedup_spans": SQL_DEDUP_SPANS,
+        "training_mixture": SQL_TRAINING_MIXTURE,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -51,7 +51,8 @@ def _ngrams(text: str, n: int) -> set[str]:
 
 
 def decontaminate(corpus_ds, ref_ds, n: int = 5, text_col: str = "text",
-                  id_col: str = "doc_id", out_col: str = "n_hits"):
+                  id_col: str = "doc_id", out_col: str = "n_hits",
+                  project: bool = True):
     """Benchmark decontamination: per corpus document, the number of
     distinct word ``n``-grams it shares with ANY document of the
     (small) reference/benchmark set.  ``out_col > 0`` ⇒ contaminated.
@@ -84,9 +85,12 @@ def decontaminate(corpus_ds, ref_ds, n: int = 5, text_col: str = "text",
         grams_ref = ray.get(ref)
         hits = [np.int64(sum(g in grams_ref for g in _ngrams(t, n)))
                 for t in batch.column(text_col).to_pylist()]
+        hit_col = pa.array(hits, pa.int64())
+        if not project:  # keep all input columns (pipeline composition)
+            return batch.append_column(out_col, hit_col)
         return pa.table({
             id_col: batch.column(id_col),
-            out_col: pa.array(hits, pa.int64()),
+            out_col: hit_col,
         })
 
     return corpus_ds.map_batches(count_hits, batch_format="pyarrow",
@@ -148,6 +152,13 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id",
         for k, v in zip(b.column("_bucket").to_pylist(),
                         b.column("_sum").to_pylist()):
             totals[k] = totals.get(k, 0) + v
+    if not totals:  # empty input: typed empty result, not schema-less
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            token_col: pa.array([], pa.int64()),
+            pack_col: pa.array([], pa.int64()),
+        }))
     offsets: dict[int, int] = {}
     running = 0
     for k in sorted(totals):
