@@ -238,6 +238,28 @@ def cmd_tui(args) -> int:
     return run_tui(args.out, once=args.once, tab=args.tab)
 
 
+def cmd_mixture(args) -> int:
+    """Training-mixture curation over a documents parquet: quality
+    gate → exact dedup → decontamination against a benchmark parquet
+    → sequence packing; writes (doc_id, n_tokens, pack_id) parquet."""
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.mixture import training_mixture
+
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    bench = rd.read_parquet(args.bench, columns=["doc_id", "text"])
+    packed = training_mixture(docs, bench,
+                              quality_threshold=args.quality,
+                              ngram=args.ngram, budget=args.budget)
+    packed.write_parquet(args.out)
+    import glob
+    n = sum(1 for _ in glob.glob(f"{args.out}/*.parquet"))
+    total = rd.read_parquet(args.out).count()
+    print(f"packed={total} files={n} out={args.out}")
+    return 0
+
+
 def cmd_sitemap(args) -> int:
     """Sitemap-only discovery export: robots → sitemap recursion →
     filters → frontier lines (no fetching; reference sitemap command)."""
@@ -377,6 +399,19 @@ def main(argv=None) -> int:
     p.add_argument("--tab", default="status",
                    choices=("status", "rounds", "config"))
     p.set_defaults(fn=cmd_tui)
+
+    p = sub.add_parser("mixture", help="training-mixture curation: "
+                       "quality gate → dedup → decontaminate → pack")
+    p.add_argument("--docs", required=True,
+                   help="documents parquet (doc_id, text)")
+    p.add_argument("--bench", required=True,
+                   help="benchmark parquet to decontaminate against")
+    p.add_argument("--out", required=True)
+    p.add_argument("--quality", type=float, default=0.6)
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--budget", type=int, default=2000)
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_mixture)
 
     args = parser.parse_args(argv)
     code = args.fn(args)

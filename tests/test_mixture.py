@@ -60,3 +60,30 @@ def test_packing_respects_budget(ray_session):
 def test_empty_corpus(ray_session):
     out = _mix([(1, "")], [(2, "bench")])  # empty text fails quality
     assert len(out) == 0
+
+
+def test_cli_mixture_verb(ray_session, tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([GOOD, GOOD, GOOD + " unique tail here"],
+                         pa.string()),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["held out benchmark content"], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "docs.parquet")
+    pq.write_table(bench, tmp_path / "bench.parquet")
+    out = tmp_path / "packed"
+    code = main(["mixture", "--docs", str(tmp_path / "docs.parquet"),
+                 "--bench", str(tmp_path / "bench.parquet"),
+                 "--out", str(out)])
+    assert code == 0
+    assert "packed=2" in capsys.readouterr().out  # doc 2 deduped away
+    back = pq.read_table(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == [1, 3]
+    assert set(back.columns) == {"doc_id", "n_tokens", "pack_id"}
