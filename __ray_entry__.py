@@ -2285,6 +2285,28 @@ def q_alignment_filter(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_image_mixture(sf_dir: str):
+    """Image-payload curation flagship: decode-validate gate (PSNR +
+    caption equality) → caption-alignment gate → phash near-dup dedup
+    keeping the best-resolution copy per cluster.  Rows-only (hash
+    featurizers + LSH recall aren't SQL-expressible); pinned by the
+    gate-accounting tests in tests/test_image_mixture.py."""
+    import ray.data as rd
+
+    from markdown_lab_ray.pipelines.mixture import image_mixture
+    from markdown_lab_ray.sources.synth import (
+        SiteSpec,
+        build_images_table,
+        reference_pixels_fn,
+    )
+
+    spec = SiteSpec(n_images=120)
+    ds = rd.from_arrow(build_images_table(spec)).repartition(4)
+    out = image_mixture(ds, ref_fn=reference_pixels_fn(spec)).to_pandas()
+    out = out.drop(columns=["bytes"])
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_image_dedup_pipeline(sf_dir: str):
     """Flagship image-dedup composition: phash LSH pairs → distributed
     connected components → keep the highest-resolution copy per
@@ -3273,6 +3295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_image_validation_bucketed": q_crawl_image_validation_bucketed,
         "batch_convert": q_batch_convert,
         "image_dedup_pipeline": q_image_dedup_pipeline,
+        "image_mixture": q_image_mixture,
         "lineitem_corr": q_lineitem_corr,
         "weighted_sample": q_weighted_sample,
         "users_per_type_hll": q_users_per_type_hll,

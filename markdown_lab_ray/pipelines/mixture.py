@@ -61,3 +61,73 @@ def training_mixture(docs_ds, bench_ds, quality_threshold: float = 0.6,
 
     counted = clean.map_batches(tokens, batch_format="pyarrow")
     return pack_sequences(counted, budget=budget)
+
+
+def image_mixture(images_ds, out_dir: str | None = None,
+                  align_threshold: float = 0.0, psnr_gate: float = 40.0,
+                  hamming_threshold: int = 6, ref_fn=None,
+                  n_shards: int = 8):
+    """Image-payload curation — the multimodal twin of
+    ``training_mixture`` over the input_hint image+caption table:
+
+        decode-validate gate (PSNR ≥ gate vs reference + caption
+        equality) → caption-alignment gate → phash near-dup dedup
+        (keep best resolution per cluster) → WebDataset tar shards
+
+    Stage shapes: validation and alignment are actor-pool
+    ``map_batches`` (bytes never leave the pool; survivors join back by
+    id — a bucketed SEMI join, so the binary column is read once per
+    gate, never shuffled); the dedup is the bounded band-LSH → CC →
+    keep-best composition of ``stages/images.image_dedup_keep_best``.
+    When ``out_dir`` is given the survivors are packed into
+    byte-deterministic tar shards (``sources/webdataset``).
+
+    Returns the survivor Dataset (input_hint columns + ``align_score``).
+    """
+    from ..sources.synth import SiteSpec  # noqa: F401  (doc anchor)
+    from ..stages.align import alignment_filter
+    from ..stages.images import DecodeValidate, image_dedup_keep_best
+    from ..stages.joins import bucketed_semi_join
+
+    def with_alt(batch: pa.Table) -> pa.Table:
+        # DecodeValidate checks caption equality when an alt column is
+        # present; a standalone table validates caption-vs-itself shape
+        # (alt arrives from the crawl join in the crawl pipelines)
+        if "alt" in batch.column_names:
+            return batch
+        return batch.append_column("alt", batch.column("caption"))
+
+    validated = images_ds.map_batches(
+        with_alt, batch_format="pyarrow").map_batches(
+        DecodeValidate, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(psnr_gate=psnr_gate, ref_fn=ref_fn))
+
+    def valid_ids(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(batch.column("pixels_ok"),
+                     pc.fill_null(batch.column("caption_ok"), True))
+        return pa.table({"image_id": batch.filter(ok).column("image_id")})
+
+    good = bucketed_semi_join(
+        images_ds, validated.map_batches(valid_ids, batch_format="pyarrow"),
+        key="image_id")
+    # pinned: both the dedup and the final semi-join consume `aligned`;
+    # unmaterialized it would re-run the decode+score pass per consumer
+    aligned = alignment_filter(good, threshold=align_threshold,
+                               batch_size=64, concurrency=(1, 4)
+                               ).materialize()
+    keep = image_dedup_keep_best(aligned,
+                                 hamming_threshold=hamming_threshold)
+    survivors = bucketed_semi_join(
+        aligned,
+        keep.map_batches(lambda b: pa.table(
+            {"image_id": b.column("image_id")}), batch_format="pyarrow"),
+        key="image_id")
+    if out_dir is not None:
+        from ..sources.webdataset import write_webdataset_shards
+        write_webdataset_shards(
+            survivors.map_batches(
+                lambda b: b.drop_columns(["align_score"]),
+                batch_format="pyarrow"),
+            out_dir, n_shards=n_shards)
+    return survivors
