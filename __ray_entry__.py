@@ -2211,6 +2211,30 @@ ORDER BY source, doc_id
 """
 
 
+def q_weighted_sample_global(sf_dir: str):
+    """Corpus-level weighted reservoir sample (A-ES top-12 by n_chars
+    weight): per-batch combiner prune, O(k) driver merge, zero
+    shuffle.  Oracle: the pow-window twin of the per-key variant."""
+    from markdown_lab_ray.stages.sample import weighted_sample_global
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample_global(ds, "doc_id", "n_chars", k=12)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE_GLOBAL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars, row_number() OVER (
+    ORDER BY pow(
+      CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS DOUBLE) / 4294967296.0,
+      1.0 / n_chars) DESC, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 12
+ORDER BY doc_id
+"""
+
+
 def q_users_per_type_hll(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event type — the HLL
     sketch twin of the exact (oracled) ``users_per_type``: one 4 KiB
@@ -3260,6 +3284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "dedup_spans": q_dedup_spans,
         "training_mixture": q_training_mixture,
+        "weighted_sample_global": q_weighted_sample_global,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3338,6 +3363,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "dedup_spans": SQL_DEDUP_SPANS,
         "training_mixture": SQL_TRAINING_MIXTURE,
+        "weighted_sample_global": SQL_WEIGHTED_SAMPLE_GLOBAL,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

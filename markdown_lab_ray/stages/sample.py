@@ -83,3 +83,34 @@ def weighted_sample_per_key(ds, key_col: str, id_col: str,
 
     pruned = ds.map_batches(top_k, batch_format="pandas")
     return pruned.groupby(key_col).map_groups(top_k, batch_format="pandas")
+
+
+def weighted_sample_global(ds, id_col: str, weight_col: str, k: int):
+    """Corpus-level weighted reservoir sample WITHOUT replacement: the
+    k rows with the largest A-ES priority overall (ties by id asc) —
+    the un-keyed twin of ``weighted_sample_per_key`` for "pick k docs
+    from the whole corpus, favor substance" curation.
+
+    Same combiner shape: each batch prunes to its local top-k (≤ k
+    rows per block move), then ONE driver-side merge of the ≤
+    k×n_blocks pruned rows — no shuffle at all.  k is a sample size
+    (thousands at most), so the driver holds O(k) rows; determinism is
+    id-derived exactly as in the per-key variant."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    import pandas as pd
+
+    def top_k(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return df
+        df = df.assign(_prio=_aes_priority(df[id_col], df[weight_col]))
+        df = df.sort_values(["_prio", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return df.reset_index(drop=True)
+
+    pruned = ds.map_batches(top_k, batch_format="pandas").to_pandas()
+    if pruned.empty:
+        return pruned.drop(columns=[c for c in ("_prio",)
+                                    if c in pruned.columns])
+    return (top_k(pruned.drop(columns=["_prio"]))
+            .drop(columns=["_prio"]).reset_index(drop=True))

@@ -276,3 +276,49 @@ def test_clip_sample_explodes_and_is_deterministic(ray_session):
     key = lambda r: (r["audio_id"], r["clip_idx"])  # noqa: E731
     assert sorted((key(r), r["rms"]) for r in out) == \
         sorted((key(r), r["rms"]) for r in out2)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_global (corpus-level A-ES)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_global_matches_local(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_global
+
+    table = _docs_table()
+    got = weighted_sample_global(rd.from_arrow(table).repartition(7),
+                                 "doc_id", "n_chars", k=9)
+    # local oracle: exact A-ES top-9 over the whole table
+    import hashlib
+    rows = table.to_pylist()
+    pri = {r["doc_id"]: (int(hashlib.md5(str(r["doc_id"]).encode())
+                             .hexdigest()[:8], 16) / 2 ** 32)
+           ** (1.0 / r["n_chars"]) for r in rows}
+    want = sorted(rows, key=lambda r: (-pri[r["doc_id"]], r["doc_id"]))[:9]
+    assert sorted(got["doc_id"]) == sorted(r["doc_id"] for r in want)
+
+
+def test_weighted_sample_global_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_global
+
+    table = _docs_table(200)
+    a = weighted_sample_global(rd.from_arrow(table).repartition(1),
+                               "doc_id", "n_chars", k=5)
+    b = weighted_sample_global(rd.from_arrow(table).repartition(13),
+                               "doc_id", "n_chars", k=5)
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_weighted_sample_global_rejects_bad_k(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.sample import weighted_sample_global
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_global(rd.from_items([{"doc_id": 1,
+                                               "n_chars": 2}]),
+                               "doc_id", "n_chars", k=0)
