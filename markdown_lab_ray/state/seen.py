@@ -82,6 +82,22 @@ class CuckooFilter:
                 return True
         return False
 
+    def delete(self, key: str) -> bool:
+        """Remove ONE stored copy of the key's fingerprint (cuckoo
+        filters support deletion of previously-inserted keys).  Safe
+        against false negatives because ``add`` stores one copy per
+        insert: two distinct keys colliding on (fingerprint, bucket)
+        hold two copies, and deleting one leaves the other's intact."""
+        fp, i1 = self._fingerprint_and_index(key)
+        for idx in (i1, self._alt_index(i1, fp)):
+            bucket = self.slots[idx]
+            hits = np.flatnonzero(bucket == fp)
+            if hits.size:
+                bucket[hits[0]] = 0
+                self.count -= 1
+                return True
+        return False
+
     @property
     def load_factor(self) -> float:
         return self.count / (self.n_buckets * 4)
@@ -151,6 +167,24 @@ class _SeenCore:
         for key in keys:
             if key not in self.exact:
                 self._mark(key, -1)
+
+    def expire_before(self, round_cutoff: int) -> int:
+        """Recrawl/freshness support: forget every key marked in a
+        round < ``round_cutoff`` (restored keys carry round -1 — i.e.
+        "an earlier run" — and expire too), so a continuous crawl
+        refetches stale pages while recent rounds stay exactly-once.
+        Expired fingerprints are deleted from the cuckoo filter
+        (duplicate-copy semantics make that false-negative-safe for
+        the surviving keys); a filter that ever saturated stays in
+        exact-only mode — entries added after saturation were never
+        in the filter, so re-enabling it would create false negatives.
+        Returns the number of keys expired."""
+        expired = [k for k, r in self.exact.items() if r < round_cutoff]
+        for key in expired:
+            del self.exact[key]
+            if self.filter_ok:
+                self.filter.delete(key)
+        return len(expired)
 
     def size(self) -> int:
         return len(self.exact)

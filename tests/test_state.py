@@ -129,3 +129,77 @@ def test_engine_config_env(monkeypatch):
     assert cfg.requests_per_second == 2.5
     assert cfg.default_output_format == "xml"
     assert cfg.max_rounds == 7
+
+
+# ---------------------------------------------------------------------------
+# TTL expiry / recrawl support (expire_before + cuckoo delete)
+# ---------------------------------------------------------------------------
+
+def test_expire_before_forgets_old_rounds_only():
+    from markdown_lab_ray.state.seen import LocalSeen
+
+    seen = LocalSeen(capacity=1 << 12)
+    for r in range(4):
+        assert seen.check_and_add([f"u{r}-{i}" for i in range(20)],
+                                  round_no=r) == [True] * 20
+    n = seen.expire_before(2)
+    assert n == 40  # rounds 0 and 1
+    old = [f"u{r}-{i}" for r in (0, 1) for i in range(20)]
+    new = [f"u{r}-{i}" for r in (2, 3) for i in range(20)]
+    assert seen.contains_many(old) == [False] * 40  # refetchable again
+    assert seen.contains_many(new) == [True] * 40   # recent stay seen
+    # expired keys can be re-marked (the recrawl)
+    assert seen.check_and_add(old[:5], round_no=4) == [True] * 5
+
+
+def test_expire_no_false_negatives_for_survivors():
+    """Cuckoo deletion must never make a SURVIVING key look unseen
+    (false negative = double fetch = broken exactly-once)."""
+    from markdown_lab_ray.state.seen import LocalSeen
+
+    seen = LocalSeen(capacity=1 << 13)
+    old = [f"https://h{i % 97}.example.com/old/{i}" for i in range(2500)]
+    new = [f"https://h{i % 97}.example.com/new/{i}" for i in range(2500)]
+    seen.check_and_add(old, round_no=0)
+    seen.check_and_add(new, round_no=1)
+    assert seen.expire_before(1) == 2500
+    assert all(seen.contains_many(new))
+    assert not any(seen.contains_many(old))
+    assert seen.filter.count == len(seen.exact) or not seen.filter_ok
+
+
+def test_expire_after_saturation_stays_exact_only():
+    from markdown_lab_ray.state.seen import LocalSeen
+
+    seen = LocalSeen(capacity=8)  # tiny: saturates fast
+    keys = [f"k{i}" for i in range(500)]
+    seen.check_and_add(keys, round_no=0)
+    assert not seen.filter_ok  # saturated
+    seen.check_and_add([f"late{i}" for i in range(50)], round_no=1)
+    seen.expire_before(1)
+    assert not seen.filter_ok  # never re-enabled
+    late = [f"late{i}" for i in range(50)]
+    assert all(seen.contains_many(late))
+    assert not any(seen.contains_many(keys))
+
+
+def test_expire_restored_keys_counts_as_old():
+    from markdown_lab_ray.state.seen import LocalSeen
+
+    seen = LocalSeen(capacity=1 << 10)
+    seen.restore(["a", "b"])  # round -1: from an earlier run
+    seen.check_and_add(["c"], round_no=0)
+    assert seen.expire_before(0) == 2  # a, b expire; c stays
+    assert seen.contains_many(["a", "b", "c"]) == [False, False, True]
+
+
+def test_cuckoo_delete_duplicate_copy_safety():
+    from markdown_lab_ray.state.seen import CuckooFilter
+
+    f = CuckooFilter(capacity=64)
+    # same key inserted twice stores two copies; one delete leaves one
+    f.add("dup")
+    f.add("dup")
+    assert f.delete("dup") and f.contains("dup")
+    assert f.delete("dup") and not f.contains("dup")
+    assert not f.delete("dup")  # nothing left to delete
