@@ -260,6 +260,19 @@ def cmd_mixture(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact per-round crawl checkpoints into consolidated
+    hash-sharded parquet (docs or chunks)."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.compact import compact_crawl_output
+
+    rounds, n_rows = compact_crawl_output(args.out, args.dest,
+                                          what=args.what,
+                                          n_shards=args.shards)
+    print(f"compacted rounds={rounds} rows={n_rows} dest={args.dest}")
+    return 0
+
+
 def cmd_sitemap(args) -> int:
     """Sitemap-only discovery export: robots → sitemap recursion →
     filters → frontier lines (no fetching; reference sitemap command)."""
@@ -412,6 +425,15 @@ def main(argv=None) -> int:
     p.add_argument("--budget", type=int, default=2000)
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_mixture)
+
+    p = sub.add_parser("compact", help="compact per-round crawl "
+                       "checkpoints into consolidated sharded parquet")
+    p.add_argument("--out", required=True, help="crawl output dir")
+    p.add_argument("--dest", required=True, help="fresh destination dir")
+    p.add_argument("--what", default="docs", choices=["docs", "chunks"])
+    p.add_argument("--shards", type=int, default=16)
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_compact)
 
     args = parser.parse_args(argv)
     code = args.fn(args)
