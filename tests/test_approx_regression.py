@@ -41,7 +41,8 @@ def _norm(v):
 
 
 @pytest.mark.parametrize("name", ["knn_lsh", "knn_ivf",
-                                  "embedding_near_dup", "video_frames"])
+                                  "embedding_near_dup", "video_frames",
+                                  "caption_alignment", "image_mixture"])
 def test_approx_query_matches_fixture(ray_session, name):
     result = _queries()[name](SF_DIR)
     if hasattr(result, "take_all"):
