@@ -2331,6 +2331,64 @@ def q_image_mixture(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_compact_crawl(sf_dir: str):
+    """Operational lifecycle end-to-end: tiny synthetic crawl →
+    checkpoint compaction → read back the consolidated shards.
+    Returns per-host doc counts (deterministic: crawl order is
+    oracle-pinned, compaction is a re-shard)."""
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.compact import compact_crawl_output
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.sources.io import read_sharded_parquet
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=4, pages_per_host=8, n_images=20)
+    cfg = EngineConfig(requests_per_second=0.1, round_seconds=60.0,
+                       max_rounds=2, max_depth=1, seen_shards=2)
+    with tempfile.TemporaryDirectory() as d:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(),
+                      f"{d}/crawl", cfg)
+        compact_crawl_output(f"{d}/crawl", f"{d}/docs", what="docs",
+                             n_shards=4)
+        docs = read_sharded_parquet(f"{d}/docs", columns=["url", "host"])
+        out = docs.groupby("host").count().to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset tar sink determinism: pack the synthetic image table
+    into shards, read it back, and report per-shard (sha256, n_rows) —
+    byte-stable across runs/layouts (zeroed tar metadata, key-sorted
+    members), so the row hash IS the determinism check."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    table = build_images_table(SiteSpec(n_images=80))
+    with tempfile.TemporaryDirectory() as d:
+        write_webdataset_shards(rd.from_arrow(table).repartition(3), d,
+                                n_shards=6)
+        back = read_webdataset_shards(d).to_pandas()
+        rows = [{"shard": int(os.path.basename(tar)[6:11]),
+                 "sha256": hashlib.sha256(open(tar, "rb").read()).hexdigest()}
+                for tar in sorted(glob.glob(os.path.join(d, "shard-*.tar")))]
+    out = pd.DataFrame(rows)
+    out["n_total"] = len(back)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def q_image_dedup_pipeline(sf_dir: str):
     """Flagship image-dedup composition: phash LSH pairs → distributed
     connected components → keep the highest-resolution copy per
@@ -3321,6 +3379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_convert": q_batch_convert,
         "image_dedup_pipeline": q_image_dedup_pipeline,
         "image_mixture": q_image_mixture,
+        "compact_crawl": q_compact_crawl,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "lineitem_corr": q_lineitem_corr,
         "weighted_sample": q_weighted_sample,
         "users_per_type_hll": q_users_per_type_hll,
