@@ -359,6 +359,27 @@ FROM (
 """
 
 
+def q_event_paths(sf_dir: str):
+    """Per-user ordered event-type path ("view->click->…"): the SQL
+    string_agg(... ORDER BY ts, event_id) twin — one keyed shuffle,
+    group-local sort+join (clickstream/path analysis)."""
+    from markdown_lab_ray.stages.analytics import grouped_path
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = grouped_path(ds, "user_id", ["ts", "event_id"],
+                       "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENT_PATHS = """
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+       count(*) AS n_steps
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — one bucketed
     keyed shuffle (B group tasks, not one per user); the session
@@ -3343,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "training_mixture": q_training_mixture,
         "weighted_sample_global": q_weighted_sample_global,
+        "event_paths": q_event_paths,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3424,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": SQL_DEDUP_SPANS,
         "training_mixture": SQL_TRAINING_MIXTURE,
         "weighted_sample_global": SQL_WEIGHTED_SAMPLE_GLOBAL,
+        "event_paths": SQL_EVENT_PATHS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

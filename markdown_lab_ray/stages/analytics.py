@@ -576,3 +576,33 @@ def grouped_pearson_corr(ds, key_col: str, x_col: str, y_col: str,
         return pd.DataFrame({key_col: df[key_col], out_col: vals})
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def grouped_path(ds, key_col: str, order_cols, value_col: str,
+                 sep: str = "->", out_col: str = "path"):
+    """Ordered per-key concatenation (SQL ``string_agg(v, sep ORDER BY
+    ...)``): e.g. each user's clickstream as "view->click->signup".
+
+    One keyed shuffle of (key, order cols, value) rows; the group fn
+    sorts by the order columns (ties must be broken by a unique column
+    — pass it last — or the output is nondeterministic) and joins.
+    Per-key path length is bounded by that key's row count: fine for
+    session/user paths, not for concatenating a corpus under one key.
+    """
+    import pandas as pd
+
+    order_cols = list(order_cols)
+
+    def join_path(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort")
+        return pd.DataFrame({
+            key_col: [df[key_col].iloc[0]],
+            out_col: [sep.join(str(v) for v in df[value_col])],
+            "n_steps": [np.int64(len(df))],
+        })
+
+    slim = ds.map_batches(
+        lambda b: b.select([key_col, *order_cols, value_col]),
+        batch_format="pyarrow")
+    return slim.groupby(key_col).map_groups(join_path,
+                                            batch_format="pandas")

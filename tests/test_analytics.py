@@ -378,3 +378,24 @@ def test_grouped_pearson_corr_exact_and_degenerate(ray_session):
         exact = np.corrcoef(xc, yc)[0, 1]
         assert abs(out.loc[key, "c"] - exact) < 1e-6, key
         assert out.loc[key, "c"] == out2.loc[key, "c"]
+
+
+def test_grouped_path_order_and_layout(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_path
+
+    table = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "t": pa.array([3, 1, 2, 5, 5], pa.int64()),
+        "id": pa.array([30, 10, 20, 51, 50], pa.int64()),
+        "ev": pa.array(["c", "a", "b", "y", "x"]),
+    })
+    want = {1: ("a->b->c", 3), 2: ("x->y", 2)}  # t asc, tie by id
+    for parts in (1, 4):
+        out = grouped_path(rd.from_arrow(table).repartition(parts),
+                           "u", ["t", "id"], "ev").to_pandas()
+        got = {int(r.u): (r.path, int(r.n_steps))
+               for r in out.itertuples(index=False)}
+        assert got == want
