@@ -2544,6 +2544,27 @@ FROM events
 """
 
 
+def q_rolling_hour(sf_dir: str):
+    """Trailing 1-hour RANGE-window sum per user in exact cents (the
+    time-interval twin of the ROWS-window rolling_sum; peer-inclusive
+    frames per SQL RANGE semantics)."""
+    from markdown_lab_ray.stages.analytics import time_window_sum_cents
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = time_window_sum_cents(ds, window_us=3_600_000_000).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+SQL_ROLLING_HOUR = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS win_sum_cents
+FROM events
+"""
+
+
 def q_event_gaps(sf_dir: str):
     """Inter-event gap per user in exact integer microseconds (LAG)."""
     from markdown_lab_ray.stages.analytics import lag_deltas
@@ -3365,6 +3386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mixture": q_training_mixture,
         "weighted_sample_global": q_weighted_sample_global,
         "event_paths": q_event_paths,
+        "rolling_hour": q_rolling_hour,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3447,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "training_mixture": SQL_TRAINING_MIXTURE,
         "weighted_sample_global": SQL_WEIGHTED_SAMPLE_GLOBAL,
         "event_paths": SQL_EVENT_PATHS,
+        "rolling_hour": SQL_ROLLING_HOUR,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

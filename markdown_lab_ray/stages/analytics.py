@@ -606,3 +606,44 @@ def grouped_path(ds, key_col: str, order_cols, value_col: str,
         batch_format="pyarrow")
     return slim.groupby(key_col).map_groups(join_path,
                                             batch_format="pandas")
+
+
+def time_window_sum_cents(ds, window_us: int, key_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          id_col: str = "event_id", n_buckets: int = 64):
+    """Trailing TIME-range sum per key in exact integer cents — the
+    ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW`` twin of
+    the ROWS-window ``rolling_sum_cents``: for each row, the sum over
+    the key's rows with ``ts`` in [ts_i − window, ts_i], INCLUDING
+    same-``ts`` peers that sort after the row (SQL RANGE frames are
+    peer-inclusive).  Same one-bucketed-shuffle shape; inside a bucket
+    each key's frame bounds come from two vectorized ``searchsorted``
+    calls over its sorted timestamps + a prefix-sum difference.
+    Output: (key, id, win_sum_cents)."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        cents = _cents(g[value_col].to_numpy())
+        out = np.empty(len(g), dtype=np.int64)
+        start = 0
+        key_arr = g[key_col].to_numpy()
+        boundaries = np.flatnonzero(key_arr[1:] != key_arr[:-1]) + 1
+        for end in [*boundaries, len(g)]:
+            kts = ts[start:end]
+            prefix = np.concatenate(([0], np.cumsum(cents[start:end])))
+            lo = np.searchsorted(kts, kts - window_us, side="left")
+            hi = np.searchsorted(kts, kts, side="right")
+            out[start:end] = prefix[hi] - prefix[lo]
+            start = end
+        return pd.DataFrame({
+            key_col: key_arr,
+            id_col: g[id_col].to_numpy(),
+            "win_sum_cents": out,
+        })
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(roll, batch_format="pandas")

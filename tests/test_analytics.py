@@ -399,3 +399,26 @@ def test_grouped_path_order_and_layout(ray_session):
         got = {int(r.u): (r.path, int(r.n_steps))
                for r in out.itertuples(index=False)}
         assert got == want
+
+
+def test_time_window_sum_peers_and_bounds(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import time_window_sum_cents
+
+    # user 1: ts 0s, 30s, 30s (peers), 100s; window 60s
+    table = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 30_000_000, 30_000_000, 100_000_000, 0],
+                       pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+    })
+    out = time_window_sum_cents(rd.from_arrow(table).repartition(2),
+                                window_us=60_000_000).to_pandas()
+    got = {int(r.event_id): int(r.win_sum_cents)
+           for r in out.itertuples(index=False)}
+    # RANGE frames are peer-inclusive: rows 2 AND 3 each see 1+2+4;
+    # row 4's window [40s, 100s] holds only itself
+    assert got == {1: 100, 2: 700, 3: 700, 4: 800, 5: 1600}
