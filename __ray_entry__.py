@@ -2544,6 +2544,34 @@ FROM events
 """
 
 
+def q_lineitem_melt(sf_dir: str):
+    """UNPIVOT lineitem's three measures into (key, measure, value)
+    long form — the inverse surface of pivot_events; stateless
+    per-batch explode, zero shuffles."""
+    from markdown_lab_ray.stages.analytics import melt
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    out = melt(ds, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount"]).to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber", "measure"])
+            .reset_index(drop=True))
+
+
+SQL_LINEITEM_MELT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
 def q_rolling_hour(sf_dir: str):
     """Trailing 1-hour RANGE-window sum per user in exact cents (the
     time-interval twin of the ROWS-window rolling_sum; peer-inclusive
@@ -3387,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_global": q_weighted_sample_global,
         "event_paths": q_event_paths,
         "rolling_hour": q_rolling_hour,
+        "lineitem_melt": q_lineitem_melt,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3470,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_global": SQL_WEIGHTED_SAMPLE_GLOBAL,
         "event_paths": SQL_EVENT_PATHS,
         "rolling_hour": SQL_ROLLING_HOUR,
+        "lineitem_melt": SQL_LINEITEM_MELT,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -647,3 +647,31 @@ def time_window_sum_cents(ds, window_us: int, key_col: str = "user_id",
                                             n_buckets)),
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(roll, batch_format="pandas")
+
+
+def melt(ds, id_cols, value_cols, var_col: str = "measure",
+         value_name: str = "value"):
+    """UNPIVOT (wide → long, the inverse of ``pivot_counts``): one
+    output row per (input row × value column), value columns cast to
+    float64 under one name.  Pure per-batch explode — no shuffle, no
+    state; output order within a batch is column-major (all of
+    ``value_cols[0]`` first), deterministic."""
+    import pyarrow as pa
+
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_col] = pa.array([vc] * batch.num_rows, pa.string())
+            cols[value_name] = batch.column(vc).cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    slim = ds.map_batches(
+        lambda b: b.select(id_cols + value_cols), batch_format="pyarrow")
+    return slim.map_batches(explode, batch_format="pyarrow")

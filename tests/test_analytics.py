@@ -422,3 +422,24 @@ def test_time_window_sum_peers_and_bounds(ray_session):
     # RANGE frames are peer-inclusive: rows 2 AND 3 each see 1+2+4;
     # row 4's window [40s, 100s] holds only itself
     assert got == {1: 100, 2: 700, 3: 700, 4: 800, 5: 1600}
+
+
+def test_melt_roundtrips_pivot_shape(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import melt
+
+    table = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10.0, 20.0], pa.float64()),
+        "b": pa.array([1.5, 2.5], pa.float64()),
+    })
+    out = melt(rd.from_arrow(table), ["k"], ["a", "b"]).to_pandas()
+    got = sorted(map(tuple, out[["k", "measure", "value"]].values.tolist()))
+    assert got == [(1, "a", 10.0), (1, "b", 1.5),
+                   (2, "a", 20.0), (2, "b", 2.5)]
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        melt(rd.from_arrow(table), ["k"], [])
