@@ -3334,6 +3334,59 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def _orders_custkeys_in_year(sf_dir: str, year: int):
+    """Distinct-per-block custkey stream for one order year (pushdown
+    read of two columns; the year filter is a vectorized batch kernel)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def in_year(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.year(batch.column("o_orderdate")), year)
+        return batch.filter(mask).select(["o_custkey"])
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return ds.map_batches(in_year, batch_format="pyarrow")
+
+
+def q_repeat_buyers(sf_dir: str):
+    """SQL INTERSECT (distinct): customers who ordered in BOTH 1995 and
+    1996 — the set-op member the reference's seed-source union lacks.
+    One groupby shuffle over per-block-distinct keys."""
+    from markdown_lab_ray.stages.joins import set_op_distinct
+
+    out = set_op_distinct(_orders_custkeys_in_year(sf_dir, 1995),
+                          _orders_custkeys_in_year(sf_dir, 1996),
+                          key="o_custkey", op="intersect").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_REPEAT_BUYERS = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+ORDER BY o_custkey
+"""
+
+
+def q_lapsed_buyers(sf_dir: str):
+    """SQL EXCEPT (distinct): customers who ordered in 1995 but not in
+    1996.  Same one-shuffle marker-merge as the INTERSECT twin."""
+    from markdown_lab_ray.stages.joins import set_op_distinct
+
+    out = set_op_distinct(_orders_custkeys_in_year(sf_dir, 1995),
+                          _orders_custkeys_in_year(sf_dir, 1996),
+                          key="o_custkey", op="except").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_LAPSED_BUYERS = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+ORDER BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3416,6 +3469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": q_event_paths,
         "rolling_hour": q_rolling_hour,
         "lineitem_melt": q_lineitem_melt,
+        "repeat_buyers": q_repeat_buyers,
+        "lapsed_buyers": q_lapsed_buyers,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3500,6 +3555,8 @@ def oracle_sql() -> dict[str, str]:
         "event_paths": SQL_EVENT_PATHS,
         "rolling_hour": SQL_ROLLING_HOUR,
         "lineitem_melt": SQL_LINEITEM_MELT,
+        "repeat_buyers": SQL_REPEAT_BUYERS,
+        "lapsed_buyers": SQL_LAPSED_BUYERS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -421,3 +421,53 @@ def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
     both = left_tagged.union(right_tagged)
     return both.groupby("__bucket").map_groups(asof_bucket,
                                                batch_format="pandas")
+
+
+def set_op_distinct(left_ds, right_ds, key: str, op: str = "intersect"):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT semantics) over one key
+    column (reference: the seed-source set algebra of SURVEY §2.8; the
+    reference unions link sources — this adds the other two members of
+    the set-op family).
+
+    Scale shape: each side deduplicates per batch (``pc.unique``) and
+    emits ``(key, in_left, in_right)`` marker rows, so the single
+    ``groupby(key)`` shuffle moves distinct-per-block keys, never raw
+    rows.  Max-merging the markers then gives membership on each side;
+    the op is a vectorized filter over the merged table.  One shuffle,
+    O(distinct keys) intermediate, no driver materialization.
+
+    Contract: NULL keys are EXCLUDED from both sides (SQL's set ops
+    treat NULL as equal to NULL, so ``NULL INTERSECT NULL`` yields a
+    row; this kernel does not — callers needing that row must handle
+    nulls explicitly).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+
+    def tag(batch: pa.Table, in_left: int) -> pa.Table:
+        keys = pc.unique(batch.column(key).combine_chunks())
+        keys = keys.drop_null()
+        n = len(keys)
+        return pa.table({
+            key: keys,
+            "_in_l": pa.array(np.full(n, in_left, np.int64)),
+            "_in_r": pa.array(np.full(n, 1 - in_left, np.int64)),
+        })
+
+    tagged = (left_ds.map_batches(tag, batch_format="pyarrow",
+                                  fn_kwargs=dict(in_left=1))
+              .union(right_ds.map_batches(tag, batch_format="pyarrow",
+                                          fn_kwargs=dict(in_left=0))))
+    merged = tagged.groupby(key).aggregate(Max("_in_l"), Max("_in_r"))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        in_l = pc.equal(batch.column("max(_in_l)"), 1)
+        in_r = pc.equal(batch.column("max(_in_r)"), 1)
+        mask = (pc.and_(in_l, in_r) if op == "intersect"
+                else pc.and_(in_l, pc.invert(in_r)))
+        return batch.filter(mask).select([key])
+
+    return merged.map_batches(pick, batch_format="pyarrow")

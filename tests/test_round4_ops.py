@@ -322,3 +322,54 @@ def test_weighted_sample_global_rejects_bad_k(ray_session):
         weighted_sample_global(rd.from_items([{"doc_id": 1,
                                                "n_chars": 2}]),
                                "doc_id", "n_chars", k=0)
+
+
+# ---------------------------------------------------------------------------
+# set_op_distinct (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+def _set_op_sides():
+    import ray.data as rd
+    a = pa.table({"k": pa.array([1, 2, 2, 3, 5, 7, None], pa.int64())})
+    b = pa.table({"k": pa.array([2, 3, 3, 4, 8, None], pa.int64())})
+    return (rd.from_arrow(a).repartition(3),
+            rd.from_arrow(b).repartition(2))
+
+
+def test_set_op_intersect_matches_sql_semantics(ray_session):
+    from markdown_lab_ray.stages.joins import set_op_distinct
+
+    a, b = _set_op_sides()
+    got = sorted(set_op_distinct(a, b, "k", "intersect")
+                 .to_pandas()["k"].tolist())
+    assert got == [2, 3]  # distinct; NULL keys excluded per the
+    # documented contract (SQL INTERSECT would keep a NULL row here)
+
+
+def test_set_op_except_matches_sql_semantics(ray_session):
+    from markdown_lab_ray.stages.joins import set_op_distinct
+
+    a, b = _set_op_sides()
+    got = sorted(set_op_distinct(a, b, "k", "except")
+                 .to_pandas()["k"].tolist())
+    assert got == [1, 5, 7]
+
+
+def test_set_op_rejects_unknown_op(ray_session):
+    from markdown_lab_ray.stages.joins import set_op_distinct
+
+    a, b = _set_op_sides()
+    with pytest.raises(ValueError, match="intersect"):
+        set_op_distinct(a, b, "k", "union")
+
+
+def test_set_op_string_keys_and_empty_result(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.joins import set_op_distinct
+
+    a = rd.from_arrow(pa.table({"k": pa.array(["x", "y"])}))
+    b = rd.from_arrow(pa.table({"k": pa.array(["x", "y", "z"])}))
+    out = set_op_distinct(a, b, "k", "except")
+    assert out.count() == 0
+    assert out.schema().names == ["k"]
