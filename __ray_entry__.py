@@ -3387,6 +3387,42 @@ ORDER BY o_custkey
 """
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered first-touch funnel view→click→purchase per user: step
+    k+1 counts only strictly after the first qualifying step k.  Input
+    pre-filtered to funnel types; one groupby(user) shuffle."""
+    from markdown_lab_ray.stages.analytics import funnel_steps
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_steps(ds, ["view", "click", "purchase"]).to_pandas()
+    out["steps_completed"] = out["steps_completed"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed
+FROM (SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3471,6 +3507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q_lineitem_melt,
         "repeat_buyers": q_repeat_buyers,
         "lapsed_buyers": q_lapsed_buyers,
+        "event_funnel": q_event_funnel,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3557,6 +3594,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_melt": SQL_LINEITEM_MELT,
         "repeat_buyers": SQL_REPEAT_BUYERS,
         "lapsed_buyers": SQL_LAPSED_BUYERS,
+        "event_funnel": SQL_EVENT_FUNNEL,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

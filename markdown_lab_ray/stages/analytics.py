@@ -675,3 +675,47 @@ def melt(ds, id_cols, value_cols, var_col: str = "measure",
     slim = ds.map_batches(
         lambda b: b.select(id_cols + value_cols), batch_format="pyarrow")
     return slim.map_batches(explode, batch_format="pyarrow")
+
+
+def funnel_steps(ds, steps, user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-funnel analysis: per user, how many of ``steps`` were
+    completed IN ORDER (step k+1 must occur strictly AFTER the first
+    qualifying occurrence of step k — the classic first-touch funnel).
+
+    Scale shape: the input is pre-filtered to the funnel's event types
+    (a vectorized ``isin`` batch kernel — at web scale the funnel types
+    are a sliver of the event stream, so the single ``groupby(user)``
+    shuffle moves only relevant rows).  Each group resolves the chain
+    with one pandas pass per step (len(steps) is small and fixed);
+    output is one row per user, O(users) total.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column(type_col),
+                        value_set=pa.array(steps, pa.string()))
+        return batch.filter(mask).select([user_col, ts_col, type_col])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        done = 0
+        t = None
+        for step in steps:
+            sub = g[g[type_col] == step]
+            if t is not None:
+                sub = sub[sub[ts_col] > t]
+            if sub.empty:
+                break
+            t = sub[ts_col].min()
+            done += 1
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
+                             "steps_completed": [done]})
+
+    slim = ds.map_batches(keep, batch_format="pyarrow")
+    return slim.groupby(user_col).map_groups(chain, batch_format="pandas")

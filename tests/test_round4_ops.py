@@ -373,3 +373,59 @@ def test_set_op_string_keys_and_empty_result(ray_session):
     out = set_op_distinct(a, b, "k", "except")
     assert out.count() == 0
     assert out.schema().names == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps (ordered first-touch funnel)
+# ---------------------------------------------------------------------------
+
+def _events_table(rows):
+    import pandas as pd
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_funnel_order_and_ties(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import funnel_steps
+
+    rows = [
+        # u1 completes all three in order
+        (1, "2024-01-01 00:00", "view"),
+        (1, "2024-01-01 00:01", "click"),
+        (1, "2024-01-01 00:02", "purchase"),
+        # u2 clicks BEFORE its first view → click doesn't count; no
+        # click after the view → stops at 1
+        (2, "2024-01-01 00:00", "click"),
+        (2, "2024-01-01 00:01", "view"),
+        (2, "2024-01-01 00:02", "purchase"),
+        # u3: click at the SAME instant as first view → strictly-after
+        # rule rejects it; a later click then a purchase → 3
+        (3, "2024-01-01 00:00", "view"),
+        (3, "2024-01-01 00:00", "click"),
+        (3, "2024-01-01 00:05", "click"),
+        (3, "2024-01-01 00:06", "purchase"),
+        # u4 has only funnel-irrelevant position: purchase first → 0
+        # steps (view never occurs)
+        (4, "2024-01-01 00:00", "purchase"),
+    ]
+    ds = rd.from_arrow(_events_table(rows)).repartition(4)
+    out = (funnel_steps(ds, ["view", "click", "purchase"]).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 3, 4]
+    assert out["steps_completed"].tolist() == [3, 1, 3, 0]
+
+
+def test_funnel_rejects_empty_steps(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import funnel_steps
+
+    ds = rd.from_arrow(_events_table([(1, "2024-01-01", "view")]))
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_steps(ds, [])
