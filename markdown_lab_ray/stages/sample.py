@@ -19,13 +19,38 @@ import hashlib
 import numpy as np
 
 
-def random_sample(ds, fraction: float, seed: int = 42):
-    """Per-row Bernoulli sample of ``ds`` — deterministic for a given
-    (dataset content, fraction, seed); streams block-by-block (no
-    materialization, no shuffle)."""
+def random_sample(ds, fraction: float, seed: int = 42,
+                  id_col: str | None = None):
+    """Per-row Bernoulli sample of ``ds``; streams block-by-block (no
+    materialization, no shuffle).
+
+    Determinism contract: with ``id_col`` set, the keep/drop decision
+    is ``hash(id, seed) < fraction`` via the fixed-key siphash
+    ``pd.util.hash_array`` — a pure function of row CONTENT, so block
+    layout, parallelism, retries and re-runs all produce the identical
+    sample (Ray's own ``Dataset.random_sample(seed=...)`` seeds per
+    task and is only reproducible for one physical block layout; under
+    dynamic block splitting two runs of the same pipeline can diverge,
+    which is exactly the flake this path removes).  Without ``id_col``
+    it falls back to Ray's sampler (content-blind, layout-dependent).
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return ds.random_sample(fraction, seed=seed)
+    if id_col is None:
+        return ds.random_sample(fraction, seed=seed)
+    import pandas as pd
+
+    threshold = np.uint64(min(int(fraction * float(2 ** 64)), 2 ** 64 - 1))
+
+    def keep(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = np.asarray(df[id_col].to_numpy())
+        h = pd.util.hash_array(ids, categorize=False)
+        h = pd.util.hash_array(h + np.uint64(seed), categorize=False)
+        if fraction >= 1.0:
+            return df
+        return df[h < threshold]
+
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def _aes_priority(ids, weights) -> np.ndarray:

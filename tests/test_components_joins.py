@@ -91,14 +91,24 @@ def test_random_sample_seeded_determinism(ray_session):
     from markdown_lab_ray.stages.sample import random_sample
 
     ds = _rd().range(10_000)
-    a = random_sample(ds, 0.1, seed=7).to_pandas()["id"].tolist()
-    b = random_sample(_rd().range(10_000), 0.1, seed=7
+    a = random_sample(ds, 0.1, seed=7, id_col="id"
                       ).to_pandas()["id"].tolist()
-    c = random_sample(_rd().range(10_000), 0.1, seed=8
+    # different block layout, same content → identical sample
+    b = random_sample(_rd().range(10_000).repartition(13), 0.1, seed=7,
+                      id_col="id").to_pandas()["id"].tolist()
+    c = random_sample(_rd().range(10_000), 0.1, seed=8, id_col="id"
                       ).to_pandas()["id"].tolist()
-    assert a == b
+    assert sorted(a) == sorted(b)
     assert a != c
     assert 500 < len(a) < 1500  # ~10%
+
+    # fraction 1.0 keeps everything
+    full = random_sample(_rd().range(100), 1.0, id_col="id").count()
+    assert full == 100
+
+    # the id-less fallback still streams and respects the bound
+    loose = random_sample(_rd().range(10_000), 0.1, seed=7).count()
+    assert 500 < loose < 1500
 
     with pytest.raises(ValueError):
         random_sample(ds, 1.5)
