@@ -3423,6 +3423,80 @@ ORDER BY u.user_id
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts (type → next type per user, ordered by
+    ts with event_id tie-break): one bucketed user shuffle of raw rows,
+    then a tiny (from, to) partial-count shuffle."""
+    from markdown_lab_ray.stages.analytics import event_transitions
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = event_transitions(ds).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_conversion_lag(sf_dir: str):
+    """First-touch view→purchase latency per converting user in exact
+    integer microseconds (strictly-after rule shared with the funnel)."""
+    from markdown_lab_ray.stages.analytics import conversion_lag
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = conversion_lag(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_CONVERSION_LAG = """
+WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.tv
+      GROUP BY e.user_id)
+SELECT p.user_id, CAST(epoch_us(p.tp) - epoch_us(v.tv) AS BIGINT) AS lag_us
+FROM p JOIN v USING (user_id) ORDER BY p.user_id
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention triangle: distinct (user, ISO week)
+    pairs collapse per batch before the bucketed user shuffle; final
+    (cohort, offset) counts are partial-aggregated."""
+    from markdown_lab_ray.stages.analytics import retention_cohorts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = retention_cohorts(ds).to_pandas()
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+SQL_RETENTION_COHORTS = """
+WITH act AS (SELECT DISTINCT user_id,
+                    CAST(date_trunc('week', ts) AS TIMESTAMP) AS aw
+             FROM events),
+cohort AS (SELECT user_id, MIN(aw) AS cw FROM act GROUP BY user_id)
+SELECT cohort.cw AS cohort_week,
+       CAST((epoch_us(act.aw) - epoch_us(cohort.cw)) // 604800000000
+            AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN cohort ON act.user_id = cohort.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3508,6 +3582,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_buyers": q_repeat_buyers,
         "lapsed_buyers": q_lapsed_buyers,
         "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "conversion_lag": q_conversion_lag,
+        "retention_cohorts": q_retention_cohorts,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3595,6 +3672,9 @@ def oracle_sql() -> dict[str, str]:
         "repeat_buyers": SQL_REPEAT_BUYERS,
         "lapsed_buyers": SQL_LAPSED_BUYERS,
         "event_funnel": SQL_EVENT_FUNNEL,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
+        "conversion_lag": SQL_CONVERSION_LAG,
+        "retention_cohorts": SQL_RETENTION_COHORTS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -719,3 +719,156 @@ def funnel_steps(ds, steps, user_col: str = "user_id",
 
     slim = ds.map_batches(keep, batch_format="pyarrow")
     return slim.groupby(user_col).map_groups(chain, batch_format="pandas")
+
+
+def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type", n_buckets: int = 64):
+    """Markov transition counts over per-user event sequences: for each
+    user's events ordered by (ts, id), count global (type → next type)
+    adjacent pairs — the LEAD() OVER (PARTITION BY user) building block
+    behind session-flow and next-action models.
+
+    Scale shape: one bucketed shuffle on hash(user) moves the raw rows
+    ONCE; inside a bucket the successor is a vectorized per-user
+    ``shift(-1)`` and the bucket collapses to per-(from, to) partial
+    counts before the second shuffle — which therefore moves only
+    O(|type alphabet|² × buckets) tiny int rows, never events.
+    Output: (from_type, to_type, n), n int64.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        nxt = g.groupby(user_col, sort=False)[type_col].shift(-1)
+        keep = nxt.notna()
+        part = (pd.DataFrame({"from_type": g[type_col][keep],
+                              "to_type": nxt[keep]})
+                .groupby(["from_type", "to_type"], sort=False)
+                .size().rename("n").reset_index())
+        part["n"] = part["n"].astype("int64")
+        return part
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(pairs, batch_format="pandas")
+    agg = part.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+    return agg.map_batches(lambda df: df.astype({"n": "int64"}),
+                           batch_format="pandas")
+
+
+def conversion_lag(ds, from_type: str = "view", to_type: str = "purchase",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type", n_buckets: int = 64):
+    """First-touch conversion latency: per user, microseconds from the
+    FIRST ``from_type`` event to the first ``to_type`` event STRICTLY
+    after it; users without both edges are dropped.  The latency twin
+    of ``funnel_steps`` (which reports depth, not time).
+
+    Scale shape: pre-filtered to the two event types before the single
+    bucketed user shuffle; inside a bucket everything is two pandas
+    groupby-mins and one merge — no per-user Python loop.  Output:
+    (user, lag_us int64), one row per converting user.
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column(type_col),
+                        value_set=pa.array([from_type, to_type],
+                                           pa.string()))
+        return batch.filter(mask).select([user_col, ts_col, type_col])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = g.assign(_us=us)
+        first = (g[g[type_col] == from_type]
+                 .groupby(user_col, sort=False)["_us"].min().rename("_tv"))
+        cand = g[g[type_col] == to_type].merge(
+            first, left_on=user_col, right_index=True)
+        cand = cand[cand["_us"] > cand["_tv"]]
+        if cand.empty:
+            return pd.DataFrame({user_col: pd.Series([], dtype="int64"),
+                                 "lag_us": pd.Series([], dtype="int64")})
+        conv = cand.groupby(user_col, sort=False).agg(
+            _tp=("_us", "min"), _tv=("_tv", "first")).reset_index()
+        return pd.DataFrame({
+            user_col: conv[user_col].astype("int64"),
+            "lag_us": (conv["_tp"] - conv["_tv"]).astype("int64"),
+        })
+
+    slim = ds.map_batches(keep, batch_format="pyarrow")
+    tagged = slim.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(lag, batch_format="pandas")
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _monday_week_us(ts_values) -> np.ndarray:
+    """Microseconds-since-epoch of the Monday-00:00 week start for each
+    timestamp — DuckDB/ISO ``date_trunc('week', ts)`` semantics.  The
+    epoch (1970-01-01) was a Thursday, so Monday-aligned weeks are
+    offset by 3 days: shift, floor-divide, shift back."""
+    us = np.asarray(ts_values).astype("datetime64[us]").astype(np.int64)
+    day_shift = 3 * 24 * 3600 * 1_000_000
+    return (us + day_shift) // _WEEK_US * _WEEK_US - day_shift
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      n_buckets: int = 64):
+    """Weekly cohort retention: cohort = ISO week of a user's FIRST
+    event; for every (cohort_week, week_offset) count the users active
+    ``offset`` weeks after their cohort week (offset 0 = the cohort
+    size itself).  The standard growth-analytics triangle.
+
+    Scale shape: raw events collapse to distinct (user, week) int pairs
+    inside each batch BEFORE any shuffle; the bucketed user shuffle
+    then moves only those pairs, resolves each user's cohort with one
+    vectorized in-bucket groupby-min, and emits per-(cohort, offset)
+    partial counts — so the final shuffle is O(weeks² × buckets) tiny
+    rows.  Output: (cohort_week timestamp, week_offset int64,
+    n_users int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def to_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            user_col: df[user_col].to_numpy(),
+            "_wk": _monday_week_us(df[ts_col].to_numpy()),
+        }).drop_duplicates()
+        return out
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "_wk"])
+        cohort = g.groupby(user_col, sort=False)["_wk"].transform("min")
+        off = ((g["_wk"].to_numpy() - cohort.to_numpy()) // _WEEK_US)
+        part = (pd.DataFrame({"_cw": cohort.to_numpy(),
+                              "week_offset": off.astype(np.int64)})
+                .groupby(["_cw", "week_offset"], sort=False)
+                .size().rename("n").reset_index())
+        part["n"] = part["n"].astype("int64")
+        return part
+
+    pairs = ds.map_batches(to_weeks, batch_format="pandas")
+    tagged = pairs.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(cohortize, batch_format="pandas")
+    agg = part.groupby(["_cw", "week_offset"]).aggregate(
+        Sum("n", alias_name="n_users"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": df["_cw"].astype("datetime64[us]"),
+            "week_offset": df["week_offset"].astype("int64"),
+            "n_users": df["n_users"].astype("int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -429,3 +429,99 @@ def test_funnel_rejects_empty_steps(ray_session):
     ds = rd.from_arrow(_events_table([(1, "2024-01-01", "view")]))
     with pytest.raises(ValueError, match="non-empty"):
         funnel_steps(ds, [])
+
+
+# ---------------------------------------------------------------------------
+# event_transitions / conversion_lag / retention_cohorts
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_counts_and_tiebreak(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import event_transitions
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        # u1: a(t0,id0) -> b(t1) -> a(t2); u2 has a TIE on ts broken by
+        # event_id: (b,id4) precedes (c,id5); u3 has a single event (no
+        # pair emitted)
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                              "2024-01-01 00:02", "2024-01-01 00:00",
+                              "2024-01-01 00:00", "2024-01-01 00:00"]),
+        "event_id": [0, 1, 2, 4, 5, 6],
+        "event_type": ["a", "b", "a", "b", "c", "a"],
+    })
+    out = (event_transitions(rd.from_pandas(rows).repartition(3))
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1}
+    assert out["n"].dtype == "int64"
+
+
+def test_conversion_lag_strictly_after(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import conversion_lag
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3, 4, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10",   # u1 converts, 600s
+            "2024-01-01 00:05", "2024-01-01 00:05",   # u2 purchase AT tv
+            "2024-01-01 00:00",                        # u3 view only
+            "2024-01-01 00:02", "2024-01-01 00:01",   # u4 purchase BEFORE view
+        ]),
+        "event_type": ["view", "purchase", "view", "purchase", "view",
+                       "view", "purchase"],
+    })
+    out = (conversion_lag(rd.from_pandas(rows).repartition(3))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1]
+    assert out["lag_us"].tolist() == [600 * 1_000_000]
+
+
+def test_monday_week_trunc_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import _monday_week_us
+
+    rng = np.random.RandomState(7)
+    ts = pd.to_datetime("2023-12-25") + pd.to_timedelta(
+        rng.randint(0, 120 * 24 * 3600, size=500), unit="s")
+    got = pd.Series(_monday_week_us(ts.values).astype("datetime64[us]"))
+    want = duckdb.connect().execute(
+        "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk "
+        "FROM (SELECT unnest(?::TIMESTAMP[]) AS ts)",
+        [list(ts)]).df()["wk"]
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_retention_cohorts_small(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import retention_cohorts
+
+    # week0 starts Mon 2024-01-01; u1 active wk0+wk1, u2 wk0 only,
+    # u3 cohort wk1 active wk1+wk3; duplicate events in a week count once
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": pd.to_datetime([
+            "2024-01-03", "2024-01-03 12:00", "2024-01-09",
+            "2024-01-01",
+            "2024-01-08", "2024-01-24",
+        ], format="mixed"),
+    })
+    out = (retention_cohorts(rd.from_pandas(rows).repartition(3))
+           .to_pandas().sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    wk0, wk1 = pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-08")
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(wk0, 0): 2, (wk0, 1): 1, (wk1, 0): 1, (wk1, 2): 1}
+    assert out["n_users"].dtype == "int64"
