@@ -3497,6 +3497,35 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_table_profile(sf_dir: str):
+    """Per-column quality profile of the events table: rows / nulls /
+    exact distincts, two streaming passes, deduped-hash shuffle only."""
+    from markdown_lab_ray.stages.analytics import profile_columns
+
+    cols = ["event_type", "user_id", "value"]
+    ds = _read(sf_dir, "events", cols)
+    return profile_columns(ds, cols)
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'event_type' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT)
+FROM events
+ORDER BY col_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3585,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "conversion_lag": q_conversion_lag,
         "retention_cohorts": q_retention_cohorts,
+        "table_profile": q_table_profile,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3675,6 +3705,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "conversion_lag": SQL_CONVERSION_LAG,
         "retention_cohorts": SQL_RETENTION_COHORTS,
+        "table_profile": SQL_TABLE_PROFILE,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -872,3 +872,59 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def profile_columns(ds, cols: Sequence[str]):
+    """Data-quality profile: per column, total rows, null count and
+    exact distinct count (NULLs excluded, SQL ``COUNT(DISTINCT)``
+    semantics).  The first thing a curation pipeline runs against an
+    unfamiliar 100-TB table.
+
+    Scale shape: two streaming passes over the column-pruned input.
+    Pass 1 collapses every batch to one (column, n, n_null) partial
+    row; pass 2 melts values to deduped (column, value-hash) pairs
+    inside each batch, so the only shuffle moves already-deduplicated
+    64-bit pairs — the two-level ``distinct_count`` pattern applied
+    per column.  Distinctness rides on the fixed-key 64-bit siphash of
+    the value (collision odds ~n²/2⁶⁵ — immaterial against the exact
+    oracle at test scale, documented here for the 10¹²-row case).
+    Output: len(cols) rows — merged on the driver, O(cols) memory.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col_name": cols,
+            "n_rows": np.int64(len(df)),
+            "n_null": [np.int64(df[c].isna().sum()) for c in cols],
+        })
+
+    counts = (ds.map_batches(count_partial, batch_format="pandas")
+              .groupby("col_name")
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("n_null", alias_name="n_null"))
+              .to_pandas())
+
+    def melt_hash(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = df[c][df[c].notna()]
+            h = np.unique(pd.util.hash_array(v.to_numpy(),
+                                             categorize=False))
+            frames.append(pd.DataFrame({"col_name": c,
+                                        "_h": h.astype("uint64")}))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = ds.map_batches(melt_hash, batch_format="pandas")
+    distinct = distinct_count(pairs, "col_name", "_h",
+                              out_col="n_distinct").to_pandas()
+
+    out = counts.merge(distinct, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)

@@ -525,3 +525,37 @@ def test_retention_cohorts_small(ray_session):
            for r in out.itertuples()}
     assert got == {(wk0, 0): 2, (wk0, 1): 1, (wk1, 0): 1, (wk1, 2): 1}
     assert out["n_users"].dtype == "int64"
+
+
+def test_profile_columns_nulls_and_distinct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import profile_columns
+
+    rows = pd.DataFrame({
+        "a": [1.0, 1.0, None, 2.0, None, 3.0],
+        "b": ["x", "x", "x", None, "y", "z"],
+    })
+    out = profile_columns(rd.from_pandas(rows).repartition(3), ["a", "b"])
+    got = {r.col_name: (r.n_rows, r.n_null, r.n_distinct)
+           for r in out.itertuples()}
+    assert got == {"a": (6, 2, 3), "b": (6, 1, 3)}
+    assert list(out.columns) == ["col_name", "n_rows", "n_null",
+                                 "n_distinct"]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(rd.from_pandas(rows), [])
+
+
+def test_profile_columns_all_null_column(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import profile_columns
+
+    rows = pd.DataFrame({"a": [None, None], "b": [1, 2]})
+    out = profile_columns(rd.from_pandas(rows), ["a", "b"])
+    got = {r.col_name: (r.n_rows, r.n_null, r.n_distinct)
+           for r in out.itertuples()}
+    assert got == {"a": (2, 2, 0), "b": (2, 0, 2)}
