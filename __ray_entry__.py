@@ -3526,6 +3526,32 @@ ORDER BY col_name
 """
 
 
+def q_similar_names(sf_dir: str):
+    """PassJoin lev≤1 similarity self-join over customer names — the
+    banding is complete for one edit, so the approximate-LOOKING path
+    is exactly oracle-able.  bucket_cap raised past the table's hot
+    shared-prefix band (TPC-H names share 'Customer#…'): correctness
+    here beats the quadratic-time guard; the default cap stays 512 for
+    uncurated corpora."""
+    from markdown_lab_ray.stages.dedup import edit1_similar_pairs
+
+    ds = _read(sf_dir, "customer", ["c_name"])
+    out = edit1_similar_pairs(ds, text_col="c_name",
+                              bucket_cap=1_000_000).to_pandas()
+    out["name_a"] = out["name_a"].astype(str)
+    out["name_b"] = out["name_b"].astype(str)
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+SQL_SIMILAR_NAMES = """
+SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+  ON length(a.c_name) = length(b.c_name) AND a.c_name < b.c_name
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3615,6 +3641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": q_conversion_lag,
         "retention_cohorts": q_retention_cohorts,
         "table_profile": q_table_profile,
+        "similar_names": q_similar_names,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3706,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": SQL_CONVERSION_LAG,
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "table_profile": SQL_TABLE_PROFILE,
+        "similar_names": SQL_SIMILAR_NAMES,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -976,3 +976,100 @@ def remove_duplicate_spans(ds, n: int = 8, text_col: str = "text",
                              "n_removed_words": n_removed})
 
     return full.map_batches(rebuild, batch_format="pandas")
+
+
+def _hamming1_pairs_block(texts: np.ndarray, chunk: int = 256):
+    """All (i, j) i<j index pairs of equal-length ``texts`` differing in
+    at most one byte position — vectorized and CHUNKED so memory stays
+    O(chunk × n × L) however large a band gets (time is the quadratic
+    cost a degenerate band pays; the cap below bounds it)."""
+    n = len(texts)
+    if n < 2:
+        return []
+    length = len(texts[0])
+    arr = np.frombuffer("".join(texts).encode("ascii"),
+                        dtype=np.uint8).reshape(n, length)
+    out = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        # (hi-lo, n, L) mismatch counts against every string
+        d = (arr[lo:hi, None, :] != arr[None, :, :]).sum(axis=2)
+        rows, cols = np.nonzero(d <= 1)
+        for r, c in zip(rows, cols):
+            i = lo + int(r)
+            if i < c:
+                out.append((i, int(c)))
+    return out
+
+
+def edit1_similar_pairs(ds, text_col: str = "c_name",
+                        n_buckets: int = 64,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP,
+                        cap_stats=None):
+    """Exact string-similarity self-join: all DISTINCT value pairs of
+    equal length at levenshtein distance ≤ 1 (a < b) — the PassJoin
+    blocking scheme (public: Li/Deng/Feng, "PASS-JOIN: a partition-
+    based method for similarity joins", VLDB 2012) specialized to one
+    edit.
+
+    Completeness argument: equal-length strings at edit distance 1
+    necessarily differ by ONE substitution, so they agree exactly on
+    whichever half does not hold the mismatch — banding every value by
+    (len, 0, first-half) and (len, 1, second-half) therefore catches
+    every qualifying pair, and catches it exactly once (agreeing on
+    BOTH halves would make the strings equal, which ``a < b``
+    excludes), so no pair-dedup pass is needed.
+
+    Scale shape: two slim band rows per distinct value, one bucketed
+    shuffle on hash(band); inside a band the verify is chunked
+    vectorized byte-hamming (O(chunk · n · L) memory).  A degenerate
+    band (huge shared prefix) pays quadratic TIME, so ``bucket_cap``
+    bounds it with CapStats-accounted drops — exactness-critical
+    callers (the DuckDB-oracled query) raise the cap instead.  ASCII
+    contract: lengths and positions are bytes (documented, like the
+    heavy-hitter tokenizer); non-ASCII input raises.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def bands(df: "pd.DataFrame") -> "pd.DataFrame":
+        texts = df[text_col].dropna().unique()
+        band_keys, vals = [], []
+        for t in texts:
+            half = len(t) // 2
+            band_keys.append(f"{len(t)}:0:{t[:half]}")
+            vals.append(t)
+            band_keys.append(f"{len(t)}:1:{t[half:]}")
+            vals.append(t)
+        return pd.DataFrame({"_band": band_keys, "_val": vals})
+
+    def verify(g: "pd.DataFrame") -> "pd.DataFrame":
+        a_out, b_out = [], []
+        for _, grp in g.groupby("_band", sort=False):
+            texts = np.unique(grp["_val"].to_numpy())
+            if len(texts) > bucket_cap:
+                dropped = (len(texts) * (len(texts) - 1)
+                           - bucket_cap * (bucket_cap - 1)) // 2
+                if cap_stats is not None:
+                    import ray
+                    ray.get(cap_stats.add.remote(dropped))
+                texts = texts[:bucket_cap]
+            for i, j in _hamming1_pairs_block(texts):
+                lo, hi = sorted((texts[i], texts[j]))
+                a_out.append(lo)
+                b_out.append(hi)
+        return pd.DataFrame({"name_a": np.asarray(a_out, dtype=object),
+                             "name_b": np.asarray(b_out, dtype=object)})
+
+    banded = ds.map_batches(bands, batch_format="pandas")
+    tagged = banded.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["_band"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    # No distinct pass needed downstream: a qualifying pair shares
+    # exactly ONE band (see completeness argument), all copies of a
+    # value land in that one band group, and the in-group np.unique
+    # collapses cross-batch repeats — so each pair is emitted exactly
+    # once globally (asserted by test_edit1_pairs_no_duplicates).
+    return tagged.groupby("_b").map_groups(verify, batch_format="pandas")

@@ -559,3 +559,89 @@ def test_profile_columns_all_null_column(ray_session):
     got = {r.col_name: (r.n_rows, r.n_null, r.n_distinct)
            for r in out.itertuples()}
     assert got == {"a": (2, 2, 0), "b": (2, 0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# edit1_similar_pairs (PassJoin lev<=1 similarity self-join)
+# ---------------------------------------------------------------------------
+
+def test_edit1_pairs_matches_duckdb_levenshtein(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import edit1_similar_pairs
+
+    names = ([f"user#{i:04d}" for i in range(60)]          # dense 1-digit edits
+             + ["abcdef", "abcxef", "abxxef",              # dist 1 and 2
+                "zbcdef", "abcdex",
+                "short", "shore", "sport",
+                "lengthy-name-a", "lengthy-name-b",
+                "different-len", "unpaired"])
+    table = pa.table({"c_name": pa.array(names, pa.string())})
+    got = (edit1_similar_pairs(rd.from_arrow(table).repartition(5))
+           .to_pandas().sort_values(["name_a", "name_b"])
+           .reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        SELECT DISTINCT a.n AS name_a, b.n AS name_b
+        FROM (SELECT unnest(?::VARCHAR[]) AS n) a
+        JOIN (SELECT unnest(?::VARCHAR[]) AS n) b
+          ON length(a.n) = length(b.n) AND a.n < b.n
+         AND levenshtein(a.n, b.n) <= 1
+        ORDER BY 1, 2
+    """, [names, names]).df()
+    assert got["name_a"].tolist() == want["name_a"].tolist()
+    assert got["name_b"].tolist() == want["name_b"].tolist()
+    assert len(got) > 50  # the dense block actually produced pairs
+
+
+def test_edit1_pairs_layout_invariant_and_cap(ray_session):
+    import ray
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import (
+        edit1_similar_pairs,
+        new_cap_stats,
+        report_caps,
+    )
+
+    names = [f"x{i:03d}" for i in range(80)]
+    table = pa.table({"c_name": pa.array(names)})
+    outs = []
+    for parts in (1, 7):
+        df = (edit1_similar_pairs(rd.from_arrow(table).repartition(parts))
+              .to_pandas())
+        outs.append(sorted(zip(df["name_a"], df["name_b"])))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+    # a tiny cap drops pairs and the stats actor records it
+    stats = new_cap_stats()
+    capped = (edit1_similar_pairs(rd.from_arrow(table), bucket_cap=5,
+                                  cap_stats=stats).to_pandas())
+    buckets, dropped = report_caps(stats, "edit1_test")
+    assert len(capped) < len(outs[0])
+    assert buckets > 0 and dropped > 0
+
+
+def test_edit1_pairs_rejects_non_ascii(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import edit1_similar_pairs
+
+    table = pa.table({"c_name": pa.array(["héllo", "hallo"])})
+    with pytest.raises(Exception):
+        edit1_similar_pairs(rd.from_arrow(table)).to_pandas()
+
+
+def test_edit1_pairs_no_duplicates(ray_session):
+    """Each qualifying pair collides in exactly one band, so the output
+    carries no duplicate rows even without a distinct pass."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import edit1_similar_pairs
+
+    names = [f"n{i:03d}" for i in range(120)] * 2  # duplicated rows too
+    table = pa.table({"c_name": pa.array(names)})
+    df = (edit1_similar_pairs(rd.from_arrow(table).repartition(9))
+          .to_pandas())
+    pairs = list(zip(df["name_a"], df["name_b"]))
+    assert len(pairs) == len(set(pairs)) > 0
