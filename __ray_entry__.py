@@ -3552,6 +3552,35 @@ ORDER BY 1, 2
 """
 
 
+def q_part_triangles(sf_dir: str):
+    """Exact triangle count of the part co-occurrence graph (parts
+    sharing an order), via degree-ordered wedge generation — every
+    join the union-then-merge bucketed pattern, scalar to driver."""
+    import pandas as pd
+
+    from markdown_lab_ray.stages.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    n = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+SQL_PART_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3642,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "table_profile": q_table_profile,
         "similar_names": q_similar_names,
+        "part_triangles": q_part_triangles,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3734,6 +3764,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "table_profile": SQL_TABLE_PROFILE,
         "similar_names": SQL_SIMILAR_NAMES,
+        "part_triangles": SQL_PART_TRIANGLES,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -148,3 +148,202 @@ def pagerank_integer(edges_ds, n_iter: int = 3, scale: int = 10 ** 9,
                  ).materialize()
 
     return ranks
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       n_buckets: int = 64):
+    """Distinct undirected co-occurrence edges (u < v) between items
+    sharing a group (parts in the same order, tags on the same page).
+
+    Scale shape: per-batch (group, item) dedup, ONE bucketed shuffle on
+    hash(group) where each bucket self-merges per group (vectorized —
+    a group with g items emits C(g,2) pairs, so skewed groups need the
+    usual cap upstream; order baskets are small by nature), then ONE
+    bucketed shuffle on hash(u) whose in-bucket drop_duplicates is a
+    GLOBAL distinct (every copy of (u, v) hashes to u's bucket).
+    Output stays bucketed by u for downstream joins.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[[group_col, item_col]].drop_duplicates()
+        m = g.merge(g, on=group_col)
+        m = m[m[f"{item_col}_x"] < m[f"{item_col}_y"]]
+        out = (m[[f"{item_col}_x", f"{item_col}_y"]]
+               .drop_duplicates()
+               .rename(columns={f"{item_col}_x": "u",
+                                f"{item_col}_y": "v"}))
+        return out.reset_index(drop=True)
+
+    def distinct(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g[["u", "v"]].drop_duplicates().reset_index(drop=True))
+
+    slim = ds.map_batches(
+        lambda df: df[[group_col, item_col]].drop_duplicates(),
+        batch_format="pandas")
+    tagged = slim.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    raw_pairs = tagged.groupby("_b").map_groups(pairs,
+                                                batch_format="pandas")
+    by_u = raw_pairs.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return by_u.groupby("_b").map_groups(distinct, batch_format="pandas")
+
+
+def _merge_on_node(edges_ds, deg_ds, node_col: str, out_col: str,
+                   n_buckets: int, edge_cols: list):
+    """Attach ``deg`` to ``edges_ds[node_col]`` with one bucketed
+    shuffle: union the two row kinds on hash(node) and merge inside the
+    bucket (the joins.py pattern, inlined for the all-int64 case).
+    ``edge_cols`` is passed explicitly — calling ``.schema()`` on a
+    lazy Dataset triggers a limit-1 execution of its whole lineage
+    (sorts can't short-circuit), which tripled this operator's
+    wall-time before it was removed."""
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def tag_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.copy()
+        out["_node"] = df[node_col]
+        out["_deg"] = np.int64(-1)
+        return out
+
+    def tag_deg(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = pd.DataFrame(index=range(len(df)))
+        for c in edge_cols:
+            out[c] = np.int64(0)
+        out["_node"] = df["node"].to_numpy()
+        out["_deg"] = df["deg"].to_numpy().astype(np.int64)
+        return out
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = g[g["_deg"] >= 0][["_node", "_deg"]].drop_duplicates()
+        e = g[g["_deg"] < 0].drop(columns=["_deg"])
+        m = e.merge(d, on="_node")
+        m = m.rename(columns={"_deg": out_col}).drop(columns=["_node"])
+        return m.reset_index(drop=True)
+
+    union = (edges_ds.map_batches(tag_edges, batch_format="pandas")
+             .union(deg_ds.map_batches(tag_deg, batch_format="pandas")))
+    tagged = union.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["_node"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(merge, batch_format="pandas")
+
+
+def triangle_count(edges_ds, n_buckets: int = 64) -> int:
+    """Exact triangle count of an undirected graph given as distinct
+    (u < v) int edges — the degree-ordered node-iterator (public:
+    Schank & Wagner 2005; the MapReduce restatement is Suri &
+    Vassilvitskii, WWW 2011).
+
+    Every edge is oriented from its (degree, id)-smaller endpoint to
+    the larger, which bounds every out-degree by O(sqrt(E)); each
+    source then emits its out-neighbor pairs as wedges (x, y) ordered
+    by the same total order, and a wedge is a triangle iff the
+    oriented edge (x, y) exists.  All joins are the union-then-merge
+    bucketed pattern; the only driver data is the per-bucket partial
+    counts.  At 100-TB scale the wedge stream is the big intermediate
+    (sum of out-deg²) — it flows through one shuffle keyed on x and is
+    never materialized wider.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    edges_ds = edges_ds.materialize()  # reused three times below
+
+    def explode_partial(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([b.column("u").combine_chunks(),
+                                  b.column("v").combine_chunks()]
+                                 ).to_numpy(zero_copy_only=False)
+        u, c = np.unique(nodes, return_counts=True)
+        t = pa.table({"node": pa.array(u, pa.int64()),
+                      "deg": pa.array(c.astype(np.int64), pa.int64())})
+        return t
+
+    def sum_deg(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby("node", sort=False)["deg"].sum()
+               .astype("int64").reset_index())
+        return out
+
+    part = edges_ds.map_batches(explode_partial, batch_format="pyarrow")
+    tagged = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    deg = tagged.groupby("_b").map_groups(
+        sum_deg, batch_format="pandas").materialize()
+
+    with_du = _merge_on_node(edges_ds, deg, "u", "deg_u", n_buckets,
+                             edge_cols=["u", "v"])
+    with_both = _merge_on_node(with_du, deg, "v", "deg_v", n_buckets,
+                               edge_cols=["u", "v", "deg_u"])
+
+    def orient(df: "pd.DataFrame") -> "pd.DataFrame":
+        u, v = df["u"].to_numpy(), df["v"].to_numpy()
+        du, dv = df["deg_u"].to_numpy(), df["deg_v"].to_numpy()
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({
+            "src": np.where(u_first, u, v),
+            "dst": np.where(u_first, v, u),
+            "deg_dst": np.where(u_first, dv, du).astype(np.int64),
+        })
+
+    oriented = with_both.map_batches(orient,
+                                     batch_format="pandas").materialize()
+
+    def wedges(g: "pd.DataFrame") -> "pd.DataFrame":
+        xs, ys = [], []
+        for _, grp in g.groupby("src", sort=False):
+            nbr = grp[["dst", "deg_dst"]].to_numpy()
+            order = np.lexsort((nbr[:, 0], nbr[:, 1]))
+            d = nbr[order, 0]
+            n = len(d)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            xs.append(d[i])
+            ys.append(d[j])
+        if not xs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"x": np.concatenate(xs).astype(np.int64),
+                             "y": np.concatenate(ys).astype(np.int64)})
+
+    by_src = oriented.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["src"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    wedge_ds = by_src.groupby("_b").map_groups(wedges,
+                                               batch_format="pandas")
+
+    def close_count(g: "pd.DataFrame") -> "pd.DataFrame":
+        e = (g[g["_kind"] == 1][["x", "y"]].drop_duplicates())
+        w = g[g["_kind"] == 0][["x", "y"]]
+        n = len(w.merge(e, on=["x", "y"]))
+        return pd.DataFrame({"n": [np.int64(n)]})
+
+    wedge_rows = wedge_ds.map_batches(
+        lambda df: df.assign(_kind=np.int64(0)), batch_format="pandas")
+    edge_rows = oriented.map_batches(
+        lambda df: pd.DataFrame({"x": df["src"].astype("int64"),
+                                 "y": df["dst"].astype("int64"),
+                                 "_kind": np.int64(1)}),
+        batch_format="pandas")
+    union = wedge_rows.union(edge_rows)
+    tagged = union.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["x"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    partials = tagged.groupby("_b").map_groups(close_count,
+                                               batch_format="pandas")
+    return int(partials.to_pandas()["n"].sum())

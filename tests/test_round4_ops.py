@@ -645,3 +645,83 @@ def test_edit1_pairs_no_duplicates(ray_session):
           .to_pandas())
     pairs = list(zip(df["name_a"], df["name_b"]))
     assert len(pairs) == len(set(pairs)) > 0
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_edges + triangle_count
+# ---------------------------------------------------------------------------
+
+def _local_triangles(edges):
+    """Brute-force oracle: each triangle is seen once per edge."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return sum(len(adj[u] & adj[v]) for u, v in edges) // 3
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import triangle_count
+
+    # K4 has 4 triangles; an extra pendant edge adds none
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in k4], pa.int64()),
+        "v": pa.array([e[1] for e in k4], pa.int64()),
+    })).repartition(3)
+    assert triangle_count(ds) == 4
+
+    # triangle-free bipartite-ish graph
+    b = [(1, 10), (2, 10), (1, 11), (2, 11)]
+    ds2 = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in b], pa.int64()),
+        "v": pa.array([e[1] for e in b], pa.int64()),
+    }))
+    assert triangle_count(ds2) == 0
+
+
+def test_triangle_count_random_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(3)
+    edges = set()
+    while len(edges) < 300:
+        u, v = rng.randint(0, 40, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    edges = sorted(edges)
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64()),
+    })).repartition(5)
+    assert triangle_count(ds) == _local_triangles(edges)
+
+
+def test_cooccurrence_edges_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import cooccurrence_edges
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "oid": rng.randint(0, 50, 400).astype("int64"),
+        "pid": rng.randint(0, 30, 400).astype("int64"),
+    })
+    got = (cooccurrence_edges(rd.from_pandas(df).repartition(4),
+                              "oid", "pid")
+           .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT DISTINCT a.pid AS u, b.pid AS v
+        FROM t a JOIN t b ON a.oid = b.oid AND a.pid < b.pid
+        ORDER BY 1, 2
+    """).df()
+    assert got["u"].tolist() == want["u"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
