@@ -3580,6 +3580,42 @@ FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
+_BM25_TERMS = ("vector", "join", "stream")
+
+
+def q_bm25(sf_dir: str):
+    """BM25 relevance of every matching doc against a fixed query-term
+    set, in integer micro-units (exactness contract in bm25_scores)."""
+    from markdown_lab_ray.stages.text import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_scores(ds, list(_BM25_TERMS)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BM25 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+       GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       CAST(floor(SUM(
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * dl.dl) / stats.avgdl))
+       ) * 1e6 + 0.5) AS BIGINT) AS bm25_micro
+FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN df USING (term)
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -3672,6 +3708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "similar_names": q_similar_names,
         "part_triangles": q_part_triangles,
+        "bm25": q_bm25,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3765,6 +3802,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": SQL_TABLE_PROFILE,
         "similar_names": SQL_SIMILAR_NAMES,
         "part_triangles": SQL_PART_TRIANGLES,
+        "bm25": SQL_BM25,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -369,3 +369,89 @@ def json_extract_int_batch(batch: pa.Table, col: str, key: str,
         else:
             vals.append(int(v))
     return batch.append_column(out_col, pa.array(vals, pa.int64()))
+
+
+def bm25_scores(ds, terms, k1: float = 1.2, b: float = 0.75,
+                doc_id_col: str = "doc_id", text_col: str = "text"):
+    """BM25 relevance of every matching document against a FIXED small
+    query-term set (Robertson/Spärck Jones probabilistic ranking; the
+    Lucene idf variant ``ln((N - df + 0.5)/(df + 0.5) + 1)``), scored
+    in floor(score·10⁶ + 0.5) integer micro-units so the DuckDB twin
+    hashes identically (same trick as the tfidf oracle).
+
+    Scale shape: ONE tokenize pass collapses each doc to a fixed-width
+    row (doc_id, dl, tf per query term) — |terms| is a query constant,
+    so there is NO (doc, term) explode and no shuffle at all.  Corpus
+    stats (N, Σdl, df per term) reduce per batch to one partial row;
+    the driver folds O(blocks) partials, broadcasts three scalars per
+    term, and a second vectorized pass over the (materialized) slim
+    rows emits scores.  Docs containing no query term are dropped
+    (their score is 0), empty/whitespace docs are excluded from the
+    corpus stats — both matching the SQL twin.
+
+    Exactness note: both sides evaluate the same double-precision
+    expression tree; only the final sum's term order differs, so the
+    micro-rounding could in principle flip on a score within ~1e-10 of
+    a .5 micro boundary — immaterial against real data, and locked by
+    the oracle at both test scales.
+    """
+    import pandas as pd
+
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tf_cols = [f"_tf{i}" for i in range(len(terms))]
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        ids, dls = [], []
+        tfs = [[] for _ in terms]
+        for doc_id, text in zip(
+                batch.column(doc_id_col).to_pylist(),
+                batch.column(text_col).to_pylist()):
+            toks = (text or "").strip().lower().split()
+            if not toks:
+                continue
+            ids.append(doc_id)
+            dls.append(len(toks))
+            for i, t in enumerate(terms):
+                tfs[i].append(toks.count(t))
+        cols = {doc_id_col: pa.array(ids, pa.int64()),
+                "_dl": pa.array(dls, pa.int64())}
+        for c, v in zip(tf_cols, tfs):
+            cols[c] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    slim = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    def stats_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        row = {"_n": np.int64(len(df)),
+               "_sum_dl": df["_dl"].sum().astype("int64")
+               if len(df) else np.int64(0)}
+        for c in tf_cols:
+            row[f"df{c}"] = np.int64((df[c] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = slim.map_batches(stats_partial, batch_format="pandas"
+                             ).to_pandas().sum()
+    n_docs = int(stats["_n"])
+    if n_docs == 0:
+        return pd.DataFrame({doc_id_col: pd.Series([], dtype="int64"),
+                             "bm25_micro": pd.Series([], dtype="int64")})
+    avgdl = float(stats["_sum_dl"]) / float(n_docs)
+    idf = np.array([np.log((n_docs - float(stats[f"df{c}"]) + 0.5)
+                           / (float(stats[f"df{c}"]) + 0.5) + 1.0)
+                    for c in tf_cols])
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        tf = df[tf_cols].to_numpy(dtype=np.float64)
+        dl = df["_dl"].to_numpy(dtype=np.float64)
+        denom = tf + k1 * (1.0 - b + (b * dl[:, None]) / avgdl)
+        s = np.where(tf > 0, idf[None, :] * tf * (k1 + 1.0) / denom,
+                     0.0).sum(axis=1)
+        keep = (df[tf_cols].to_numpy() > 0).any(axis=1)
+        return pd.DataFrame({
+            doc_id_col: df[doc_id_col].to_numpy()[keep],
+            "bm25_micro": np.floor(s[keep] * 1e6 + 0.5).astype(np.int64),
+        })
+
+    return slim.map_batches(score, batch_format="pandas")

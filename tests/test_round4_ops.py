@@ -725,3 +725,54 @@ def test_cooccurrence_edges_matches_duckdb(ray_session):
     """).df()
     assert got["u"].tolist() == want["u"].tolist()
     assert got["v"].tolist() == want["v"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_local_formula(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.text import bm25_scores
+
+    docs = ["cat dog cat", "dog dog dog fish", "bird bird", "   ",
+            "cat fish cat cat"]
+    table = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+    got = (bm25_scores(rd.from_arrow(table).repartition(3),
+                       ["cat", "fish"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # local oracle over the 4 non-empty docs
+    toks = [d.split() for d in docs if d.strip()]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    want = {}
+    for doc_id, t in zip([0, 1, 2, 4], toks):
+        s = 0.0
+        for term in ("cat", "fish"):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks if term in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + (0.75 * len(t))
+                                               / avgdl))
+        if s > 0:
+            want[doc_id] = math.floor(s * 1e6 + 0.5)
+    assert dict(zip(got["doc_id"], got["bm25_micro"])) == want
+    # doc 2 (no query terms) and doc 3 (whitespace) are absent
+    assert set(got["doc_id"]) == {0, 1, 4}
+
+
+def test_bm25_rejects_empty_terms(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.text import bm25_scores
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(ds, [])
