@@ -3617,6 +3617,45 @@ ORDER BY tf.doc_id
 """
 
 
+def q_lineitem_ols(sf_dir: str):
+    """Per-returnflag OLS of extendedprice on quantity (exact-cents
+    mergeable moments; engine-exact float derivation, 6-dp rounding)."""
+    from markdown_lab_ray.stages.analytics import grouped_ols
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+    out = grouped_ols(ds, "l_returnflag", "l_quantity",
+                      "l_extendedprice").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_LINEITEM_OLS = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx
+  FROM c GROUP BY l_returnflag),
+d AS (
+  SELECT l_returnflag,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+         CAST(n AS DOUBLE) AS n_d
+  FROM s)
+SELECT l_returnflag,
+       round(slope, 6) AS slope,
+       round((sy_d - slope * sx_d) / n_d, 6) AS intercept
+FROM d ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3709,6 +3748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_names": q_similar_names,
         "part_triangles": q_part_triangles,
         "bm25": q_bm25,
+        "lineitem_ols": q_lineitem_ols,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3803,6 +3843,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_names": SQL_SIMILAR_NAMES,
         "part_triangles": SQL_PART_TRIANGLES,
         "bm25": SQL_BM25,
+        "lineitem_ols": SQL_LINEITEM_OLS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

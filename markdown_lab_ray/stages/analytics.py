@@ -928,3 +928,56 @@ def profile_columns(ds, cols: Sequence[str]):
     for c in ("n_rows", "n_null", "n_distinct"):
         out[c] = out[c].astype("int64")
     return out.sort_values("col_name").reset_index(drop=True)
+
+
+def grouped_ols(ds, key_col: str, x_col: str, y_col: str):
+    """Per-key simple linear regression (REGR_SLOPE / REGR_INTERCEPT)
+    from the same mergeable exact-cents moments as
+    ``grouped_pearson_corr`` — one combiner pass, one tiny keyed Sum,
+    engine-exact derivation (identical int64 moments and float op
+    order on both sides), 6-dp half-away-from-zero rounding.
+    Zero-x-variance keys emit nulls.  Output: (key, slope, intercept).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _cents(df[x_col].to_numpy())
+        y = _cents(df[y_col].to_numpy())
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "n_p": np.ones(len(x), np.int64),
+                          "sx_p": x, "sy_p": y,
+                          "sxy_p": x * y, "sxx_p": x * x})
+        out = g.groupby(key_col, sort=False).sum().reset_index()
+        return out.astype({c: "int64" for c in
+                           ("n_p", "sx_p", "sy_p", "sxy_p", "sxx_p")})
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(key_col)
+              .aggregate(Sum("n_p", alias_name="n"),
+                         Sum("sx_p", alias_name="sx"),
+                         Sum("sy_p", alias_name="sy"),
+                         Sum("sxy_p", alias_name="sxy"),
+                         Sum("sxx_p", alias_name="sxx")))
+
+    def _round6(v: float):
+        return (math.floor(v * 1e6 + 0.5) / 1e6 if v >= 0
+                else math.ceil(v * 1e6 - 0.5) / 1e6)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        slopes, intercepts = [], []
+        for _, r in df.iterrows():
+            n, sx, sy = float(r["n"]), float(r["sx"]), float(r["sy"])
+            vx = n * float(r["sxx"]) - sx * sx
+            if vx <= 0:
+                slopes.append(None)
+                intercepts.append(None)
+                continue
+            slope = (n * float(r["sxy"]) - sx * sy) / vx
+            intercepts.append(_round6((sy - slope * sx) / n))
+            slopes.append(_round6(slope))
+        return pd.DataFrame({key_col: df[key_col], "slope": slopes,
+                             "intercept": intercepts})
+
+    return merged.map_batches(finish, batch_format="pandas")

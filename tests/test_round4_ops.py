@@ -776,3 +776,31 @@ def test_bm25_rejects_empty_terms(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(ds, [])
+
+
+def test_grouped_ols_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_ols
+
+    rng = np.random.RandomState(2)
+    x = np.round(rng.uniform(1, 50, 500), 2)
+    y = np.round(3.5 * x + 10 + rng.normal(0, 5, 500), 2)
+    df = pd.DataFrame({"k": [f"g{i % 3}" for i in range(500)],
+                       "x": x, "y": y})
+    out = (grouped_ols(rd.from_pandas(df).repartition(4), "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in out.iterrows():
+        sub = df[df["k"] == r["k"]]
+        # numpy oracle over exact cents, same derivation
+        cx = np.floor(sub["x"].to_numpy() * 100 + 0.5)
+        cy = np.floor(sub["y"].to_numpy() * 100 + 0.5)
+        slope, intercept = np.polyfit(cx, cy, 1)
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-2
+    # zero-variance key -> nulls
+    dfz = pd.DataFrame({"k": ["z"] * 4, "x": [2.0] * 4,
+                        "y": [1.0, 2.0, 3.0, 4.0]})
+    outz = grouped_ols(rd.from_pandas(dfz), "k", "x", "y").to_pandas()
+    assert outz["slope"].isna().all() and outz["intercept"].isna().all()
