@@ -3656,6 +3656,51 @@ FROM d ORDER BY l_returnflag
 """
 
 
+def q_lineitem_skyline(sf_dir: str):
+    """Pareto frontier of 1995 lineitems: minimize extendedprice,
+    maximize quantity (per-batch local frontiers → one exact finish)."""
+    import pyarrow.compute as pc
+
+    from markdown_lab_ray.stages.analytics import skyline_2d
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                    "l_quantity", "l_extendedprice",
+                                    "l_shipdate"])
+    import numpy as np
+
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+
+    def in_1995(b):
+        col = b.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(col, pa.scalar(lo)),
+                       pc.less(col, pa.scalar(hi)))
+        return b.filter(mask)
+
+    ds = ds.map_batches(in_1995, batch_format="pyarrow")
+    out = (skyline_2d(ds, "l_extendedprice", "l_quantity").to_pandas()
+           .drop(columns=["l_shipdate"]))
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+SQL_LINEITEM_SKYLINE = """
+WITH y95 AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'),
+stair AS (
+  SELECT l_extendedprice AS p, MAX(l_quantity) AS q FROM y95 GROUP BY 1)
+SELECT a.* FROM y95 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM stair b
+  WHERE b.p <= a.l_extendedprice AND b.q >= a.l_quantity
+    AND (b.p < a.l_extendedprice OR b.q > a.l_quantity))
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3749,6 +3794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "bm25": q_bm25,
         "lineitem_ols": q_lineitem_ols,
+        "lineitem_skyline": q_lineitem_skyline,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3844,6 +3890,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangles": SQL_PART_TRIANGLES,
         "bm25": SQL_BM25,
         "lineitem_ols": SQL_LINEITEM_OLS,
+        "lineitem_skyline": SQL_LINEITEM_SKYLINE,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -981,3 +981,42 @@ def grouped_ols(ds, key_col: str, x_col: str, y_col: str):
                              "intercept": intercepts})
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def _local_skyline(df: pd.DataFrame, x_col: str, y_col: str) -> pd.DataFrame:
+    """Exact 2-D skyline of one frame (minimize x, maximize y).
+    A row survives iff no other row has (x' ≤ x, y' ≥ y) with one
+    strict: equivalently y equals the max-y AT its own x AND strictly
+    beats the max-y over all smaller x — both checks vectorized via a
+    per-x groupby-max and a cummax over the sorted distinct x."""
+    if df.empty:
+        return df
+    per_x = df.groupby(x_col)[y_col].max().sort_index()
+    before = per_x.cummax().shift(1)  # best y at any strictly smaller x
+    y_at_x = df[x_col].map(per_x)
+    best_before = df[x_col].map(before)
+    keep = (df[y_col] == y_at_x) & (
+        best_before.isna() | (df[y_col] > best_before))
+    return df[keep]
+
+
+def skyline_2d(ds, x_col: str, y_col: str):
+    """Distributed Pareto frontier: rows minimizing ``x_col`` while
+    maximizing ``y_col`` (classic skyline operator; Börzsönyi et al.,
+    ICDE 2001).  Duplicate optimal points all survive (ties don't
+    dominate), matching the SQL NOT-EXISTS twin.
+
+    Scale shape: the skyline of a union is a subset of the union of
+    per-part skylines, so each batch reduces to its local frontier (a
+    true combiner — typically a sliver of the data), and ONE single-
+    task pass over the concatenated candidates finishes exactly.
+    Worst case (perfectly anti-correlated data) the frontier IS the
+    dataset and the final task sees it all — the standard skyline
+    caveat, documented rather than hidden.
+    """
+    local = ds.map_batches(
+        lambda df: _local_skyline(df, x_col, y_col),
+        batch_format="pandas")
+    return local.repartition(1).map_batches(
+        lambda df: _local_skyline(df, x_col, y_col),
+        batch_format="pandas")

@@ -804,3 +804,43 @@ def test_grouped_ols_matches_numpy(ray_session):
                         "y": [1.0, 2.0, 3.0, 4.0]})
     outz = grouped_ols(rd.from_pandas(dfz), "k", "x", "y").to_pandas()
     assert outz["slope"].isna().all() and outz["intercept"].isna().all()
+
+
+def test_skyline_2d_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import skyline_2d
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "id": np.arange(400, dtype=np.int64),
+        "x": rng.randint(0, 60, 400).astype("int64"),
+        "y": rng.randint(0, 60, 400).astype("int64"),
+    })
+    got = (skyline_2d(rd.from_pandas(df).repartition(7), "x", "y")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    def dominated(r):
+        return (((df["x"] <= r.x) & (df["y"] >= r.y)
+                 & ((df["x"] < r.x) | (df["y"] > r.y)))).any()
+
+    want = df[[not dominated(r) for r in df.itertuples()]]
+    assert got["id"].tolist() == want["id"].tolist()
+    assert len(got) > 0
+
+
+def test_skyline_2d_keeps_duplicate_optima(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import skyline_2d
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "x": [5, 5, 5, 6],
+                       "y": [9, 9, 3, 10]})
+    got = (skyline_2d(rd.from_pandas(df).repartition(2), "x", "y")
+           .to_pandas())
+    # both (5,9) twins survive (ties don't dominate); (5,3) is
+    # dominated; (6,10) survives (worse x, better y)
+    assert sorted(got["id"].tolist()) == [1, 2, 4]
