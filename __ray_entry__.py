@@ -3701,6 +3701,27 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def q_frequent_pairs(sf_dir: str):
+    """Market-basket frequent part pairs (2-itemsets, support ≥ 2
+    orders): pair counts aggregated in u's bucket, pruned in-bucket."""
+    from markdown_lab_ray.stages.graph import cooccurrence_counts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = cooccurrence_counts(li, "l_orderkey", "l_partkey",
+                              min_support=2).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+SQL_FREQUENT_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3795,6 +3816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "lineitem_ols": q_lineitem_ols,
         "lineitem_skyline": q_lineitem_skyline,
+        "frequent_pairs": q_frequent_pairs,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3891,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": SQL_BM25,
         "lineitem_ols": SQL_LINEITEM_OLS,
         "lineitem_skyline": SQL_LINEITEM_SKYLINE,
+        "frequent_pairs": SQL_FREQUENT_PAIRS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -347,3 +347,53 @@ def triangle_count(edges_ds, n_buckets: int = 64) -> int:
     partials = tagged.groupby("_b").map_groups(close_count,
                                                batch_format="pandas")
     return int(partials.to_pandas()["n"].sum())
+
+
+def cooccurrence_counts(ds, group_col: str, item_col: str,
+                        min_support: int = 2, n_buckets: int = 64):
+    """Frequent item PAIRS (2-itemsets with min support — the Apriori
+    candidate-pair step of market-basket analysis): per-group distinct
+    pairs counted across all groups, kept when support ≥ threshold.
+
+    Scale shape: same two shuffles as ``cooccurrence_edges``, but the
+    second bucket (keyed on hash(u) — every copy of (u, v) lands
+    together) aggregates pair counts vectorized instead of
+    deduplicating; the support filter prunes inside the bucket, so
+    only frequent pairs ever leave it.  Output: (u, v, n int64).
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[[group_col, item_col]].drop_duplicates()
+        m = g.merge(g, on=group_col)
+        m = m[m[f"{item_col}_x"] < m[f"{item_col}_y"]]
+        out = (m.groupby([f"{item_col}_x", f"{item_col}_y"], sort=False)
+               .size().rename("n").reset_index()
+               .rename(columns={f"{item_col}_x": "u",
+                                f"{item_col}_y": "v"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def support(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby(["u", "v"], sort=False)["n"].sum()
+               .astype("int64").reset_index())
+        return out[out["n"] >= min_support].reset_index(drop=True)
+
+    slim = ds.map_batches(
+        lambda df: df[[group_col, item_col]].drop_duplicates(),
+        batch_format="pandas")
+    tagged = slim.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(pairs, batch_format="pandas")
+    by_u = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return by_u.groupby("_b").map_groups(support, batch_format="pandas")

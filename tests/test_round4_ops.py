@@ -844,3 +844,28 @@ def test_skyline_2d_keeps_duplicate_optima(ray_session):
     # both (5,9) twins survive (ties don't dominate); (5,3) is
     # dominated; (6,10) survives (worse x, better y)
     assert sorted(got["id"].tolist()) == [1, 2, 4]
+
+
+def test_cooccurrence_counts_support_filter(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import cooccurrence_counts
+
+    # baskets: {1,2,3}, {1,2}, {1,2,4}, {3,4}; pair (1,2) support 3
+    df = pd.DataFrame({
+        "oid": [10, 10, 10, 20, 20, 30, 30, 30, 40, 40],
+        "pid": [1, 2, 3, 1, 2, 1, 2, 4, 3, 4],
+    }).astype("int64")
+    got = (cooccurrence_counts(rd.from_pandas(df).repartition(3),
+                               "oid", "pid", min_support=2)
+           .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+    assert list(zip(got["u"], got["v"], got["n"])) == [(1, 2, 3)]
+
+    all_pairs = (cooccurrence_counts(rd.from_pandas(df), "oid", "pid",
+                                     min_support=1).to_pandas())
+    assert len(all_pairs) == 6  # (1,2),(1,3),(2,3),(1,4),(2,4),(3,4)
+
+    with pytest.raises(ValueError):
+        cooccurrence_counts(rd.from_pandas(df), "oid", "pid",
+                            min_support=0)
