@@ -3722,6 +3722,36 @@ ORDER BY 1, 2
 """
 
 
+def q_part_hops(sf_dir: str):
+    """BFS hop distances (≤ 2) from the smallest part over the DIRECTED
+    (u < v) co-occurrence edge list — Pregel-style frontier expansion,
+    one bucketed join + one Min fold per hop."""
+    from markdown_lab_ray.stages.graph import bfs_hops, cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    seed = li.min("l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow")
+    out = bfs_hops(edges, [seed], max_hops=2).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["hops"] = out["hops"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_PART_HOPS = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+walk(node, hops) AS (
+  SELECT (SELECT MIN(l_partkey) FROM lineitem), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w
+  JOIN pairs e ON e.src = w.node WHERE w.hops < 2)
+SELECT node, MIN(hops) AS hops FROM walk GROUP BY node ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3817,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ols": q_lineitem_ols,
         "lineitem_skyline": q_lineitem_skyline,
         "frequent_pairs": q_frequent_pairs,
+        "part_hops": q_part_hops,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3914,6 +3945,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_ols": SQL_LINEITEM_OLS,
         "lineitem_skyline": SQL_LINEITEM_SKYLINE,
         "frequent_pairs": SQL_FREQUENT_PAIRS,
+        "part_hops": SQL_PART_HOPS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -397,3 +397,67 @@ def cooccurrence_counts(ds, group_col: str, item_col: str,
                                             n_buckets)),
         batch_format="pandas")
     return by_u.groupby("_b").map_groups(support, batch_format="pandas")
+
+
+def bfs_hops(edges_ds, seeds, max_hops: int = 3, n_buckets: int = 32):
+    """Minimum hop distance (≤ ``max_hops``) from a seed set over a
+    DIRECTED int64 (src, dst) edge list — breadth-first frontier
+    expansion, the Pregel shape shared with ``pagerank_integer``.
+
+    Per hop: ONE bucketed hash join (frontier onto edges by src) and
+    one keyed Min fold of (node, hops) — the frontier is the only
+    iterated state, materialized per hop like PageRank's ranks
+    (iterative lineage re-executes otherwise).  Visited-set pruning
+    happens in the SAME Min fold (a node's first hop count is its
+    minimum), so no separate anti-join is needed; already-settled
+    nodes just re-emit their old distance.  Output: (node, hops),
+    hops int64, exactly the recursive-CTE twin's MIN(hops).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    import ray.data as rd
+
+    seeds = [int(s) for s in seeds]
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+
+    edges_ds = edges_ds.materialize()
+
+    settled = rd.from_arrow(pa.table({
+        "node": pa.array(sorted(set(seeds)), pa.int64()),
+        "hops": pa.array([0] * len(set(seeds)), pa.int64()),
+    })).materialize()
+    frontier = settled
+
+    for hop in range(1, max_hops + 1):
+        j = bucketed_hash_join(
+            _rename(frontier, {"node": "src", "hops": "_h"}),
+            edges_ds, key="src", n_buckets=n_buckets)
+        nxt = j.map_batches(
+            lambda b, h=hop: pa.table({
+                "node": b.column("dst"),
+                "hops": pa.array(
+                    np.full(b.num_rows, h, np.int64))}),
+            batch_format="pyarrow")
+        def to_i64(b: pa.Table) -> pa.Table:
+            # keep blocks Arrow end-to-end: a pandas block here would
+            # mix block types into the next union's sort sampling
+            return pa.table({
+                "node": b.column("node").cast(pa.int64()),
+                "hops": b.column("hops").cast(pa.int64())})
+
+        merged = (settled.union(nxt)
+                  .groupby("node").aggregate(Min("hops", alias_name="hops"))
+                  .map_batches(to_i64, batch_format="pyarrow")
+                  .repartition(n_buckets).materialize())
+        # next frontier = nodes first reached THIS hop
+        frontier = merged.filter(expr=f"hops == {hop}").materialize()
+        settled = merged
+        if frontier.count() == 0:
+            break
+
+    return settled

@@ -869,3 +869,54 @@ def test_cooccurrence_counts_support_filter(ray_session):
     with pytest.raises(ValueError):
         cooccurrence_counts(rd.from_pandas(df), "oid", "pid",
                             min_support=0)
+
+
+def test_bfs_hops_small_graph(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import bfs_hops
+
+    # 1→2→3→4→5 chain plus a shortcut 1→4 and a cycle 3→1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (3, 1)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })).repartition(3)
+    out = {r["node"]: r["hops"] for r in bfs_hops(ds, [1], 4).take_all()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    # hop cap truncates
+    out2 = {r["node"]: r["hops"]
+            for r in bfs_hops(ds, [1], 1).take_all()}
+    assert out2 == {1: 0, 2: 1, 4: 1}
+
+    with pytest.raises(ValueError):
+        bfs_hops(ds, [], 2)
+
+
+def test_bfs_hops_matches_duckdb_recursive(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import bfs_hops
+
+    rng = np.random.RandomState(4)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 30, (150, 2)) if a != b})
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    got = (bfs_hops(rd.from_pandas(df).repartition(4), [0], 3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("edges", df)
+    want = con.execute("""
+        WITH RECURSIVE walk(node, hops) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION
+          SELECT e.dst, w.hops + 1 FROM walk w
+          JOIN edges e ON e.src = w.node WHERE w.hops < 3)
+        SELECT node, MIN(hops) AS hops FROM walk
+        GROUP BY node ORDER BY node
+    """).df()
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["hops"].tolist() == want["hops"].tolist()
