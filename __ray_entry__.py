@@ -3752,6 +3752,30 @@ SELECT node, MIN(hops) AS hops FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_active_coverage(sf_dir: str):
+    """Union length of per-user 30-minute activity windows in exact
+    integer microseconds (merge-overlapping-intervals sweep)."""
+    from markdown_lab_ray.stages.analytics import interval_coverage
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = interval_coverage(ds, dur_us=30 * 60 * 1_000_000).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_ACTIVE_COVERAGE = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 1800000000 AS e FROM events),
+m AS (SELECT user_id, s, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv)
+SELECT user_id,
+  CAST(SUM(e - LEAST(e, GREATEST(s, COALESCE(pm, s)))) AS BIGINT)
+      AS covered_us
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3848,6 +3872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": q_lineitem_skyline,
         "frequent_pairs": q_frequent_pairs,
         "part_hops": q_part_hops,
+        "active_coverage": q_active_coverage,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3946,6 +3971,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_skyline": SQL_LINEITEM_SKYLINE,
         "frequent_pairs": SQL_FREQUENT_PAIRS,
         "part_hops": SQL_PART_HOPS,
+        "active_coverage": SQL_ACTIVE_COVERAGE,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

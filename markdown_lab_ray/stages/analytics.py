@@ -1020,3 +1020,48 @@ def skyline_2d(ds, x_col: str, y_col: str):
     return local.repartition(1).map_batches(
         lambda df: _local_skyline(df, x_col, y_col),
         batch_format="pandas")
+
+
+def interval_coverage(ds, dur_us: int, key_col: str = "user_id",
+                      ts_col: str = "ts", n_buckets: int = 64):
+    """Union length of per-key time intervals [ts, ts + dur_us) in
+    exact int64 microseconds — the merge-overlapping-intervals
+    primitive (session coverage, machine-busy time).
+
+    One bucketed key shuffle of slim (key, start) int rows; inside a
+    bucket the union is the classic sweep restated vectorized: sort by
+    (key, start), per-key running max of interval ends (cummax,
+    shifted), each row contributes ``end − min(end, max(start,
+    prev_max_end))``.  Output: (key, covered_us).
+    """
+    if dur_us <= 0:
+        raise ValueError(f"dur_us must be positive, got {dur_us}")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "_s": df[ts_col].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64),
+        })
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_s"], kind="mergesort")
+        s = g["_s"].to_numpy()
+        e = s + np.int64(dur_us)
+        cm = pd.Series(e).groupby(g[key_col].to_numpy()).cummax()
+        pm = (pd.DataFrame({"k": g[key_col].to_numpy(), "cm": cm.to_numpy()})
+              .groupby("k", sort=False)["cm"].shift(1))
+        pm = pm.fillna(pd.Series(s.astype("float64"))).to_numpy()
+        contrib = e - np.minimum(e, np.maximum(s, pm.astype(np.int64)))
+        out = (pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             "covered_us": contrib})
+               .groupby(key_col, sort=False)["covered_us"].sum()
+               .astype("int64").reset_index())
+        return out
+
+    tagged = (ds.map_batches(slim, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+    return tagged.groupby("_b").map_groups(cover, batch_format="pandas")

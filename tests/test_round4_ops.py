@@ -920,3 +920,28 @@ def test_bfs_hops_matches_duckdb_recursive(ray_session):
     """).df()
     assert got["node"].tolist() == want["node"].tolist()
     assert got["hops"].tolist() == want["hops"].tolist()
+
+
+def test_interval_coverage_merges_overlaps(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import interval_coverage
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10",   # overlap: 40 min
+            "2024-01-01 02:00",                        # disjoint: +30
+            "2024-01-01 00:00", "2024-01-01 00:00",   # duplicate: 30
+            "2024-01-01 05:00",                        # single: 30
+        ]),
+    })
+    out = (interval_coverage(rd.from_pandas(rows).repartition(3),
+                             dur_us=30 * 60 * 1_000_000)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    mins = {r.user_id: r.covered_us // 60_000_000 for r in out.itertuples()}
+    assert mins == {1: 70, 2: 30, 3: 30}
+
+    with pytest.raises(ValueError):
+        interval_coverage(rd.from_pandas(rows), dur_us=0)
