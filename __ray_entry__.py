@@ -3776,6 +3776,33 @@ FROM m GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_lang_entropy(sf_dir: str):
+    """Shannon token-entropy per language in integer micro-nats
+    (corpus-diversity diagnostic; exact global counts, one term-keyed
+    shuffle)."""
+    from markdown_lab_ray.stages.text import group_token_entropy
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = group_token_entropy(ds).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_ENTROPY = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(c) AS n, SUM(c * ln(c)) AS s FROM cnt
+        GROUP BY lang)
+SELECT lang,
+       CAST(floor((ln(n) - s / n) * 1e6 + 0.5) AS BIGINT)
+           AS entropy_micro
+FROM tot ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3873,6 +3900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs": q_frequent_pairs,
         "part_hops": q_part_hops,
         "active_coverage": q_active_coverage,
+        "lang_entropy": q_lang_entropy,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -3972,6 +4000,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": SQL_FREQUENT_PAIRS,
         "part_hops": SQL_PART_HOPS,
         "active_coverage": SQL_ACTIVE_COVERAGE,
+        "lang_entropy": SQL_LANG_ENTROPY,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -455,3 +455,71 @@ def bm25_scores(ds, terms, k1: float = 1.2, b: float = 0.75,
         })
 
     return slim.map_batches(score, batch_format="pandas")
+
+
+def group_token_entropy(ds, group_col: str = "lang",
+                        text_col: str = "text", n_buckets: int = 64):
+    """Shannon entropy of the token distribution per group, in integer
+    micro-nats — the corpus-diversity diagnostic (a language whose
+    token entropy collapses is boilerplate / spam).
+
+    Scale shape: per-batch (group, term) partial counts → ONE bucketed
+    shuffle keyed on term (every copy of a (group, term) cell lands
+    together, giving exact global counts) → per-block (group, Σc,
+    Σc·ln c) partials → a tiny final fold per group.  Derivation
+    ``H = ln(N) − (Σ c·ln c)/N`` matches the SQL twin's expression
+    tree; only float summation order differs (micro-rounding note as
+    in bm25_scores).  Output: (group, entropy_micro int64).
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        acc: "Counter" = Counter()
+        for grp, text in zip(batch.column(group_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            toks = (text or "").strip().lower().split()
+            for t in toks:
+                acc[(grp, t)] += 1
+        groups, terms, cs = [], [], []
+        for (grp, t), c in acc.items():
+            groups.append(grp)
+            terms.append(t)
+            cs.append(c)
+        return pa.table({group_col: pa.array(groups, pa.string()),
+                         "_term": pa.array(terms, pa.string()),
+                         "_c": pa.array(cs, pa.int64())})
+
+    def fold_counts(g: "pd.DataFrame") -> "pd.DataFrame":
+        cnt = (g.groupby([group_col, "_term"], sort=False)["_c"].sum()
+               .astype("int64").reset_index())
+        c = cnt["_c"].to_numpy(dtype=np.float64)
+        part = pd.DataFrame({group_col: cnt[group_col],
+                             "_n": cnt["_c"].astype("int64"),
+                             "_s": c * np.log(c)})
+        out = part.groupby(group_col, sort=False).agg(
+            n=("_n", "sum"), s=("_s", "sum")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(group_col, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        n = g["n"].to_numpy(dtype=np.float64)
+        h = np.log(n) - g["s"].to_numpy() / n
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "entropy_micro": np.floor(h * 1e6 + 0.5).astype(np.int64)})
+
+    part = ds.map_batches(counts_partial, batch_format="pyarrow")
+    tagged = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["_term"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    folded = tagged.groupby("_b").map_groups(fold_counts,
+                                             batch_format="pandas")
+    # final fold: O(groups × buckets) rows — one tiny single-task pass
+    return folded.repartition(1).map_batches(finish,
+                                             batch_format="pandas")

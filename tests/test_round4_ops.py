@@ -945,3 +945,30 @@ def test_interval_coverage_merges_overlaps(ray_session):
 
     with pytest.raises(ValueError):
         interval_coverage(rd.from_pandas(rows), dur_us=0)
+
+
+def test_group_token_entropy_matches_local(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.text import group_token_entropy
+
+    docs = pa.table({
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "text": pa.array(["a b a b", "a a a a", "x y z w", "x y z w"]),
+    })
+    out = (group_token_entropy(rd.from_arrow(docs).repartition(3))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+
+    def h(counts):
+        n = sum(counts)
+        return math.floor((math.log(n) - sum(c * math.log(c)
+                                              for c in counts) / n)
+                          * 1e6 + 0.5)
+
+    want = {"en": h([6, 2]), "de": h([2, 2, 2, 2])}
+    got = dict(zip(out["lang"], out["entropy_micro"]))
+    assert got == want
+    # uniform 4-token distribution = ln(4) nats
+    assert abs(got["de"] - math.log(4) * 1e6) <= 1
