@@ -3803,6 +3803,28 @@ FROM tot ORDER BY lang
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid, long-form (label, dim 1-based,
+    micro-unit mean) — vectors never shuffled, only per-batch
+    (label, Σ) partials."""
+    from markdown_lab_ray.stages.similarity import label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    out = label_centroids(ds).to_pandas()
+    return (out.sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS dim,
+       CAST(floor(SUM(CAST(val AS DOUBLE)) / COUNT(*) * 1e6 + 0.5)
+            AS BIGINT) AS mean_micro
+FROM (SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3901,6 +3923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_hops": q_part_hops,
         "active_coverage": q_active_coverage,
         "lang_entropy": q_lang_entropy,
+        "label_centroids": q_label_centroids,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4001,6 +4024,7 @@ def oracle_sql() -> dict[str, str]:
         "part_hops": SQL_PART_HOPS,
         "active_coverage": SQL_ACTIVE_COVERAGE,
         "lang_entropy": SQL_LANG_ENTROPY,
+        "label_centroids": SQL_LABEL_CENTROIDS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

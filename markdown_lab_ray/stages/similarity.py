@@ -441,3 +441,52 @@ def random_projection(ds, dim: int, out_dim: int, seed: int = 42,
 
     return ds.map_batches(project, batch_format="pyarrow",
                           fn_kwargs=dict(mref=mat_ref))
+
+
+def label_centroids(ds, label_col: str = "label",
+                    emb_col: str = "embedding"):
+    """Per-label centroid of an embedding column, emitted long-form as
+    (label, dim, mean_micro) with 1-based dims — the class-prototype
+    builder (nearest-centroid classifiers, cluster drift monitoring).
+
+    Scale shape: each batch collapses to one (label, count, Σ-vector)
+    partial row — a vectorized per-label matrix sum, so the shuffle
+    carries O(labels × blocks) rows of d floats and the raw vectors
+    never move; one single-task fold finishes.  Mean in micro-units
+    via floor(m·10⁶ + 0.5), the same formula as the DuckDB twin (float
+    summation-order caveat as in bm25_scores).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = _embedding_matrix(batch, emb_col)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        if not len(labels):
+            return pa.table({label_col: pa.array([], pa.int64()),
+                             "_n": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.list_(pa.float64()))})
+        out_l, out_n, out_s = [], [], []
+        for lab in np.unique(labels):
+            m = vecs[labels == lab]
+            out_l.append(int(lab))
+            out_n.append(m.shape[0])
+            out_s.append(m.sum(axis=0, dtype=np.float64).tolist())
+        return pa.table({label_col: pa.array(out_l, pa.int64()),
+                         "_n": pa.array(out_n, pa.int64()),
+                         "_s": pa.array(out_s, pa.list_(pa.float64()))})
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        labs, dims, means = [], [], []
+        for lab, g in df.groupby(label_col, sort=True):
+            n = int(g["_n"].sum())
+            s = np.sum(np.stack(g["_s"].to_numpy()), axis=0)
+            m = np.floor(s / n * 1e6 + 0.5).astype(np.int64)
+            labs.extend([int(lab)] * len(m))
+            dims.extend(range(1, len(m) + 1))
+            means.extend(m.tolist())
+        return pd.DataFrame({label_col: pd.array(labs, dtype="int64"),
+                             "dim": pd.array(dims, dtype="int64"),
+                             "mean_micro": pd.array(means, dtype="int64")})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.repartition(1).map_batches(finish, batch_format="pandas")

@@ -972,3 +972,27 @@ def test_group_token_entropy_matches_local(ray_session):
     assert got == want
     # uniform 4-token distribution = ln(4) nats
     assert abs(got["de"] - math.log(4) * 1e6) <= 1
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.similarity import label_centroids
+
+    rng = np.random.RandomState(6)
+    n, d = 120, 8
+    labels = rng.randint(0, 3, n)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    table = pa.table({
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    got = (label_centroids(rd.from_arrow(table).repartition(5))
+           .to_pandas())
+    assert len(got) == 3 * d
+    for lab in range(3):
+        m = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        want = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert np.abs(sub["mean_micro"].to_numpy() - want).max() <= 1
