@@ -3825,6 +3825,28 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_weekly_active(sf_dir: str):
+    """Trailing 7-day distinct active users per event day (the WAU
+    curve): bounded per-pair fan-out + two-level distinct count."""
+    from markdown_lab_ray.stages.analytics import rolling_distinct_users
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = rolling_distinct_users(ds, window_days=7).to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_WEEKLY_ACTIVE = """
+WITH pairs AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+               FROM events),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT CAST(days.d AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_active
+FROM days JOIN pairs p
+  ON p.d <= days.d AND p.d > days.d - INTERVAL 7 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3924,6 +3946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_coverage": q_active_coverage,
         "lang_entropy": q_lang_entropy,
         "label_centroids": q_label_centroids,
+        "weekly_active": q_weekly_active,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4025,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         "active_coverage": SQL_ACTIVE_COVERAGE,
         "lang_entropy": SQL_LANG_ENTROPY,
         "label_centroids": SQL_LABEL_CENTROIDS,
+        "weekly_active": SQL_WEEKLY_ACTIVE,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1065,3 +1065,70 @@ def interval_coverage(ds, dur_us: int, key_col: str = "user_id",
                       df[key_col].to_numpy(), n_buckets)),
                   batch_format="pandas"))
     return tagged.groupby("_b").map_groups(cover, batch_format="pandas")
+
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def rolling_distinct_users(ds, window_days: int = 7,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           n_buckets: int = 64):
+    """Trailing-window distinct actives per day (the WAU/MAU curve):
+    for every day with ≥1 event, the count of distinct keys active in
+    the ``window_days`` days ending that day.
+
+    Scale shape: raw events collapse to distinct (key, day) int pairs
+    per batch; each pair then explodes to at most ``window_days``
+    (key, covered-day) rows — a BOUNDED fan-out — which are deduped and
+    counted by the distinct_count two-level pattern keyed on the day.
+    Days with no events inside the window but none on the day itself
+    don't emit a row (matching the SQL twin, which anchors on event
+    days).  Output: (day timestamp, n_active int64).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "_day": us // _DAY_US * _DAY_US,
+        }).drop_duplicates()
+
+    pairs = ds.map_batches(to_days, batch_format="pandas")
+    # the day set (anchor days) — distinct event days
+    day_partial = pairs.map_batches(
+        lambda df: df[["_day"]].drop_duplicates(), batch_format="pandas")
+    days = (day_partial.groupby("_day").aggregate(Count(alias_name="_c"))
+            .to_pandas()["_day"].to_numpy())
+    days_sorted = np.sort(days.astype(np.int64))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        # (key, day) covers anchor days in [day, day + window)
+        base = df["_day"].to_numpy().astype(np.int64)
+        keys = df[key_col].to_numpy()
+        out_k, out_d = [], []
+        for off in range(window_days):
+            anchor = base + off * _DAY_US
+            # keep only anchors that are real event days
+            hit = np.isin(anchor, days_sorted)
+            out_k.append(keys[hit])
+            out_d.append(anchor[hit])
+        return pd.DataFrame({
+            key_col: np.concatenate(out_k),
+            "_anchor": np.concatenate(out_d),
+        }).drop_duplicates()
+
+    covered = pairs.map_batches(explode, batch_format="pandas")
+    counted = distinct_count(covered, "_anchor", key_col,
+                             out_col="n_active")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["_anchor"].astype("datetime64[us]"),
+            "n_active": df["n_active"].astype("int64"),
+        })
+
+    return counted.map_batches(finish, batch_format="pandas")

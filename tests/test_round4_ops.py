@@ -996,3 +996,26 @@ def test_label_centroids_matches_numpy(ray_session):
         want = np.floor(m * 1e6 + 0.5).astype(np.int64)
         sub = got[got["label"] == lab].sort_values("dim")
         assert np.abs(sub["mean_micro"].to_numpy() - want).max() <= 1
+
+
+def test_rolling_distinct_users_small(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import rolling_distinct_users
+
+    rows = pd.DataFrame({
+        "user_id": [1, 2, 1, 3, 1],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01 09:00",
+                              "2024-01-03", "2024-01-03",
+                              "2024-01-20"], format="mixed"),
+    })
+    out = (rolling_distinct_users(rd.from_pandas(rows).repartition(3),
+                                  window_days=7)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    got = {r.day.strftime("%m-%d"): r.n_active for r in out.itertuples()}
+    # 01-01: {1,2}; 01-03: {1,2,3} (window covers 01-01); 01-20: {1}
+    assert got == {"01-01": 2, "01-03": 3, "01-20": 1}
+
+    with pytest.raises(ValueError):
+        rolling_distinct_users(rd.from_pandas(rows), window_days=0)
