@@ -3847,6 +3847,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month revenue delta in exact integer cents: per-batch
+    (month, Σcents) partials → one tiny keyed Sum → an O(months)
+    driver finish computes the LAG (the result set IS driver-sized)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        month = pc.cast(pc.strftime(b["o_orderdate"], format="%Y%m"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        df = (pd.DataFrame({"month": month, "c": cents})
+              .groupby("month", sort=False)["c"].sum().reset_index())
+        return pa.table({"month": pa.array(df["month"], pa.int64()),
+                         "c": pa.array(df["c"].astype("int64"),
+                                       pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("month").aggregate(Sum("c", alias_name="rev_cents"))
+           .to_pandas().sort_values("month").reset_index(drop=True))
+    agg["rev_cents"] = agg["rev_cents"].astype("int64")
+    agg["delta_cents"] = agg["rev_cents"] - agg["rev_cents"].shift(1)
+    agg = agg[agg["delta_cents"].notna()].reset_index(drop=True)
+    agg["delta_cents"] = agg["delta_cents"].astype("int64")
+    return agg
+
+
+SQL_MONTHLY_REVENUE_DELTA = """
+WITH m AS (SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
+                  SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS rev_cents
+           FROM orders GROUP BY month),
+l AS (SELECT month, rev_cents,
+             LAG(rev_cents) OVER (ORDER BY month) AS prev FROM m)
+SELECT month, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(rev_cents - prev AS BIGINT) AS delta_cents
+FROM l WHERE prev IS NOT NULL ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3947,6 +3990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_entropy": q_lang_entropy,
         "label_centroids": q_label_centroids,
         "weekly_active": q_weekly_active,
+        "monthly_revenue_delta": q_monthly_revenue_delta,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4049,6 +4093,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_entropy": SQL_LANG_ENTROPY,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "weekly_active": SQL_WEEKLY_ACTIVE,
+        "monthly_revenue_delta": SQL_MONTHLY_REVENUE_DELTA,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,
