@@ -3890,6 +3890,32 @@ FROM l WHERE prev IS NOT NULL ORDER BY month
 """
 
 
+def q_winsorized_values(sf_dir: str):
+    """Per-type winsorized event values (clip to the type's exact
+    p05/p95, bounds attached via the bucketed union-merge — no driver
+    dict)."""
+    from markdown_lab_ray.stages.analytics import winsorize_per_key
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = winsorize_per_key(ds, "event_type", "value",
+                            "event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_WINSORIZED_VALUES = """
+WITH b AS (SELECT event_type,
+             round(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6)
+                 AS lo,
+             round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6)
+                 AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+FROM events e JOIN b USING (event_type)
+ORDER BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3991,6 +4017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "weekly_active": q_weekly_active,
         "monthly_revenue_delta": q_monthly_revenue_delta,
+        "winsorized_values": q_winsorized_values,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4094,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": SQL_LABEL_CENTROIDS,
         "weekly_active": SQL_WEEKLY_ACTIVE,
         "monthly_revenue_delta": SQL_MONTHLY_REVENUE_DELTA,
+        "winsorized_values": SQL_WINSORIZED_VALUES,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1132,3 +1132,65 @@ def rolling_distinct_users(ds, window_days: int = 7,
         })
 
     return counted.map_batches(finish, batch_format="pandas")
+
+
+def winsorize_per_key(ds, key_col: str, value_col: str, id_col: str,
+                      lo_q: float = 0.05, hi_q: float = 0.95,
+                      out_col: str = "value_w", n_buckets: int = 64):
+    """Per-key winsorization: clip each value to its key's [lo_q, hi_q]
+    exact percentiles (linear interpolation, 6-dp-rounded bounds — the
+    outlier-clipping normalizer a feature pipeline runs before
+    training).
+
+    Scale shape: pass 1 computes exact per-key bounds with one keyed
+    group shuffle (one key's values on one worker — the documented
+    events_percentile assumption); pass 2 attaches bounds via the
+    union-then-merge bucketed pattern and clips vectorized — the
+    bounds NEVER sit in a driver dict, so key cardinality is unbounded
+    (the histogram_quantiles lesson).  Output: (id, key, out_col).
+    """
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got "
+                         f"({lo_q}, {hi_q})")
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "_lo": [round(float(np.percentile(vals, lo_q * 100)), 6)],
+            "_hi": [round(float(np.percentile(vals, hi_q * 100)), 6)],
+        })
+
+    bounds = ds.groupby(key_col).map_groups(pct, batch_format="pandas")
+
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             id_col: df[id_col].to_numpy(),
+                             "_v": df[value_col].to_numpy(np.float64),
+                             "_lo": np.nan, "_hi": np.nan})
+
+    def tag_bounds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             id_col: np.int64(-1),
+                             "_v": np.nan,
+                             "_lo": df["_lo"].to_numpy(np.float64),
+                             "_hi": df["_hi"].to_numpy(np.float64)})
+
+    def clip(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["_lo"].notna()][[key_col, "_lo", "_hi"]].drop_duplicates()
+        rows = g[g["_lo"].isna()].drop(columns=["_lo", "_hi"])
+        m = rows.merge(b, on=key_col)
+        w = np.minimum(np.maximum(m["_v"].to_numpy(),
+                                  m["_lo"].to_numpy()),
+                       m["_hi"].to_numpy())
+        return pd.DataFrame({id_col: m[id_col].astype("int64"),
+                             key_col: m[key_col],
+                             out_col: w})
+
+    union = (ds.map_batches(tag_rows, batch_format="pandas")
+             .union(bounds.map_batches(tag_bounds, batch_format="pandas")))
+    tagged = union.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(clip, batch_format="pandas")

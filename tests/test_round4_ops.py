@@ -1019,3 +1019,34 @@ def test_rolling_distinct_users_small(ray_session):
 
     with pytest.raises(ValueError):
         rolling_distinct_users(rd.from_pandas(rows), window_days=0)
+
+
+def test_winsorize_clips_to_percentiles(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import winsorize_per_key
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "k": ["a"] * 200 + ["b"] * 200,
+        "id": np.arange(400, dtype=np.int64),
+        "v": np.round(np.concatenate([rng.normal(10, 3, 200),
+                                      rng.normal(100, 30, 200)]), 2),
+    })
+    out = (winsorize_per_key(rd.from_pandas(df).repartition(4), "k",
+                             "v", "id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert len(out) == 400
+    for key in ("a", "b"):
+        vals = df[df["k"] == key]["v"].to_numpy()
+        lo = round(float(np.percentile(vals, 5)), 6)
+        hi = round(float(np.percentile(vals, 95)), 6)
+        w = out[out["k"] == key]["value_w"].to_numpy()
+        want = np.minimum(np.maximum(vals, lo), hi)
+        assert np.array_equal(np.sort(w), np.sort(want))
+        assert w.min() >= lo and w.max() <= hi
+
+    with pytest.raises(ValueError):
+        winsorize_per_key(rd.from_pandas(df), "k", "v", "id",
+                          lo_q=0.9, hi_q=0.1)
