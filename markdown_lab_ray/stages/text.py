@@ -523,3 +523,29 @@ def group_token_entropy(ds, group_col: str = "lang",
     # final fold: O(groups × buckets) rows — one tiny single-task pass
     return folded.repartition(1).map_batches(finish,
                                              batch_format="pandas")
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """zlib compression ratio per document (compressed/raw bytes, 6-dp)
+    — the classic redundancy signal for training-data quality gates:
+    boilerplate and repeated spans compress far below natural prose
+    (public heuristic, e.g. Gopher/RefinedWeb filtering rules).
+    Stateless vectorized-enough batch kernel (zlib is C; the Python
+    loop is I/O over rows, same shape as the other text kernels).
+    Empty docs emit ratio 0.
+    """
+    import zlib
+
+    ids = batch.column(id_col)
+    ratios = []
+    for text in batch.column(text_col).to_pylist():
+        raw = (text or "").encode("utf-8")
+        if not raw:
+            ratios.append(0.0)
+            continue
+        comp = zlib.compress(raw, level)
+        ratios.append(round(len(comp) / len(raw), 6))
+    return pa.table({id_col: ids,
+                     "compression_ratio": pa.array(ratios, pa.float64())})

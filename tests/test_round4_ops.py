@@ -1050,3 +1050,27 @@ def test_winsorize_clips_to_percentiles(ray_session):
     with pytest.raises(ValueError):
         winsorize_per_key(rd.from_pandas(df), "k", "v", "id",
                           lo_q=0.9, hi_q=0.1)
+
+
+def test_compression_ratio_separates_redundancy(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.text import compression_ratio_batch
+
+    repetitive = "spam ham " * 500
+    rng = np.random.RandomState(1)
+    noisy = " ".join("".join(chr(97 + c) for c in rng.randint(0, 26, 8))
+                     for _ in range(500))
+    table = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([repetitive, noisy, ""])})
+    out = (rd.from_arrow(table).repartition(2)
+           .map_batches(compression_ratio_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    r = dict(zip(out["doc_id"], out["compression_ratio"]))
+    # local twin: exact same zlib call
+    assert r[1] == round(len(zlib.compress(repetitive.encode(), 6))
+                         / len(repetitive.encode()), 6)
+    assert r[1] < 0.05 < r[2]          # boilerplate vs noise
+    assert r[3] == 0.0                 # empty doc
