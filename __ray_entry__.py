@@ -3916,6 +3916,18 @@ ORDER BY e.event_id
 """
 
 
+def q_doc_compression(sf_dir: str):
+    """Per-document zlib compression ratio (redundancy quality signal;
+    rows-only — zlib isn't SQL-expressible; pinned by the exact local
+    twin in tests)."""
+    from markdown_lab_ray.stages.text import compression_ratio_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(compression_ratio_batch,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4018,6 +4030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active": q_weekly_active,
         "monthly_revenue_delta": q_monthly_revenue_delta,
         "winsorized_values": q_winsorized_values,
+        "doc_compression": q_doc_compression,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
