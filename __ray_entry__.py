@@ -3928,6 +3928,43 @@ def q_doc_compression(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_collocations(sf_dir: str):
+    """Adjacent-bigram PMI collocations (micro-nats, support ≥ 20):
+    exact global counts via one word-keyed shuffle, unigram counts
+    attached with two union-merge passes."""
+    from markdown_lab_ray.stages.text import pmi_collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = pmi_collocations(ds, min_count=20).to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+SQL_COLLOCATIONS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term,
+         generate_subscripts(
+             regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS idx
+  FROM documents WHERE trim(text) <> ''),
+big AS (SELECT a.term AS w1, b.term AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+        GROUP BY 1, 2),
+uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS nu,
+               (SELECT CAST(SUM(c) AS DOUBLE) FROM big) AS nb)
+SELECT big.w1, big.w2, big.c AS n,
+       CAST(floor(ln((CAST(big.c AS DOUBLE) * nu * nu)
+                     / (nb * u1.c * u2.c)) * 1e6 + 0.5) AS BIGINT)
+           AS pmi_micro
+FROM big CROSS JOIN tot
+JOIN uni u1 ON u1.term = big.w1
+JOIN uni u2 ON u2.term = big.w2
+WHERE big.c >= 20
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4031,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_delta": q_monthly_revenue_delta,
         "winsorized_values": q_winsorized_values,
         "doc_compression": q_doc_compression,
+        "collocations": q_collocations,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4135,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_active": SQL_WEEKLY_ACTIVE,
         "monthly_revenue_delta": SQL_MONTHLY_REVENUE_DELTA,
         "winsorized_values": SQL_WINSORIZED_VALUES,
+        "collocations": SQL_COLLOCATIONS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -549,3 +549,127 @@ def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
         ratios.append(round(len(comp) / len(raw), 6))
     return pa.table({id_col: ids,
                      "compression_ratio": pa.array(ratios, pa.float64())})
+
+
+def pmi_collocations(ds, min_count: int = 5, text_col: str = "text",
+                     n_buckets: int = 64):
+    """Collocation mining: pointwise mutual information of adjacent
+    token bigrams, ``pmi = ln(P(xy) / (P(x)·P(y)))`` in integer
+    micro-nats, for bigrams seen ≥ ``min_count`` times (Church & Hanks
+    1990 — the classic collocation statistic).
+
+    Scale shape: per-batch unigram+bigram Counter partials (one
+    tokenize pass, mixed rows distinguished by an empty w2); ONE
+    bucketed shuffle keyed on w1 folds exact global counts; bigrams
+    then pick up c(x) and c(y) via two union-then-merge bucketed
+    passes (the triangle-count degree pattern — never a driver dict).
+    Totals fold from O(bucket) partial rows.  The PMI expression tree
+    — ``(c·Nu·Nu) / (Nb·cx·cy)`` left-associated, then ln, then
+    floor(·1e6 + 0.5) — matches the SQL twin exactly.  Output:
+    (w1, w2, n, pmi_micro).
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        uni: "Counter" = Counter()
+        big: "Counter" = Counter()
+        for text in batch.column(text_col).to_pylist():
+            toks = (text or "").strip().lower().split()
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        w1s, w2s, cs = [], [], []
+        for w, c in uni.items():
+            w1s.append(w)
+            w2s.append("")
+            cs.append(c)
+        for (a, b), c in big.items():
+            w1s.append(a)
+            w2s.append(b)
+            cs.append(c)
+        return pa.table({"w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "_c": pa.array(cs, pa.int64())})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby(["w1", "w2"], sort=False)["_c"].sum()
+               .astype("int64").reset_index())
+        return out
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    tagged = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["w1"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    counts = tagged.groupby("_b").map_groups(
+        fold, batch_format="pandas").materialize()
+
+    # totals: O(blocks) partial rows to the driver
+    totals = counts.map_batches(
+        lambda df: pd.DataFrame({
+            "nu": [np.int64(df.loc[df["w2"] == "", "_c"].sum())],
+            "nb": [np.int64(df.loc[df["w2"] != "", "_c"].sum())]}),
+        batch_format="pandas").to_pandas().sum()
+    nu, nb = float(totals["nu"]), float(totals["nb"])
+
+    def merge_on(rows_ds, row_cols, key: str, c_col: str):
+        """Attach unigram count c(key) to bigram rows: union-then-merge
+        bucketed on the word.  ``row_cols`` is the rows' exact column
+        list, passed explicitly (a mutated closure variable would be
+        read at lazy-execution time, after the next call changed it)."""
+
+        def tag_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+            out = df.copy()
+            out["_node"] = df[key]
+            out["_uc"] = np.int64(-1)
+            return out
+
+        def tag_uni(df: "pd.DataFrame") -> "pd.DataFrame":
+            u = df[df["w2"] == ""]
+            out = pd.DataFrame(index=range(len(u)))
+            for c in row_cols:
+                out[c] = "" if c in ("w1", "w2") else np.int64(0)
+            out["_node"] = u["w1"].to_numpy()
+            out["_uc"] = u["_c"].to_numpy().astype(np.int64)
+            return out
+
+        def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+            u = g[g["_uc"] >= 0][["_node", "_uc"]].drop_duplicates()
+            r = g[g["_uc"] < 0].drop(columns=["_uc"])
+            m = r.merge(u, on="_node")
+            m = m.rename(columns={"_uc": c_col}).drop(columns=["_node"])
+            return m.reset_index(drop=True)
+
+        union = (rows_ds.map_batches(tag_rows, batch_format="pandas")
+                 .union(counts.map_batches(tag_uni,
+                                           batch_format="pandas")))
+        tg = union.map_batches(
+            lambda df: df.assign(_b2=key_buckets(df["_node"].to_numpy(),
+                                                 n_buckets)),
+            batch_format="pandas")
+        return tg.groupby("_b2").map_groups(merge, batch_format="pandas")
+
+    bigrams = counts.map_batches(
+        lambda df: df[(df["w2"] != "") & (df["_c"] >= min_count)]
+        .reset_index(drop=True),
+        batch_format="pandas")
+
+    with_cx = merge_on(bigrams, ["w1", "w2", "_c"], "w1", "_cx")
+    with_cy = merge_on(with_cx, ["w1", "w2", "_c", "_cx"], "w2", "_cy")
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        c = df["_c"].to_numpy(dtype=np.float64)
+        cx = df["_cx"].to_numpy(dtype=np.float64)
+        cy = df["_cy"].to_numpy(dtype=np.float64)
+        pmi = np.log((c * nu * nu) / (nb * cx * cy))
+        return pd.DataFrame({
+            "w1": df["w1"], "w2": df["w2"],
+            "n": df["_c"].astype("int64"),
+            "pmi_micro": np.floor(pmi * 1e6 + 0.5).astype(np.int64)})
+
+    return with_cy.map_batches(finish, batch_format="pandas")

@@ -1074,3 +1074,35 @@ def test_compression_ratio_separates_redundancy(ray_session):
                          / len(repetitive.encode()), 6)
     assert r[1] < 0.05 < r[2]          # boilerplate vs noise
     assert r[3] == 0.0                 # empty doc
+
+
+def test_pmi_collocations_matches_local(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.text import pmi_collocations
+
+    docs = ["new york is a big city", "new york has new parks",
+            "big city big dreams", "york is new"] * 3
+    table = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)})
+    got = (pmi_collocations(rd.from_arrow(table).repartition(3),
+                            min_count=3)
+           .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True))
+
+    uni, big = Counter(), Counter()
+    for d in docs:
+        toks = d.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    nu, nb = float(sum(uni.values())), float(sum(big.values()))
+    want = {}
+    for (a, b), c in big.items():
+        if c >= 3:
+            pmi = math.log((c * nu * nu) / (nb * uni[a] * uni[b]))
+            want[(a, b)] = (c, math.floor(pmi * 1e6 + 0.5))
+    assert {(r.w1, r.w2): (r.n, r.pmi_micro)
+            for r in got.itertuples()} == want
+    assert ("new", "york") in want  # the collocation is found
