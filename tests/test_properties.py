@@ -167,3 +167,85 @@ def test_hll_merge_is_union(a_vals, b_vals):
     b = _hll_partial(sorted(set(b_vals)), p=10)
     u = _hll_partial(sorted(set(a_vals) | set(b_vals)), p=10)
     assert np.array_equal(np.maximum(a, b), u)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=120))
+def test_local_skyline_dominance_property(points):
+    """Every kept row is undominated; every dropped row is dominated
+    (minimize x, maximize y; ties never dominate)."""
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import _local_skyline
+
+    df = pd.DataFrame(points, columns=["x", "y"])
+    kept = _local_skyline(df, "x", "y")
+
+    def dominated(row):
+        return (((df["x"] <= row.x) & (df["y"] >= row.y)
+                 & ((df["x"] < row.x) | (df["y"] > row.y)))).any()
+
+    kept_idx = set(kept.index)
+    for row in df.itertuples():
+        assert (row.Index in kept_idx) == (not dominated(row))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=80),
+       st.integers(1, 10 ** 5))
+def test_interval_union_formula_matches_bruteforce(starts, dur):
+    """The vectorized sweep (cummax-shift formula) equals a literal
+    union of intervals."""
+    import numpy as np
+    import pandas as pd
+
+    s = np.sort(np.asarray(starts, dtype=np.int64))
+    e = s + dur
+    cm = pd.Series(e).cummax()
+    pm = cm.shift(1).fillna(float(s[0])).to_numpy().astype(np.int64)
+    got = int((e - np.minimum(e, np.maximum(s, pm))).sum())
+
+    # exact union length via merged segments
+    segs = []
+    for a, b in zip(s.tolist(), e.tolist()):
+        if segs and a <= segs[-1][1]:
+            segs[-1] = (segs[-1][0], max(segs[-1][1], b))
+        else:
+            segs.append((a, b))
+    want = sum(b - a for a, b in segs)
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=4, max_size=4),
+                min_size=2, max_size=40, unique=True))
+def test_hamming1_block_matches_bruteforce(strings):
+    import numpy as np
+
+    from markdown_lab_ray.stages.dedup import _hamming1_pairs_block
+
+    arr = np.array(sorted(strings))
+    got = set(_hamming1_pairs_block(arr, chunk=7))
+    want = {(i, j)
+            for i in range(len(arr)) for j in range(i + 1, len(arr))
+            if sum(a != b for a, b in zip(arr[i], arr[j])) <= 1}
+    assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(0, 2 ** 40), min_size=1, max_size=60))
+def test_monday_trunc_properties(us_offsets):
+    """Truncated week start is a Monday midnight, ≤ ts, within 7 days."""
+    import numpy as np
+
+    from markdown_lab_ray.stages.analytics import _WEEK_US, _monday_week_us
+
+    ts = np.asarray(us_offsets, dtype=np.int64)
+    wk = _monday_week_us(ts.astype("datetime64[us]"))
+    assert (wk <= ts).all()
+    assert (ts - wk < _WEEK_US).all()
+    # 1970-01-05 was a Monday: week starts are ≡ day 4 (mod 7) in days
+    days = wk // (24 * 3600 * 1_000_000)
+    assert (days % 7 == 4).all()
+    assert (wk % (24 * 3600 * 1_000_000) == 0).all()
