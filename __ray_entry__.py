@@ -3965,6 +3965,35 @@ ORDER BY 1, 2
 """
 
 
+def q_quantity_means(sf_dir: str):
+    """Arithmetic/geometric/harmonic quantity means per returnflag in
+    micro-units, from one pass of mergeable (Σcents, Σln, Σ1/x)
+    partials."""
+    from markdown_lab_ray.stages.analytics import grouped_means
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = grouped_means(ds, "l_returnflag", "l_quantity").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_QUANTITY_MEANS = """
+WITH p AS (SELECT l_returnflag AS k,
+                  CAST(l_quantity AS DOUBLE) AS v,
+                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem),
+s AS (SELECT k, COUNT(*) AS n, SUM(c) AS sc, SUM(ln(v)) AS sl,
+             SUM(1.0 / v) AS sr
+      FROM p GROUP BY k)
+SELECT k AS l_returnflag,
+       CAST(floor(CAST(sc AS DOUBLE) / n / 100.0 * 1e6 + 0.5) AS BIGINT)
+           AS amean_micro,
+       CAST(floor(exp(sl / n) * 1e6 + 0.5) AS BIGINT) AS gmean_micro,
+       CAST(floor(CAST(n AS DOUBLE) / sr * 1e6 + 0.5) AS BIGINT)
+           AS hmean_micro
+FROM s ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4069,6 +4098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_values": q_winsorized_values,
         "doc_compression": q_doc_compression,
         "collocations": q_collocations,
+        "quantity_means": q_quantity_means,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4174,6 +4204,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_delta": SQL_MONTHLY_REVENUE_DELTA,
         "winsorized_values": SQL_WINSORIZED_VALUES,
         "collocations": SQL_COLLOCATIONS,
+        "quantity_means": SQL_QUANTITY_MEANS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

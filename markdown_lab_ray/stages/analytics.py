@@ -1194,3 +1194,50 @@ def winsorize_per_key(ds, key_col: str, value_col: str, id_col: str,
                                             n_buckets)),
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(clip, batch_format="pandas")
+
+
+def grouped_means(ds, key_col: str, value_col: str):
+    """Arithmetic / geometric / harmonic mean per key in integer
+    micro-units, from one pass of mergeable partials (Σx, Σln x,
+    Σ1/x, n).  Values must be > 0 (geometric/harmonic are undefined
+    otherwise — enforced, not silently skipped).  Float caveat: the
+    ln/reciprocal partials sum in arbitrary order (micro-rounding note
+    as in bm25_scores); the arithmetic mean path folds exact cents.
+    Output: (key, amean_micro, gmean_micro, hmean_micro).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        if (v <= 0).any():
+            raise ValueError("grouped_means requires values > 0")
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "n_p": np.ones(len(v), np.int64),
+                          "sc_p": _cents(v),
+                          "sl_p": np.log(v),
+                          "sr_p": 1.0 / v})
+        out = g.groupby(key_col, sort=False).sum().reset_index()
+        out["n_p"] = out["n_p"].astype("int64")
+        out["sc_p"] = out["sc_p"].astype("int64")
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(key_col)
+              .aggregate(Sum("n_p", alias_name="n"),
+                         Sum("sc_p", alias_name="sc"),
+                         Sum("sl_p", alias_name="sl"),
+                         Sum("sr_p", alias_name="sr")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        amean = df["sc"].to_numpy(dtype=np.float64) / n / 100.0
+        gmean = np.exp(df["sl"].to_numpy(dtype=np.float64) / n)
+        hmean = n / df["sr"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            key_col: df[key_col],
+            "amean_micro": np.floor(amean * 1e6 + 0.5).astype(np.int64),
+            "gmean_micro": np.floor(gmean * 1e6 + 0.5).astype(np.int64),
+            "hmean_micro": np.floor(hmean * 1e6 + 0.5).astype(np.int64),
+        })
+
+    return merged.map_batches(finish, batch_format="pandas")

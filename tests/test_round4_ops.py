@@ -1106,3 +1106,35 @@ def test_pmi_collocations_matches_local(ray_session):
     assert {(r.w1, r.w2): (r.n, r.pmi_micro)
             for r in got.itertuples()} == want
     assert ("new", "york") in want  # the collocation is found
+
+
+def test_grouped_means_matches_scipy_formulas(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_means
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 50,
+                       "v": np.round(rng.uniform(0.5, 99.5, 100), 2)})
+    out = (grouped_means(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for key in ("a", "b"):
+        v = df[df["k"] == key]["v"].to_numpy(dtype=np.float64)
+        cents = np.floor(v * 100 + 0.5)
+        r = out[out["k"] == key].iloc[0]
+        assert r["amean_micro"] == math.floor(
+            cents.sum() / len(v) / 100.0 * 1e6 + 0.5)
+        assert abs(r["gmean_micro"]
+                   - math.floor(np.exp(np.log(v).sum() / len(v))
+                                * 1e6 + 0.5)) <= 1
+        assert abs(r["hmean_micro"]
+                   - math.floor(len(v) / (1.0 / v).sum() * 1e6 + 0.5)) <= 1
+        # AM >= GM >= HM
+        assert r["amean_micro"] >= r["gmean_micro"] >= r["hmean_micro"]
+
+    bad = pd.DataFrame({"k": ["a"], "v": [0.0]})
+    with pytest.raises(Exception):
+        grouped_means(rd.from_pandas(bad), "k", "v").to_pandas()
