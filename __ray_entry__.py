@@ -3994,6 +3994,53 @@ FROM s ORDER BY 1
 """
 
 
+def q_corpus_diff(sf_dir: str):
+    """Version diff of the documents corpus against a deterministically
+    mutated copy (drop id%7, upper-case id%5, add id%11 synthetics):
+    added/removed/changed keys only, payloads never shuffled."""
+    from markdown_lab_ray.stages.diff import dataset_diff
+
+    ds_a = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_b(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        keep = ids % 7 != 0
+        kept_ids = ids[keep]
+        kept_texts = [t.upper() if i % 5 == 0 else t
+                      for i, t in zip(ids, texts) if i % 7 != 0]
+        add = ids % 11 == 0
+        out_ids = np.concatenate([kept_ids, ids[add] + 1_000_000])
+        out_texts = kept_texts + ["synthetic-added"] * int(add.sum())
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_texts, pa.string())})
+
+    ds_b = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        make_b, batch_format="pyarrow")
+    out = dataset_diff(ds_a, ds_b, "doc_id", "text").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["status"] = out["status"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CORPUS_DIFF = """
+WITH a AS (SELECT doc_id, text AS p FROM documents),
+b AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS p
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'synthetic-added' FROM documents
+      WHERE doc_id % 11 = 0),
+d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.p <> b.p THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id, status FROM d WHERE status <> 'same' ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4099,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression": q_doc_compression,
         "collocations": q_collocations,
         "quantity_means": q_quantity_means,
+        "corpus_diff": q_corpus_diff,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4205,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_values": SQL_WINSORIZED_VALUES,
         "collocations": SQL_COLLOCATIONS,
         "quantity_means": SQL_QUANTITY_MEANS,
+        "corpus_diff": SQL_CORPUS_DIFF,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1138,3 +1138,39 @@ def test_grouped_means_matches_scipy_formulas(ray_session):
     bad = pd.DataFrame({"k": ["a"], "v": [0.0]})
     with pytest.raises(Exception):
         grouped_means(rd.from_pandas(bad), "k", "v").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# dataset_diff
+# ---------------------------------------------------------------------------
+
+def test_dataset_diff_classifies(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.diff import dataset_diff
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4], "p": ["x", "y", "z", "w"]})
+    b = pd.DataFrame({"k": [2, 3, 5], "p": ["y", "Z", "new"]})
+    out = (dataset_diff(rd.from_pandas(a).repartition(2),
+                        rd.from_pandas(b).repartition(2), "k", "p")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    got = dict(zip(out["k"], out["status"]))
+    assert got == {1: "removed", 3: "changed", 4: "removed", 5: "added"}
+
+    full = (dataset_diff(rd.from_pandas(a), rd.from_pandas(b), "k", "p",
+                         include_same=True).to_pandas())
+    assert dict(zip(full["k"], full["status"]))[2] == "same"
+
+
+def test_dataset_diff_rejects_duplicate_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.diff import dataset_diff
+
+    a = pd.DataFrame({"k": [1, 1], "p": ["x", "y"]})
+    b = pd.DataFrame({"k": [1], "p": ["x"]})
+    with pytest.raises(Exception):
+        dataset_diff(rd.from_pandas(a), rd.from_pandas(b),
+                     "k", "p").to_pandas()
