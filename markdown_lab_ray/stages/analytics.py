@@ -702,10 +702,12 @@ def funnel_steps(ds, steps, user_col: str = "user_id",
 
     Scale shape: the input is pre-filtered to the funnel's event types
     (a vectorized ``isin`` batch kernel — at web scale the funnel types
-    are a sliver of the event stream, so the single ``groupby(user)``
-    shuffle moves only relevant rows).  Each group resolves the chain
-    with one pandas pass per step (len(steps) is small and fixed);
-    output is one row per user, O(users) total.
+    are a sliver of the event stream), then ONE bucketed user shuffle;
+    inside a bucket the whole chain resolves with one groupby-min +
+    merge per step over ALL users at once (len(steps) is small and
+    fixed, no per-user group or Python loop — one Ray group per key
+    would pay per-group scheduling at 10⁸ users).  Output is one row
+    per user seen in the filtered stream, O(users) total.
     """
     import pandas as pd
     import pyarrow as pa
@@ -721,21 +723,29 @@ def funnel_steps(ds, steps, user_col: str = "user_id",
         return batch.filter(mask).select([user_col, ts_col, type_col])
 
     def chain(g: pd.DataFrame) -> pd.DataFrame:
-        done = 0
-        t = None
-        for step in steps:
+        users = pd.Index(g[user_col].unique())
+        done = pd.Series(0, index=users, dtype="int64")
+        t_prev = None
+        for depth, step in enumerate(steps):
             sub = g[g[type_col] == step]
-            if t is not None:
-                sub = sub[sub[ts_col] > t]
-            if sub.empty:
+            if depth > 0:
+                m = sub.merge(t_prev.rename("_tp"), left_on=user_col,
+                              right_index=True)
+                sub = m[m[ts_col] > m["_tp"]]
+            t = sub.groupby(user_col, sort=False)[ts_col].min()
+            if t.empty:
                 break
-            t = sub[ts_col].min()
-            done += 1
-        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
-                             "steps_completed": [done]})
+            done.loc[t.index] = depth + 1
+            t_prev = t
+        return pd.DataFrame({user_col: users.to_numpy(),
+                             "steps_completed": done.to_numpy()})
 
     slim = ds.map_batches(keep, batch_format="pyarrow")
-    return slim.groupby(user_col).map_groups(chain, batch_format="pandas")
+    tagged = slim.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets := 64)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(chain, batch_format="pandas")
 
 
 def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
