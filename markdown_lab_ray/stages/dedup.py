@@ -570,7 +570,8 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
 
 
 def connected_components_distributed(edges_ds, ids_ds=None,
-                                     max_iters: int = 64):
+                                     max_iters: int = 64,
+                                     small_cutoff: int = 2_000_000):
     """Distributed connected components over an edge Dataset (u, v) —
     alternating large-star / small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14), which converges in
@@ -692,6 +693,23 @@ def connected_components_distributed(edges_ds, ids_ds=None,
     n_edges = edges.count()
     target_blocks = max(8, min(edges.num_blocks(), 64))
     converged = n_edges == 0
+    if 0 < n_edges <= small_cutoff:
+        # Small-input fast path: with every (already block-contracted)
+        # edge in ONE block, the per-block union-find IS the global
+        # contraction — its output stars point every node at its
+        # component minimum, exactly the loop's fixpoint, in a single
+        # task instead of ~log² n alternating-star rounds (each round
+        # costs several all-to-alls; on a 500-node minhash cluster set
+        # the loop spent 60 s reaching the state this computes in one).
+        # The cutoff (~32 MB of int64 pairs) keeps the single task
+        # comfortably inside a worker's heap; beyond it the loop is the
+        # scale path, unchanged.
+        edges = (edges.repartition(1)
+                 .map_batches(local_star, batch_format="pyarrow",
+                              batch_size=None)  # the WHOLE block, never split
+                 .materialize())
+        converged = True
+        n_edges = 0  # skip the alternating-star loop below
     from ray.data.aggregate import Count
 
     def drop_count(batch: pa.Table) -> pa.Table:

@@ -22,8 +22,11 @@ def test_cc_distributed_chain_matches_union_find(ray_session):
 
     n = 100_000
     edges = pd.DataFrame({"u": np.arange(n), "v": np.arange(1, n + 1)})
+    # small_cutoff=0 forces the alternating-star LOOP (the thing this
+    # test exists to pin); the small-input fast path has its own test
     out = connected_components_distributed(
-        _rd().from_pandas(edges).repartition(8)).to_pandas()
+        _rd().from_pandas(edges).repartition(8),
+        small_cutoff=0).to_pandas()
     uf = connected_components(list(zip(edges.u, edges.v)),
                               list(range(n + 1)))
     got = dict(zip(out.node, out.label))
@@ -168,11 +171,15 @@ def test_cc_distributed_random_graph_matches_union_find(ray_session):
         "v": rng.randint(0, n_nodes, 4000),
     })
     edges = edges[edges.u != edges.v].reset_index(drop=True)
-    out = connected_components_distributed(
-        _rd().from_pandas(edges).repartition(4)).to_pandas()
     touched = sorted(set(edges.u) | set(edges.v))
     uf = connected_components(list(zip(edges.u, edges.v)), touched)
-    assert dict(zip(out.node, out.label)) == uf
+    # both paths — the single-task fast path (default cutoff) and the
+    # alternating-star loop (cutoff 0) — must match the union-find
+    for cutoff in (2_000_000, 0):
+        out = connected_components_distributed(
+            _rd().from_pandas(edges).repartition(4),
+            small_cutoff=cutoff).to_pandas()
+        assert dict(zip(out.node, out.label)) == uf
 
 
 def test_bucketed_hash_join_full_outer(ray_session):
