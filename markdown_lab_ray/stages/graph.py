@@ -66,13 +66,22 @@ def distinct_nodes(edges_ds):
 
 
 def pagerank_integer(edges_ds, n_iter: int = 3, scale: int = 10 ** 9,
-                     damping_pct: int = 85, n_buckets: int = 32):
+                     damping_pct: int = 85, n_buckets: int = 32,
+                     small_cutoff: int = 2_000_000):
     """Integer power-iteration PageRank over a deduplicated directed
     edge list Dataset with int64 columns (src, dst).
 
     Returns a Dataset of (node:int64, rank:int64), one row per
     distinct node.  Deterministic — equal to the unrolled-CTE SQL
     twin regardless of block order.
+
+    Small-graph fast path: integer arithmetic makes every iteration a
+    pure function of the edge multiset, so a graph under
+    ``small_cutoff`` edges (~32 MB of int64 pairs) runs all
+    iterations in ONE task with numpy (same floor-divisions, same
+    int64 sums — bit-identical to the distributed loop, which costs
+    3 keyed shuffles + a materialize per iteration regardless of
+    size).  Beyond the cutoff the Pregel loop below is the scale path.
     """
     from ray.data.aggregate import Count, Sum
 
@@ -82,6 +91,42 @@ def pagerank_integer(edges_ds, n_iter: int = 3, scale: int = 10 ** 9,
     # node distinct all fan out from it, and a lazy upstream (e.g. a
     # join building the edges) would otherwise re-execute per consumer
     edges_ds = edges_ds.materialize()
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        # bound check on the DRIVER (same ValueError contract as the
+        # loop path — a RayTaskError wrapper would break callers)
+        n_nodes_small = distinct_nodes(edges_ds).count()
+        if n_nodes_small * scale * 100 >= 2 ** 63:
+            max_scale = (2 ** 63) // (100 * max(n_nodes_small, 1))
+            raise ValueError(
+                f"pagerank_integer overflow risk: {n_nodes_small} nodes "
+                f"at scale={scale} exceeds int64 (n*scale*100 >= 2^63); "
+                f"pass scale <= {max_scale}")
+
+        def local_pr(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([src, dst]))
+            n = len(nodes_arr)
+            si = np.searchsorted(nodes_arr, src)
+            di = np.searchsorted(nodes_arr, dst)
+            outdeg = np.zeros(n, np.int64)
+            np.add.at(outdeg, si, 1)
+            rank = np.full(n, scale, np.int64)
+            for _ in range(n_iter):
+                contrib = (rank[si] * damping_pct) // (100 * outdeg[si])
+                inc = np.zeros(n, np.int64)
+                np.add.at(inc, di, contrib)
+                rank = base + inc
+            # node dtype follows the input (int64 part keys, string
+            # hostnames, ...) — only the ranks are fixed int64
+            return pa.table({"node": pa.array(nodes_arr),
+                             "rank": pa.array(rank, pa.int64())})
+
+        return (edges_ds.repartition(1)
+                .map_batches(local_pr, batch_format="pyarrow",
+                             batch_size=None)  # whole block, never split
+                .materialize())
 
     outdeg = edges_ds.groupby("src").aggregate(Count(alias_name="outdeg"))
     # (src, dst, outdeg) — built once, checkpointed for the loop

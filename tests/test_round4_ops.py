@@ -1174,3 +1174,25 @@ def test_dataset_diff_rejects_duplicate_keys(ray_session):
     with pytest.raises(Exception):
         dataset_diff(rd.from_pandas(a), rd.from_pandas(b),
                      "k", "p").to_pandas()
+
+
+def test_pagerank_fast_path_matches_loop(ray_session):
+    """The single-task small-graph path must be bit-identical to the
+    distributed alternating loop (exact integer arithmetic)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.graph import pagerank_integer
+
+    rng = np.random.RandomState(21)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 50, (200, 2)) if a != b})
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })).repartition(4)
+    fast = {r["node"]: r["rank"]
+            for r in pagerank_integer(ds, n_iter=3).take_all()}
+    loop = {r["node"]: r["rank"]
+            for r in pagerank_integer(ds, n_iter=3,
+                                      small_cutoff=0).take_all()}
+    assert fast == loop and len(fast) > 0
