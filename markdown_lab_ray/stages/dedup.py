@@ -828,8 +828,31 @@ def duplicate_span_stats(ds, n: int = 8, text_col: str = "text",
         return pa.table({id_col: pa.array(ids_out, pa.int64()),
                          "gh": pa.array(ghs, pa.string())})
 
+    from .bucketing import key_buckets
+
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
-    counts = sh.groupby("gh").aggregate(Count(alias_name="c"))
+
+    # exact per-shingle counts via per-batch partials + ONE bucketed
+    # shuffle (native groupby("gh").aggregate paid per-GROUP overhead:
+    # one group per distinct shingle — the distinct_count lesson)
+    def count_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            np.asarray(b.column("gh").to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table({"gh": pa.array(u, pa.string()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("gh", sort=False)["c"].sum()
+                .astype("int64").reset_index())
+
+    counts = (sh.map_batches(count_partial, batch_format="pyarrow")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df["gh"].to_numpy(), n_buckets)),
+                  batch_format="pandas")
+              .groupby("_b").map_groups(fold_counts,
+                                        batch_format="pandas"))
     joined = bucketed_hash_join(sh, counts, key="gh",
                                 n_buckets=n_buckets)
 
@@ -841,10 +864,18 @@ def duplicate_span_stats(ds, n: int = 8, text_col: str = "text",
              .groupby(id_col, sort=False).sum().reset_index())
         return g.astype({"n_p": "int64", "d_p": "int64"})
 
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, sort=False)[["n_p", "d_p"]].sum()
+               .astype("int64").reset_index()
+               .rename(columns={"n_p": "n_sh", "d_p": "n_dup"}))
+        return out
+
     stats = (joined.map_batches(per_doc_partial, batch_format="pandas")
-             .groupby(id_col)
-             .aggregate(Sum("n_p", alias_name="n_sh"),
-                        Sum("d_p", alias_name="n_dup")))
+             .map_batches(
+                 lambda df: df.assign(_b=key_buckets(
+                     df[id_col].to_numpy(), n_buckets)),
+                 batch_format="pandas")
+             .groupby("_b").map_groups(fold_doc, batch_format="pandas"))
 
     all_ids = ds.map_batches(
         lambda b: pa.table({id_col: b.column(id_col)}),
