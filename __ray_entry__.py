@@ -4041,6 +4041,35 @@ SELECT doc_id, status FROM d WHERE status <> 'same' ORDER BY doc_id
 """
 
 
+def q_revenue_gini(sf_dir: str):
+    """Gini concentration of lineitem revenue per returnflag (exact
+    integer rank-weighted sums; micro-units)."""
+    from markdown_lab_ray.stages.analytics import grouped_gini
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = grouped_gini(ds, "l_returnflag", "l_extendedprice").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_REVENUE_GINI = """
+WITH c AS (SELECT l_returnflag AS k,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+           FROM lineitem),
+r AS (SELECT k, x,
+             row_number() OVER (PARTITION BY k ORDER BY x) AS i FROM c),
+s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS iw
+      FROM r GROUP BY k)
+SELECT k AS l_returnflag, n,
+       CAST(floor(((2.0 * CAST(iw AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS gini_micro
+FROM s ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4147,6 +4176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "quantity_means": q_quantity_means,
         "corpus_diff": q_corpus_diff,
+        "revenue_gini": q_revenue_gini,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4254,6 +4284,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": SQL_COLLOCATIONS,
         "quantity_means": SQL_QUANTITY_MEANS,
         "corpus_diff": SQL_CORPUS_DIFF,
+        "revenue_gini": SQL_REVENUE_GINI,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1268,3 +1268,57 @@ def grouped_means(ds, key_col: str, value_col: str):
         })
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def grouped_gini(ds, key_col: str, value_col: str):
+    """Gini concentration index per key in integer micro-units — the
+    inequality/concentration diagnostic (revenue concentration, token
+    ownership).  ``G = (2·Σᵢ i·x₍ᵢ₎) / (n·Σx) − (n+1)/n`` over the
+    ascending sort of exact integer cents; ties contribute a fixed
+    Σi·x regardless of their order, so the statistic is deterministic
+    and SQL-replicable without a tie-break column.
+
+    Scale shape: one bucketed key shuffle of slim (key, cents) rows;
+    the in-bucket rank-weighted sum is one sort + vectorized cumsum
+    per bucket.  Int64 bound: Σ i·x ≤ n²·max_cents must fit int64 —
+    holds to ~10⁸ rows per key at 10⁷-cent values (documented, same
+    contract as grouped_pearson_corr).  Values must be ≥ 0.
+    Output: (key, n, gini_micro).
+    """
+    from .bucketing import key_buckets
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        if (v < 0).any():
+            raise ValueError("grouped_gini requires values >= 0")
+        return pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "_c": _cents(v)})
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_c"], kind="mergesort")
+        keys_out, ns, ginis = [], [], []
+        for key, grp in g.groupby(key_col, sort=False):
+            x = grp["_c"].to_numpy()
+            n = len(x)
+            sx = int(x.sum())
+            if sx == 0:
+                keys_out.append(key)
+                ns.append(n)
+                ginis.append(0)
+                continue
+            iw = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+            gval = (2.0 * float(iw)) / (float(n) * float(sx)) \
+                - (float(n) + 1.0) / float(n)
+            keys_out.append(key)
+            ns.append(n)
+            ginis.append(int(np.floor(gval * 1e6 + 0.5)))
+        return pd.DataFrame({key_col: keys_out,
+                             "n": pd.array(ns, dtype="int64"),
+                             "gini_micro": pd.array(ginis, dtype="int64")})
+
+    tagged = (ds.map_batches(slim, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), 64)),
+                  batch_format="pandas"))
+    return tagged.groupby("_b").map_groups(gini, batch_format="pandas")

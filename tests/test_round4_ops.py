@@ -1196,3 +1196,43 @@ def test_pagerank_fast_path_matches_loop(ray_session):
             for r in pagerank_integer(ds, n_iter=3,
                                       small_cutoff=0).take_all()}
     assert fast == loop and len(fast) > 0
+
+
+def test_grouped_gini_known_values(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_gini
+
+    df = pd.DataFrame({
+        # perfectly equal → 0; one-owner extreme → (n-1)/n = 0.75
+        "k": ["eq"] * 4 + ["one"] * 4,
+        "v": [5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 10.0],
+    })
+    out = (grouped_gini(rd.from_pandas(df).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    got = dict(zip(out["k"], out["gini_micro"]))
+    assert got["eq"] == 0
+    assert got["one"] == 750_000
+
+    neg = pd.DataFrame({"k": ["a"], "v": [-1.0]})
+    with pytest.raises(Exception):
+        grouped_gini(rd.from_pandas(neg), "k", "v").to_pandas()
+
+
+def test_grouped_gini_tie_order_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_gini
+
+    rng = np.random.RandomState(17)
+    vals = rng.choice([1.0, 2.0, 2.0, 5.0, 10.0], size=200)
+    outs = []
+    for seed in (1, 2):
+        perm = np.random.RandomState(seed).permutation(len(vals))
+        df = pd.DataFrame({"k": "g", "v": vals[perm]})
+        out = grouped_gini(rd.from_pandas(df).repartition(5), "k",
+                           "v").to_pandas()
+        outs.append(int(out["gini_micro"].iloc[0]))
+    assert outs[0] == outs[1]
