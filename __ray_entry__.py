@@ -4070,6 +4070,33 @@ FROM s ORDER BY 1
 """
 
 
+def q_user_burstiness(sf_dir: str):
+    """Per-user inter-arrival coefficient of variation (bot/burst
+    diagnostic; gaps from the lag_deltas shuffle, moments folded)."""
+    from markdown_lab_ray.stages.analytics import interarrival_cv
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = interarrival_cv(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_BURSTINESS = """
+WITH d AS (
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS g
+  FROM events),
+s AS (SELECT user_id, CAST(COUNT(g) AS BIGINT) AS n_gaps,
+             SUM(g) AS sd, SUM(g * g) AS sdd
+      FROM d WHERE g IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps,
+       CAST(floor(sqrt(GREATEST(sdd / n_gaps
+                                - (sd / n_gaps) * (sd / n_gaps), 0.0))
+                  / (sd / n_gaps) * 1e6 + 0.5) AS BIGINT) AS cv_micro
+FROM s WHERE sd > 0 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4177,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_means": q_quantity_means,
         "corpus_diff": q_corpus_diff,
         "revenue_gini": q_revenue_gini,
+        "user_burstiness": q_user_burstiness,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4285,6 +4313,7 @@ def oracle_sql() -> dict[str, str]:
         "quantity_means": SQL_QUANTITY_MEANS,
         "corpus_diff": SQL_CORPUS_DIFF,
         "revenue_gini": SQL_REVENUE_GINI,
+        "user_burstiness": SQL_USER_BURSTINESS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1322,3 +1322,56 @@ def grouped_gini(ds, key_col: str, value_col: str):
                       df[key_col].to_numpy(), 64)),
                   batch_format="pandas"))
     return tagged.groupby("_b").map_groups(gini, batch_format="pandas")
+
+
+def interarrival_cv(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", n_buckets: int = 64):
+    """Burstiness diagnostic: per-key coefficient of variation of
+    inter-event gaps (population std / mean, micro-units) — CV ≈ 1 is
+    Poisson-like traffic, CV ≫ 1 is bursty, CV ≈ 0 is a metronome
+    (bot signature).  Keys whose gaps sum to zero are dropped
+    (duplicate-timestamp-only histories have no rate).
+
+    Scale shape: ``lag_deltas``'s one bucketed shuffle produces the
+    gaps; per-batch (n, Σd, Σd²) partials in SECONDS (float64 — µs²
+    would overflow int64; CV is scale-invariant so exactness rides the
+    shared-expression-tree contract, micro-rounding caveat as in
+    bm25_scores) fold through one tiny keyed shuffle.
+    Output: (key, n_gaps, cv_micro).
+    """
+
+    gaps = lag_deltas(ds, key_col=key_col, ts_col=ts_col, id_col=id_col,
+                      n_buckets=n_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["delta_us"].to_numpy(dtype=np.float64) / 1e6
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "n_p": np.ones(len(d), np.int64),
+                          "sd_p": d, "sdd_p": d * d})
+        out = g.groupby(key_col, sort=False).sum().reset_index()
+        out["n_p"] = out["n_p"].astype("int64")
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key_col, sort=False).agg(
+            n=("n_p", "sum"), sd=("sd_p", "sum"),
+            sdd=("sdd_p", "sum")).reset_index()
+        n = s["n"].to_numpy(dtype=np.float64)
+        sd = s["sd"].to_numpy()
+        sdd = s["sdd"].to_numpy()
+        keep = sd > 0
+        mean = sd / n
+        var = np.maximum(sdd / n - mean * mean, 0.0)
+        cv = np.sqrt(var) / np.where(mean == 0, 1.0, mean)
+        return pd.DataFrame({
+            key_col: s[key_col].to_numpy()[keep],
+            "n_gaps": s["n"].astype("int64").to_numpy()[keep],
+            "cv_micro": np.floor(cv * 1e6 + 0.5).astype(np.int64)[keep],
+        })
+
+    tagged = (gaps.map_batches(partial, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+    return tagged.groupby("_b").map_groups(fold, batch_format="pandas")

@@ -1236,3 +1236,30 @@ def test_grouped_gini_tie_order_invariant(ray_session):
                            "v").to_pandas()
         outs.append(int(out["gini_micro"].iloc[0]))
     assert outs[0] == outs[1]
+
+
+def test_interarrival_cv_metronome_vs_bursty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import interarrival_cv
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # metronome: exact 60s gaps -> cv 0
+    for i in range(20):
+        rows.append((1, base + pd.Timedelta(seconds=60 * i), i))
+    # bursty: 10 events in 1s, then an hour gap, repeated
+    eid = 100
+    t = base
+    for burst in range(5):
+        for i in range(10):
+            rows.append((2, t + pd.Timedelta(seconds=i * 0.1), eid))
+            eid += 1
+        t += pd.Timedelta(hours=1)
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    out = (interarrival_cv(rd.from_pandas(df).repartition(4))
+           .to_pandas().set_index("user_id"))
+    assert out.loc[1, "cv_micro"] == 0
+    assert out.loc[2, "cv_micro"] > 2_000_000  # heavily bursty
+    assert out.loc[1, "n_gaps"] == 19 and out.loc[2, "n_gaps"] == 49
