@@ -4097,6 +4097,28 @@ FROM s WHERE sd > 0 ORDER BY user_id
 """
 
 
+def q_value_mad(sf_dir: str):
+    """Robust per-type location/scale: exact median + MAD of event
+    values (outlier-resistant twin of the z-score family)."""
+    from markdown_lab_ray.stages.analytics import grouped_mad
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_mad(ds, "event_type", "value").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_MAD = """
+WITH m AS (SELECT event_type, median(value) AS med FROM events
+           GROUP BY event_type),
+d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN m USING (event_type))
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(ANY_VALUE(med), 6) AS median,
+       round(median(dev), 6) AS mad
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4205,6 +4227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "revenue_gini": q_revenue_gini,
         "user_burstiness": q_user_burstiness,
+        "value_mad": q_value_mad,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4314,6 +4337,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": SQL_CORPUS_DIFF,
         "revenue_gini": SQL_REVENUE_GINI,
         "user_burstiness": SQL_USER_BURSTINESS,
+        "value_mad": SQL_VALUE_MAD,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1375,3 +1375,37 @@ def interarrival_cv(ds, key_col: str = "user_id", ts_col: str = "ts",
                       df[key_col].to_numpy(), n_buckets)),
                   batch_format="pandas"))
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+
+
+def grouped_mad(ds, key_col: str, value_col: str, n_buckets: int = 64):
+    """Robust per-key location/scale: exact median and MAD (median
+    absolute deviation) in 6-dp-rounded units — the outlier-resistant
+    counterpart of ``zscore_outliers``'s mean/std.
+
+    Scale shape: one bucketed key shuffle; each key's values sort once
+    inside the bucket and both medians come from the same array (the
+    usual one-key-fits-one-worker contract of the ordered family).
+    Interpolation matches SQL ``median`` (mean of the middle two).
+    Output: (key, n, median, mad).
+    """
+    from .bucketing import key_buckets
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, ns, meds, mads = [], [], [], []
+        for key, grp in g.groupby(key_col, sort=False):
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            med = float(np.median(v))
+            mad = float(np.median(np.abs(v - med)))
+            keys_out.append(key)
+            ns.append(len(v))
+            meds.append(round(med, 6))
+            mads.append(round(mad, 6))
+        return pd.DataFrame({key_col: keys_out,
+                             "n": pd.array(ns, dtype="int64"),
+                             "median": meds, "mad": mads})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(stats, batch_format="pandas")

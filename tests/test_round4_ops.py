@@ -1263,3 +1263,23 @@ def test_interarrival_cv_metronome_vs_bursty(ray_session):
     assert out.loc[1, "cv_micro"] == 0
     assert out.loc[2, "cv_micro"] > 2_000_000  # heavily bursty
     assert out.loc[1, "n_gaps"] == 19 and out.loc[2, "n_gaps"] == 49
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_mad
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({"k": ["a"] * 101 + ["b"] * 100,
+                       "v": np.round(rng.normal(50, 10, 201), 2)})
+    out = (grouped_mad(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().set_index("k"))
+    for key in ("a", "b"):
+        v = df[df["k"] == key]["v"].to_numpy()
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        assert out.loc[key, "median"] == round(float(med), 6)
+        assert out.loc[key, "mad"] == round(float(mad), 6)
+        assert out.loc[key, "n"] == len(v)
