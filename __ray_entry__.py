@@ -4119,6 +4119,29 @@ FROM d GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_user_type_entropy(sf_dir: str):
+    """Behavioral-diversity entropy of event types per user (micro-
+    nats; per-batch count partials, one bucketed key shuffle)."""
+    from markdown_lab_ray.stages.analytics import grouped_cat_entropy
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_cat_entropy(ds, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_TYPE_ENTROPY = """
+WITH cnt AS (SELECT user_id, event_type,
+                    CAST(COUNT(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, SUM(c) AS n, SUM(c * ln(c)) AS s FROM cnt
+        GROUP BY user_id)
+SELECT user_id,
+       CAST(floor((ln(n) - s / n) * 1e6 + 0.5) AS BIGINT)
+           AS entropy_micro
+FROM tot ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4228,6 +4251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": q_revenue_gini,
         "user_burstiness": q_user_burstiness,
         "value_mad": q_value_mad,
+        "user_type_entropy": q_user_type_entropy,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4338,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_gini": SQL_REVENUE_GINI,
         "user_burstiness": SQL_USER_BURSTINESS,
         "value_mad": SQL_VALUE_MAD,
+        "user_type_entropy": SQL_USER_TYPE_ENTROPY,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

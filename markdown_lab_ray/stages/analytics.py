@@ -1409,3 +1409,45 @@ def grouped_mad(ds, key_col: str, value_col: str, n_buckets: int = 64):
                                             n_buckets)),
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(stats, batch_format="pandas")
+
+
+def grouped_cat_entropy(ds, key_col: str, cat_col: str,
+                        n_buckets: int = 64):
+    """Shannon entropy of a categorical column per key, integer
+    micro-nats — behavioral diversity (a user who only ever emits one
+    event type scores 0; uniform over k types scores ln k).
+
+    Scale shape: per-batch (key, cat) partial counts collapse each
+    block before ONE bucketed key shuffle; the in-bucket fold derives
+    ``H = ln(N) − (Σ c·ln c)/N`` per key from exact global counts
+    (all of a key's categories land in its bucket).  Same expression
+    tree as the SQL twin.  Output: (key, entropy_micro).
+    """
+    from .bucketing import key_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([key_col, cat_col], sort=False)
+               .size().rename("_c").astype("int64").reset_index())
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby([key_col, cat_col], sort=False)["_c"].sum()
+               .astype("int64").reset_index())
+        c = cnt["_c"].to_numpy(dtype=np.float64)
+        part = pd.DataFrame({key_col: cnt[key_col],
+                             "_n": cnt["_c"].astype("int64"),
+                             "_s": c * np.log(c)})
+        s = part.groupby(key_col, sort=False).agg(
+            n=("_n", "sum"), sv=("_s", "sum")).reset_index()
+        n = s["n"].to_numpy(dtype=np.float64)
+        h = np.log(n) - s["sv"].to_numpy() / n
+        return pd.DataFrame({
+            key_col: s[key_col],
+            "entropy_micro": np.floor(h * 1e6 + 0.5).astype(np.int64)})
+
+    tagged = (ds.map_batches(partial, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+    return tagged.groupby("_b").map_groups(fold, batch_format="pandas")

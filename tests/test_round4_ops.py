@@ -1283,3 +1283,23 @@ def test_grouped_mad_matches_numpy(ray_session):
         assert out.loc[key, "median"] == round(float(med), 6)
         assert out.loc[key, "mad"] == round(float(mad), 6)
         assert out.loc[key, "n"] == len(v)
+
+
+def test_grouped_cat_entropy_known(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.analytics import grouped_cat_entropy
+
+    df = pd.DataFrame({
+        "user_id": [1] * 8 + [2] * 4,
+        "event_type": ["a"] * 8 + ["a", "b", "c", "d"],
+    })
+    out = (grouped_cat_entropy(rd.from_pandas(df).repartition(3),
+                               "user_id", "event_type")
+           .to_pandas().set_index("user_id"))
+    assert out.loc[1, "entropy_micro"] == 0
+    assert abs(out.loc[2, "entropy_micro"]
+               - math.floor(math.log(4) * 1e6 + 0.5)) <= 1
