@@ -4142,6 +4142,195 @@ FROM tot ORDER BY user_id
 """
 
 
+
+def q_daily_revenue(sf_dir: str):
+    """Gap-filled daily revenue: dense calendar spine between min and
+    max order dates, missing days zero-filled (exact cents)."""
+    from markdown_lab_ray.stages.analytics import date_spine_fill
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    out = date_spine_fill(ds, "o_orderdate", "o_totalprice").to_pandas()
+    return out.sort_values("day_id").reset_index(drop=True)
+
+
+SQL_DAILY_REVENUE = """
+WITH d AS (SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS day_id,
+                  CAST(o_orderdate AS DATE) AS day,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+agg AS (SELECT day, MIN(day_id) AS day_id, SUM(cents) AS revenue_cents
+        FROM d GROUP BY day),
+spine AS (SELECT CAST(unnest(generate_series(
+                 (SELECT MIN(day) FROM agg),
+                 (SELECT MAX(day) FROM agg),
+                 INTERVAL 1 DAY)) AS DATE) AS day)
+SELECT CAST(strftime(s.day, '%Y%m%d') AS BIGINT) AS day_id,
+       CAST(COALESCE(a.revenue_cents, 0) AS BIGINT) AS revenue_cents
+FROM spine s LEFT JOIN agg a USING (day) ORDER BY day_id
+"""
+
+
+def q_state_dwell(sf_dir: str):
+    """Dwell-time attribution: total µs each event type was the user's
+    current state (gap to the same user's next event)."""
+    from markdown_lab_ray.stages.analytics import state_dwell_time
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    out = state_dwell_time(ds).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_STATE_DWELL = """
+WITH g AS (SELECT event_type, ts,
+                  LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type, CAST(COUNT(nxt) AS BIGINT) AS n_gaps,
+       CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS dwell_us
+FROM g WHERE nxt IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit distribution of order totals
+    (exact cents, string-derived digit)."""
+    from markdown_lab_ray.stages.analytics import benford_first_digit
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = benford_first_digit(ds, "o_totalprice").to_pandas()
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c WHERE cents > 0 GROUP BY digit ORDER BY digit
+"""
+
+
+def q_robust_outliers(sf_dir: str):
+    """Events more than 3 MADs from their type's median — the
+    heavy-tail-safe outlier gate (unrounded median/MAD comparison)."""
+    from markdown_lab_ray.stages.analytics import mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = mad_outliers(ds, "event_type", "value", "event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH m AS (SELECT event_type, median(value) AS med FROM events
+           GROUP BY event_type),
+d AS (SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)),
+s AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value
+FROM d JOIN s USING (event_type)
+WHERE s.mad > 0 AND d.dev > 3 * s.mad
+ORDER BY event_id
+"""
+
+
+def q_degree_histogram(sf_dir: str):
+    """Supplier-degree distribution of parts: how many parts have k
+    distinct suppliers (pair dedup combiner, one node shuffle)."""
+    from markdown_lab_ray.stages.graph import degree_histogram
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    out = degree_histogram(ds, "l_partkey", "l_suppkey").to_pandas()
+    return out.sort_values("degree").reset_index(drop=True)
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH deg AS (SELECT l_partkey,
+                    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS degree
+             FROM lineitem GROUP BY l_partkey)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """Mutuality of the event-transition graph: fraction of distinct
+    non-loop (a -> b) transitions whose reverse also occurs."""
+    from markdown_lab_ray.stages.analytics import event_transitions
+    from markdown_lab_ray.stages.graph import edge_reciprocity
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    edges = event_transitions(ds)
+    return edge_reciprocity(edges).to_pandas()
+
+
+SQL_EDGE_RECIPROCITY = """
+WITH t AS (SELECT event_type AS a,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS b
+           FROM events),
+e AS (SELECT DISTINCT a, b FROM t WHERE b IS NOT NULL AND a <> b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_reciprocal,
+       round(SUM(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS reciprocity
+FROM e LEFT JOIN e r ON r.a = e.b AND r.b = e.a
+"""
+
+
+def q_event_debounce(sf_dir: str):
+    """Debounced event stream: first event per user per 5-minute
+    tumbling window (per-batch combiner, one user shuffle)."""
+    from markdown_lab_ray.stages.windows import debounce_keep_first
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    out = debounce_keep_first(ds).to_pandas()
+    out["ts_us"] = (out.pop("ts").to_numpy()
+                    .astype("datetime64[us]").astype("int64"))
+    out = out[["event_id", "user_id", "ts_us", "event_type"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENT_DEBOUNCE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, epoch_us(ts) // 300000000
+      ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def q_hapax_rate(sf_dir: str):
+    """Hapax-legomena rate per language: share of the distinct
+    vocabulary occurring exactly once (long-tail freshness signal)."""
+    from markdown_lab_ray.stages.text import hapax_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = hapax_stats(ds).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_HAPAX_RATE = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        GROUP BY 1, 2),
+agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM cnt GROUP BY lang)
+SELECT lang, n_terms, n_hapax,
+       CAST(floor(n_hapax / n_terms * 1e6 + 0.5) AS BIGINT) AS hapax_micro
+FROM agg ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4252,6 +4441,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": q_user_burstiness,
         "value_mad": q_value_mad,
         "user_type_entropy": q_user_type_entropy,
+        "daily_revenue": q_daily_revenue,
+        "state_dwell": q_state_dwell,
+        "benford_digits": q_benford_digits,
+        "robust_outliers": q_robust_outliers,
+        "degree_histogram": q_degree_histogram,
+        "edge_reciprocity": q_edge_reciprocity,
+        "event_debounce": q_event_debounce,
+        "hapax_rate": q_hapax_rate,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4363,6 +4560,14 @@ def oracle_sql() -> dict[str, str]:
         "user_burstiness": SQL_USER_BURSTINESS,
         "value_mad": SQL_VALUE_MAD,
         "user_type_entropy": SQL_USER_TYPE_ENTROPY,
+        "daily_revenue": SQL_DAILY_REVENUE,
+        "state_dwell": SQL_STATE_DWELL,
+        "benford_digits": SQL_BENFORD_DIGITS,
+        "robust_outliers": SQL_ROBUST_OUTLIERS,
+        "degree_histogram": SQL_DEGREE_HISTOGRAM,
+        "edge_reciprocity": SQL_EDGE_RECIPROCITY,
+        "event_debounce": SQL_EVENT_DEBOUNCE,
+        "hapax_rate": SQL_HAPAX_RATE,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

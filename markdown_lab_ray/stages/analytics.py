@@ -1451,3 +1451,153 @@ def grouped_cat_entropy(ds, key_col: str, cat_col: str,
                       df[key_col].to_numpy(), n_buckets)),
                   batch_format="pandas"))
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+
+
+def date_spine_fill(ds, date_col: str, value_col: str):
+    """Gap-filled daily revenue: one row per calendar day between the
+    corpus min and max dates, missing days zero-filled — the dense
+    date spine every time-series consumer (forecasts, charts, anomaly
+    windows) wants instead of a sparse day list.
+
+    Scale shape: per-batch (epoch-day, cents) partials collapse each
+    block before ONE keyed shuffle whose group count is bounded by the
+    CALENDAR (days in range), not the data; the spine generation +
+    zero-fill then runs in a single ``repartition(1)`` task over the
+    O(days) aggregate — the driver never holds it.  Output:
+    (day_id int64 YYYYMMDD, revenue_cents int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        us = pc.cast(batch.column(date_col), pa.int64()).to_numpy()
+        day = us // 86_400_000_000  # µs → epoch days (positive range)
+        cents = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"_day": day, "_c": cents})
+        g = df.groupby("_day", sort=False)["_c"].sum().reset_index()
+        return pa.table({"_day": pa.array(g["_day"], pa.int64()),
+                         "_c": pa.array(g["_c"], pa.int64())})
+
+    def fill(batch: pa.Table) -> pa.Table:
+        day = batch.column("_day").to_numpy(zero_copy_only=False)
+        cents = batch.column("_s").to_numpy(zero_copy_only=False)
+        spine = np.arange(day.min(), day.max() + 1, dtype=np.int64)
+        filled = np.zeros(len(spine), dtype=np.int64)
+        filled[day - day.min()] = cents
+        ids = (pd.to_datetime(spine, unit="D").strftime("%Y%m%d")
+               .astype(np.int64))
+        return pa.table({"day_id": pa.array(ids, pa.int64()),
+                         "revenue_cents": pa.array(filled, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("_day").aggregate(Sum("_c", alias_name="_s")))
+    return agg.repartition(1).map_batches(fill, batch_format="pyarrow")
+
+
+def state_dwell_time(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     state_col: str = "event_type",
+                     id_col: str = "event_id", n_buckets: int = 64):
+    """Dwell-time attribution: total microseconds each state (event
+    type) was "active" — the gap from an event to the SAME user's next
+    event is attributed to the earlier event's type.  The funnel-era
+    question "where do users spend their time?" as one exact integer.
+
+    Scale shape: ONE bucketed user shuffle; gaps are derived with a
+    vectorized sort + shift inside the bucket (no per-user Python
+    group), then collapsed to per-state partials so the final native
+    groupby sees a bounded alphabet.  Ties in ``ts`` break on the id
+    column in both engines.  Output: (state, n_gaps, dwell_us).
+    """
+    from ray.data.aggregate import Sum
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = (g[key_col].to_numpy()[1:] == g[key_col].to_numpy()[:-1])
+        gap = us[1:] - us[:-1]
+        st = g[state_col].to_numpy()[:-1][same]
+        gap = gap[same]
+        out = pd.DataFrame({state_col: st, "_gap": gap})
+        p = out.groupby(state_col, sort=False).agg(
+            _n=("_gap", "size"), _s=("_gap", "sum")).reset_index()
+        p["_n"] = p["_n"].astype("int64")
+        p["_s"] = p["_s"].astype("int64")
+        return p
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    parts = tagged.groupby("_b").map_groups(gaps, batch_format="pandas")
+    out = parts.groupby(state_col).aggregate(
+        Sum("_n", alias_name="n_gaps"), Sum("_s", alias_name="dwell_us"))
+    return out.map_batches(
+        lambda df: df.astype({"n_gaps": "int64", "dwell_us": "int64"}),
+        batch_format="pandas")
+
+
+def benford_first_digit(ds, value_col: str):
+    """First-significant-digit distribution of a positive currency
+    column in exact integer cents — the classic Benford's-law fraud /
+    data-quality screen (organic magnitudes lean toward digit 1;
+    synthetic or capped data flattens).
+
+    Scale shape: per-batch digit counts (a 9-slot partial per block)
+    → one native groupby over a 9-row key space.  The digit is taken
+    from the decimal string, not ``log10`` (float log is off-by-one at
+    exact powers of ten).  Output: (digit int64 1-9, n int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        cents = cents[cents > 0]
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        g = first.value_counts().sort_index()
+        return pa.table({"digit": pa.array(g.index.to_numpy(np.int64)),
+                         "_n": pa.array(g.to_numpy(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("_n", alias_name="n")))
+    return out.map_batches(lambda df: df.astype({"n": "int64"}),
+                           batch_format="pandas")
+
+
+def mad_outliers(ds, key_col: str, value_col: str, id_col: str,
+                 k: float = 3.0, n_buckets: int = 64):
+    """Robust outlier gate: rows whose value sits more than ``k`` MADs
+    from their key's median — the filter that survives the heavy tails
+    that break the z-score gate (mean/std are themselves dragged by
+    the outliers they're meant to catch).
+
+    Scale shape: ONE bucketed key shuffle; each key's median/MAD come
+    from one in-bucket sort and the gate applies vectorized to the
+    same rows (no second pass over the data, no broadcast of per-key
+    stats).  Keys with MAD = 0 emit nothing (every value identical —
+    no scale to judge against).  The comparison uses the UNROUNDED
+    median/MAD so both engines evaluate the identical IEEE expression.
+    Output: (id, key, value) for flagged rows.
+    """
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, grp in g.groupby(key_col, sort=False):
+            v = grp[value_col].to_numpy(dtype=np.float64)
+            med = float(np.median(v))
+            mad = float(np.median(np.abs(v - med)))
+            if mad <= 0.0:
+                continue
+            mask = np.abs(v - med) > k * mad
+            if mask.any():
+                outs.append(grp.loc[mask, [id_col, key_col, value_col]])
+        if not outs:
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 key_col: pd.array([], dtype="string"),
+                                 value_col: pd.array([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(gate, batch_format="pandas")

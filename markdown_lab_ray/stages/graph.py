@@ -506,3 +506,96 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3, n_buckets: int = 32):
             break
 
     return settled
+
+
+def degree_histogram(ds, node_col: str, neigh_col: str,
+                     n_buckets: int = 64):
+    """Degree-distribution histogram: for each node, its DISTINCT
+    neighbor count, then how many nodes share each degree — the
+    shape diagnostic that separates a power-law link graph from a
+    uniform one (and flags super-nodes before they skew a shuffle).
+
+    Scale shape: per-batch pair dedup (a true combiner), ONE bucketed
+    node shuffle, in-bucket exact distinct counts, then per-bucket
+    (degree, n) partials into a native groupby whose key space is the
+    bounded degree range — raw pairs cross the wire once.
+    Output: (degree int64, n_nodes int64).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .bucketing import key_buckets
+
+    def dedup_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df[[node_col, neigh_col]].drop_duplicates()
+        return out.assign(_b=key_buckets(out[node_col].to_numpy(),
+                                         n_buckets))
+
+    def degrees(g: "pd.DataFrame") -> "pd.DataFrame":
+        deg = (g.drop_duplicates([node_col, neigh_col])
+               .groupby(node_col, sort=False)[neigh_col].size())
+        part = deg.value_counts().sort_index()
+        return pd.DataFrame({
+            "degree": part.index.to_numpy(np.int64),
+            "_n": part.to_numpy(np.int64)})
+
+    part = (ds.map_batches(dedup_partial, batch_format="pandas")
+            .groupby("_b").map_groups(degrees, batch_format="pandas"))
+    out = part.groupby("degree").aggregate(Sum("_n", alias_name="n_nodes"))
+    return out.map_batches(lambda df: df.astype({"n_nodes": "int64"}),
+                           batch_format="pandas")
+
+
+def edge_reciprocity(edges_ds, src_col: str = "from_type",
+                     dst_col: str = "to_type", n_buckets: int = 32):
+    """Reciprocity of a directed edge set: the fraction of distinct
+    non-loop edges (a→b, a≠b) whose reverse (b→a) also exists — the
+    mutuality score of a transition / follow / link graph.
+
+    Scale shape: each directed edge maps to its undirected key
+    (lo, hi) plus a direction bit; ONE bucketed shuffle on the
+    undirected key co-locates both directions, the in-bucket fold
+    counts pairs with both bits present, and only O(buckets) partial
+    rows reach the final single-task finish.  Input edges must be
+    DISTINCT (e.g. ``event_transitions`` output).
+    Output: one row (n_edges, n_reciprocal, reciprocity 6-dp).
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        a = df[src_col].astype(str)
+        b = df[dst_col].astype(str)
+        keep = (a != b).to_numpy()
+        a, b = a[keep], b[keep]
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        fwd = (a <= b).to_numpy()
+        # "string" dtype (not object) so Ray can size zero-row blocks
+        ukey = (pd.Series(lo) + "\x1f" + pd.Series(hi)).astype("string")
+        return pd.DataFrame({"_u": ukey, "_fwd": fwd,
+                             "_b": key_buckets(ukey.to_numpy(), n_buckets)})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        per = g.groupby("_u", sort=False)["_fwd"].agg(["size", "sum"])
+        both = int((np.minimum(per["sum"], per["size"] - per["sum"]) > 0)
+                   .sum())
+        return pd.DataFrame({"_edges": pd.array([int(per["size"].sum())],
+                                                dtype="int64"),
+                             "_recip": pd.array([2 * both], dtype="int64")})
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        n_edges = int(df["_edges"].sum())
+        n_recip = int(df["_recip"].sum())
+        frac = round(n_recip / n_edges, 6) if n_edges else 0.0
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_reciprocal": pa.array([n_recip], pa.int64()),
+                         "reciprocity": pa.array([frac], pa.float64())})
+
+    part = (edges_ds.map_batches(tag, batch_format="pandas")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    return part.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -673,3 +673,71 @@ def pmi_collocations(ds, min_count: int = 5, text_col: str = "text",
             "pmi_micro": np.floor(pmi * 1e6 + 0.5).astype(np.int64)})
 
     return with_cy.map_batches(finish, batch_format="pandas")
+
+
+def hapax_stats(ds, group_col: str = "lang", text_col: str = "text",
+                n_buckets: int = 64):
+    """Hapax-legomena rate per group: the fraction of a language's
+    DISTINCT vocabulary that occurs exactly once in the corpus — high
+    hapax = fresh long-tail text, collapsing hapax = template spam /
+    dedup failure.  Companion diagnostic to ``group_token_entropy``
+    (same whitespace tokenizer, same oracle contract).
+
+    Scale shape: per-batch (group, term) partial counts → ONE bucketed
+    shuffle keyed on the (group, term) cell (exact global counts) →
+    per-bucket (n_terms, n_hapax) partials → native groupby over the
+    bounded group alphabet.  Output: (group, n_terms int64,
+    n_hapax int64, hapax_micro int64 = round(hapax/terms·1e6)).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .bucketing import key_buckets
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        acc: "Counter" = Counter()
+        for grp, text in zip(batch.column(group_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            for t in (text or "").strip().lower().split():
+                acc[(grp, t)] += 1
+        groups, terms, cs = [], [], []
+        for (grp, t), c in acc.items():
+            groups.append(grp)
+            terms.append(t)
+            cs.append(c)
+        return pa.table({group_col: pa.array(groups, pa.string()),
+                         "_term": pa.array(terms, pa.string()),
+                         "_c": pa.array(cs, pa.int64())})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        cnt = (g.groupby([group_col, "_term"], sort=False)["_c"].sum()
+               .reset_index())
+        part = cnt.groupby(group_col, sort=False).agg(
+            _terms=("_c", "size"),
+            _hapax=("_c", lambda s: int((s == 1).sum()))).reset_index()
+        part["_terms"] = part["_terms"].astype("int64")
+        part["_hapax"] = part["_hapax"].astype("int64")
+        return part
+
+    def cell_buckets(df: "pd.DataFrame") -> "pd.DataFrame":
+        cell = (df[group_col].astype(str) + "\x1f" + df["_term"])
+        return df.assign(_b=key_buckets(cell.to_numpy(), n_buckets))
+
+    part = (ds.map_batches(counts_partial, batch_format="pyarrow")
+            .map_batches(cell_buckets, batch_format="pandas")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    agg = part.groupby(group_col).aggregate(
+        Sum("_terms", alias_name="n_terms"),
+        Sum("_hapax", alias_name="n_hapax"))
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        rate = np.floor(df["n_hapax"].to_numpy(np.float64)
+                        / df["n_terms"].to_numpy(np.float64) * 1e6
+                        + 0.5).astype(np.int64)
+        return df.assign(n_terms=df["n_terms"].astype("int64"),
+                         n_hapax=df["n_hapax"].astype("int64"),
+                         hapax_micro=rate)
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -55,3 +55,44 @@ def sliding_window_agg(ds, window_us: int, step_us: int,
         return df
 
     return out.map_batches(round_batch, batch_format="pandas")
+
+
+def debounce_keep_first(ds, key_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        window_us: int = 300_000_000,
+                        extra_cols: tuple = ("event_type",),
+                        n_buckets: int = 64):
+    """Event debounce / throttle: keep only the FIRST event per key per
+    tumbling window (default 5 min) — the stream-cleaning gate that
+    collapses double-clicks, retry storms and bot bursts before any
+    downstream count trusts the data.
+
+    Scale shape: a per-batch keep-first on (key, window) is a TRUE
+    combiner (at most one survivor per cell per block), so the single
+    bucketed key shuffle moves only pre-thinned rows; the in-bucket
+    fold re-applies the same exact rule.  "First" = min (ts, id) —
+    deterministic under ts ties in both engines.
+    Output: (id, key, ts, *extra_cols) of kept rows.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    cols = [id_col, key_col, ts_col, *extra_cols]
+
+    def first_per_cell(df: "pd.DataFrame") -> "pd.DataFrame":
+        w = (df[ts_col].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // window_us)
+        out = (df.assign(_w=w)
+               .sort_values([ts_col, id_col], kind="mergesort")
+               .drop_duplicates([key_col, "_w"], keep="first"))
+        return out[cols + ["_w"]]
+
+    tagged = (ds.map_batches(first_per_cell, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+    kept = tagged.groupby("_b").map_groups(
+        lambda g: first_per_cell(g)[cols], batch_format="pandas")
+    return kept
