@@ -4331,6 +4331,173 @@ FROM agg ORDER BY lang
 """
 
 
+
+def q_asof_forward(sf_dir: str):
+    """Forward as-of join: each view event picks the same user's NEXT
+    purchase at or after it (direction="forward" of the same bucketed
+    one-shuffle kernel as ``asof_join``) — the time-to-next-purchase
+    lookup.  The purchase side pre-compacts to one row per (user, ts)
+    (Min event id) so as-of ties are deterministic on both engines."""
+    from ray.data.aggregate import Min
+
+    from markdown_lab_ray.stages.joins import bucketed_asof_join
+
+    def views(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "view")
+        f = b.filter(keep)
+        return pa.table({"event_id": f["event_id"],
+                         "user_id": f["user_id"],
+                         "ts_us": pc.cast(f["ts"], pa.int64())})
+
+    def purchases(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        f = b.filter(keep)
+        return pa.table({"user_id": f["user_id"],
+                         "pts_us": pc.cast(f["ts"], pa.int64()),
+                         "p_event_id": f["event_id"]})
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    left = (_read(sf_dir, "events", cols)
+            .map_batches(views, batch_format="pyarrow"))
+    right = (_read(sf_dir, "events", cols)
+             .map_batches(purchases, batch_format="pyarrow")
+             .groupby(["user_id", "pts_us"])
+             .aggregate(Min("p_event_id", alias_name="purchase_id")))
+    out = bucketed_asof_join(left, right, key="user_id",
+                             left_on="ts_us", right_on="pts_us",
+                             n_buckets=16, direction="forward")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "next_purchase_us": b["pts_us"].combine_chunks()
+                                           .cast(pa.int64()),
+            "purchase_id": b["purchase_id"].combine_chunks()
+                                           .cast(pa.int64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_ASOF_FORWARD = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS pts_us,
+         min(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT v.event_id, v.user_id, p.pts_us AS next_purchase_us,
+       p.purchase_id
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'view') v
+ASOF JOIN p ON v.user_id = p.user_id AND v.ts_us <= p.pts_us
+"""
+
+
+def q_discovery_curve(sf_dir: str):
+    """Running distinct-event-type count per user at every event (the
+    novelty/exploration curve; windowed COUNT DISTINCT twin)."""
+    from markdown_lab_ray.stages.analytics import discovery_curve
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    out = discovery_curve(ds, "user_id", "event_type", "ts",
+                          "event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_DISCOVERY_CURVE = """
+SELECT event_id, user_id, CAST(n_distinct AS BIGINT) AS n_distinct FROM (
+  SELECT event_id, user_id,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS n_distinct
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events))
+ORDER BY event_id
+"""
+
+
+def q_chi_square(sf_dir: str):
+    """Chi-square independence of event type vs weekday (exact integer
+    contingency counts, zero cells included)."""
+    from markdown_lab_ray.stages.analytics import chi_square_independence
+
+    def weekday(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "weekday": pc.cast(pc.strftime(b["ts"], format="%w"),
+                               pa.int64())})
+
+    ds = (_read(sf_dir, "events", ["event_type", "ts"])
+          .map_batches(weekday, batch_format="pyarrow"))
+    return chi_square_independence(ds, "event_type", "weekday")
+
+
+SQL_CHI_SQUARE = """
+WITH obs AS (SELECT event_type AS a,
+                    CAST(strftime(ts, '%w') AS BIGINT) AS b,
+                    CAST(COUNT(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+aa AS (SELECT DISTINCT a FROM obs), bb AS (SELECT DISTINCT b FROM obs),
+grid AS (SELECT a, b FROM aa CROSS JOIN bb),
+fgrid AS (SELECT g.a, g.b, CAST(COALESCE(o.c, 0) AS DOUBLE) AS c
+          FROM grid g LEFT JOIN obs o ON o.a = g.a AND o.b = g.b),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM fgrid),
+rt AS (SELECT a, CAST(SUM(c) AS DOUBLE) AS r FROM fgrid GROUP BY a),
+ct AS (SELECT b, CAST(SUM(c) AS DOUBLE) AS col FROM fgrid GROUP BY b)
+SELECT CAST(floor(SUM((f.c - rt.r * ct.col / tot.n) ^ 2
+                      / (rt.r * ct.col / tot.n)) * 1e6 + 0.5) AS BIGINT)
+           AS chi2_micro,
+       CAST((SELECT COUNT(*) - 1 FROM aa)
+            * (SELECT COUNT(*) - 1 FROM bb) AS BIGINT) AS dof,
+       CAST(tot.n AS BIGINT) AS n
+FROM fgrid f JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+GROUP BY tot.n
+"""
+
+
+def q_kmeans_assign(sf_dir: str):
+    """K-means E-step: nearest of 8 deterministic centroids (the 8
+    lowest vec_ids) per embedding — broadcast centroid matrix, one
+    vectorized distance pass, no shuffle."""
+    from markdown_lab_ray.stages.similarity import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = ds.sort("vec_id").limit(8).take_all()
+    cents = np.asarray([r["embedding"] for r in seed_rows],
+                       dtype=np.float64)
+    cids = np.asarray([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    out = kmeans_assign(ds, cents, cids).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_KMEANS_ASSIGN = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+d AS (SELECT e.vec_id, c.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+      FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cid AS centroid, round(dist, 6) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn FROM d)
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def q_image_channel_stats(sf_dir: str):
+    """Per-channel pixel mean/std normalization constants over the
+    synthetic image table (exact integer moments; rows-only — bytes
+    aren't SQL-reachable)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import channel_stats
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    return channel_stats(ds)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4449,6 +4616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_reciprocity": q_edge_reciprocity,
         "event_debounce": q_event_debounce,
         "hapax_rate": q_hapax_rate,
+        "asof_forward": q_asof_forward,
+        "discovery_curve": q_discovery_curve,
+        "chi_square": q_chi_square,
+        "kmeans_assign": q_kmeans_assign,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4458,6 +4629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
+        "image_channel_stats": q_image_channel_stats,
         "crawl_host_rank": q_crawl_host_rank,
         "lm_perplexity": q_lm_perplexity,
         "embedding_project": q_embedding_project,
@@ -4568,6 +4740,10 @@ def oracle_sql() -> dict[str, str]:
         "edge_reciprocity": SQL_EDGE_RECIPROCITY,
         "event_debounce": SQL_EVENT_DEBOUNCE,
         "hapax_rate": SQL_HAPAX_RATE,
+        "asof_forward": SQL_ASOF_FORWARD,
+        "discovery_curve": SQL_DISCOVERY_CURVE,
+        "chi_square": SQL_CHI_SQUARE,
+        "kmeans_assign": SQL_KMEANS_ASSIGN,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1601,3 +1601,79 @@ def mad_outliers(ds, key_col: str, value_col: str, id_col: str,
                                             n_buckets)),
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(gate, batch_format="pandas")
+
+
+def discovery_curve(ds, key_col: str, cat_col: str, ts_col: str,
+                    id_col: str, n_buckets: int = 64):
+    """Discovery curve: for every event, how many DISTINCT categories
+    its key had seen up to and including that event — the running
+    novelty measure behind "users stop exploring after day 3" and
+    crawl-frontier diversity tracking.  (SQL has no windowed
+    COUNT(DISTINCT); the twin is a first-occurrence flag + running
+    sum.)
+
+    Scale shape: ONE bucketed key shuffle; inside the bucket the
+    first-occurrence flags and the per-key cumulative sum are single
+    vectorized passes over the (key, ts, id)-sorted frame.  Ordering
+    ties break on the id column in both engines.
+    Output: (id, key, n_distinct int64).
+    """
+
+    def curve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        first = ~g.duplicated([key_col, cat_col])
+        run = (first.astype("int64").groupby(g[key_col].to_numpy())
+               .cumsum())
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "n_distinct": run.to_numpy()})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(curve, batch_format="pandas")
+
+
+def chi_square_independence(ds, a_col: str, b_col: str):
+    """Pearson chi-square independence statistic over a two-way
+    contingency table — "is event type independent of weekday?" as one
+    number (plus the table's dof and n).  The drift / bias screen a
+    training-data pipeline runs before trusting a sampling strategy.
+
+    Scale shape: per-batch (a, b) partial counts → one native groupby
+    over the bounded |A|×|B| cell space → single-task finish that
+    derives the statistic from EXACT integer cell counts.  Cells are
+    summed in sorted (a, b) order; like the other *_micro operators,
+    only float summation order vs the SQL twin can differ (micro-
+    rounding note as in ``bm25_scores``).
+    Output: one row (chi2_micro int64, dof int64, n int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([a_col, b_col], sort=False)
+               .size().rename("_c").astype("int64").reset_index())
+        return out
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values([a_col, b_col])
+        piv = df.pivot_table(index=a_col, columns=b_col, values="_n",
+                             fill_value=0, aggfunc="sum")
+        obs = piv.to_numpy(dtype=np.float64)
+        n = obs.sum()
+        row = obs.sum(axis=1, keepdims=True)
+        col = obs.sum(axis=0, keepdims=True)
+        exp = row @ col / n
+        mask = exp > 0
+        chi2 = float(((obs[mask] - exp[mask]) ** 2 / exp[mask]).sum())
+        dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+        return pa.table({
+            "chi2_micro": pa.array([int(np.floor(chi2 * 1e6 + 0.5))],
+                                   pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "n": pa.array([int(n)], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby([a_col, b_col]).aggregate(Sum("_c", alias_name="_n")))
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -467,3 +467,62 @@ def image_dedup_keep_best(images_ds, hamming_threshold: int = 6,
     labeled = labeled.map_batches(conform, batch_format="pyarrow")
     return keep_best_resolution(labeled, group_col="cluster",
                                 id_col="image_id", n_buckets=n_buckets)
+
+
+def channel_stats(images_ds, bytes_col: str = "bytes",
+                  mean_col_prefix: str = "mean",
+                  std_col_prefix: str = "std"):
+    """Dataset-wide per-channel pixel mean/std — the normalization
+    constants every vision training run burns a full pass to compute.
+
+    Scale shape: decode happens where the bytes already are (one
+    ``map_batches`` pass, no shuffle); each block collapses to EXACT
+    integer moments (n, Σv, Σv² per channel — uint8 squares fit int64
+    at any realistic pixel count) and only those 7-number partials
+    cross the wire into a single-task finish.  Because the partials
+    are exact integers, the result is bit-identical regardless of
+    block layout — tested against a single-process twin.  With a real
+    codec this pass becomes an actor-pool stage like
+    ``DecodeValidate`` (decoder state in ``__init__``); the fake codec
+    needs no state.  Output: one row (n_pixels, mean_r/g/b micro,
+    std_r/g/b micro).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
+        for data in batch.column(bytes_col).to_pylist():
+            px, _ = fake_decode(data)
+            flat = px.reshape(-1, 3).astype(np.int64)
+            n += flat.shape[0]
+            s += flat.sum(axis=0)
+            ss += (flat * flat).sum(axis=0)
+        return pa.table({
+            "_n": pa.array([n], pa.int64()),
+            "_s0": pa.array([s[0]], pa.int64()),
+            "_s1": pa.array([s[1]], pa.int64()),
+            "_s2": pa.array([s[2]], pa.int64()),
+            "_q0": pa.array([ss[0]], pa.int64()),
+            "_q1": pa.array([ss[1]], pa.int64()),
+            "_q2": pa.array([ss[2]], pa.int64()),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        n = int(df["_n"].sum())
+        cols = {"n_pixels": pa.array([n], pa.int64())}
+        for i, ch in enumerate(("r", "g", "b")):
+            s = int(df[f"_s{i}"].sum())
+            q = int(df[f"_q{i}"].sum())
+            mean = s / n
+            var = q / n - mean * mean
+            cols[f"{mean_col_prefix}_{ch}_micro"] = pa.array(
+                [int(np.floor(mean * 1e6 + 0.5))], pa.int64())
+            cols[f"{std_col_prefix}_{ch}_micro"] = pa.array(
+                [int(np.floor(np.sqrt(max(var, 0.0)) * 1e6 + 0.5))],
+                pa.int64())
+        return pa.table(cols)
+
+    part = images_ds.map_batches(partial, batch_format="pyarrow")
+    return part.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -340,12 +340,14 @@ def bucketed_semi_join(left_ds, right_ds, key: str, n_buckets: int = 32):
 
 def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
                        right_on: str, n_buckets: int = 32,
-                       how: str = "inner"):
+                       how: str = "inner", direction: str = "backward"):
     """As-of join: each left row picks the single right row with the
-    same ``key`` and the greatest ``right_on`` ≤ its ``left_on``
-    (backward direction — the "latest state as of this timestamp"
-    lookup).  ``how="inner"`` drops unmatched left rows; ``"left"``
-    keeps them with nulls.
+    same ``key`` and — ``direction="backward"`` (default) — the
+    greatest ``right_on`` ≤ its ``left_on`` (the "latest state as of
+    this timestamp" lookup), or — ``direction="forward"`` — the
+    smallest ``right_on`` ≥ its ``left_on`` (the "next scheduled
+    event after this instant" lookup).  ``how="inner"`` drops
+    unmatched left rows; ``"left"`` keeps them with nulls.
 
     Shape: same ONE-shuffle bucketed pattern as ``bucketed_hash_join``
     (bucket by key hash, union, ``groupby(bucket)``), with the per-
@@ -365,6 +367,9 @@ def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -413,7 +418,7 @@ def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
                .sort_values(right_on, kind="mergesort")
                .assign(__m=1))
         merged = pd.merge_asof(lhs, rhs, left_on=left_on, right_on=right_on,
-                               by=key, direction="backward")
+                               by=key, direction=direction)
         if how == "inner":
             merged = merged[merged["__m"].notna()]
         return merged.drop(columns="__m")

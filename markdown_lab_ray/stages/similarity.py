@@ -490,3 +490,48 @@ def label_centroids(ds, label_col: str = "label",
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     return part.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def kmeans_assign(ds, centroids: np.ndarray, centroid_ids: np.ndarray,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """K-means E-step: assign every embedding to its nearest centroid
+    (euclidean, float64) — with ``label_centroids`` as the M-step this
+    closes the distributed k-means loop, and standalone it is the
+    coarse-quantizer assignment behind the IVF index.
+
+    Scale shape: the (k × d) centroid matrix ships ONCE via
+    ``ray.put`` and every batch is one vectorized distance matmul +
+    argmin — no shuffle, no driver loop.  Ties (two centroids exactly
+    equidistant) break on the smaller centroid id, matching the SQL
+    twin's ``ORDER BY dist, cid``.  Output: (id, centroid int64,
+    dist 6-dp float64).
+    """
+    import ray
+
+    cref = ray.put((np.asarray(centroids, dtype=np.float64),
+                    np.asarray(centroid_ids, dtype=np.int64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents, cids = ray.get(cref)
+        x = np.asarray(batch.column(vec_col).to_pylist(),
+                       dtype=np.float64)
+        # direct (x−c)² — the matmul expansion loses ~1e-12 to
+        # cancellation, enough to flip an argmin near a tie; k is
+        # small so the (n, k, d) intermediate stays modest
+        diff_all = x[:, None, :] - cents[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff_all, diff_all)
+        order = np.argsort(cids, kind="stable")
+        # evaluate in ascending-cid order so argmin's first-wins tie
+        # rule lands on the smallest centroid id
+        d2o = d2[:, order]
+        pick = np.argmin(d2o, axis=1)
+        chosen = order[pick]
+        diff = x - cents[chosen]
+        dist = np.sqrt((diff * diff).sum(1))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "centroid": pa.array(cids[chosen], pa.int64()),
+            "dist": pa.array(np.round(dist, 6), pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
