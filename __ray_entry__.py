@@ -4498,6 +4498,103 @@ def q_image_channel_stats(sf_dir: str):
     return channel_stats(ds)
 
 
+
+def q_range_join_banded(sf_dir: str):
+    """Big×big distributed range join (banded): views falling inside
+    [purchase_ts, purchase_ts + 1 h) windows of ANY purchase, counted
+    per purchase — no broadcast side, one band-keyed shuffle."""
+    from markdown_lab_ray.stages.bucketing import key_buckets
+    from markdown_lab_ray.stages.joins import banded_range_join
+
+    HOUR_US = 3_600_000_000
+
+    def views(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "view"))
+        return pa.table({"vid": f["event_id"],
+                         "vt": pc.cast(f["ts"], pa.int64())})
+
+    def purchases(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "purchase"))
+        lo = pc.cast(f["ts"], pa.int64())
+        return pa.table({"pid": f["event_id"], "lo": lo,
+                         "hi": pc.add(lo, HOUR_US)})
+
+    cols = ["event_id", "ts", "event_type"]
+    pts = (_read(sf_dir, "events", cols)
+           .map_batches(views, batch_format="pyarrow"))
+    ivs = (_read(sf_dir, "events", cols)
+           .map_batches(purchases, batch_format="pyarrow"))
+    pairs = banded_range_join(pts, ivs, point_col="vt",
+                              lo_col="lo", hi_col="hi",
+                              band_width=HOUR_US)
+
+    # per-purchase rollup: per-batch partials, one bucketed fold (pid
+    # cardinality scales with data -> no native per-pid groups)
+    def partial(df):
+        g = (df.groupby("pid", sort=False)
+             .agg(n=("vid", "size"), mv=("vid", "min")).reset_index())
+        # the union pads pid with nulls on the point side, so pandas
+        # sees float64 here; every surviving pid is a real int
+        g["pid"] = g["pid"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        g["mv"] = g["mv"].astype("int64")
+        return g.assign(_b=key_buckets(g["pid"].to_numpy(), 32))
+
+    def fold(g):
+        out = (g.groupby("pid", sort=False)
+               .agg(n_views=("n", "sum"), first_vid=("mv", "min"))
+               .reset_index())
+        out["n_views"] = out["n_views"].astype("int64")
+        out["first_vid"] = out["first_vid"].astype("int64")
+        return out
+
+    out = (pairs.map_batches(partial, batch_format="pandas")
+           .groupby("_b").map_groups(fold, batch_format="pandas")
+           ).to_pandas()
+    return out.sort_values("pid").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN_BANDED = """
+WITH p AS (SELECT event_id AS pid, epoch_us(ts) AS lo,
+                  epoch_us(ts) + 3600000000 AS hi
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS vid, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'view')
+SELECT p.pid, CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(MIN(v.vid) AS BIGINT) AS first_vid
+FROM p JOIN v ON v.t >= p.lo AND v.t < p.hi
+GROUP BY p.pid ORDER BY p.pid
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median unit price per return flag (integer
+    2·cumw ≥ totw rule — tie-order-independent on both engines)."""
+    from markdown_lab_ray.stages.analytics import grouped_weighted_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = grouped_weighted_median(ds, "l_returnflag", "l_extendedprice",
+                                  "l_quantity").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(l_quantity AS BIGINT) AS wt
+           FROM lineitem),
+c AS (SELECT l_returnflag, v, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w)
+SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4620,6 +4717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discovery_curve": q_discovery_curve,
         "chi_square": q_chi_square,
         "kmeans_assign": q_kmeans_assign,
+        "range_join_banded": q_range_join_banded,
+        "weighted_median": q_weighted_median,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4744,6 +4843,8 @@ def oracle_sql() -> dict[str, str]:
         "discovery_curve": SQL_DISCOVERY_CURVE,
         "chi_square": SQL_CHI_SQUARE,
         "kmeans_assign": SQL_KMEANS_ASSIGN,
+        "range_join_banded": SQL_RANGE_JOIN_BANDED,
+        "weighted_median": SQL_WEIGHTED_MEDIAN,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1677,3 +1677,44 @@ def chi_square_independence(ds, a_col: str, b_col: str):
     agg = (ds.map_batches(partial, batch_format="pandas")
            .groupby([a_col, b_col]).aggregate(Sum("_c", alias_name="_n")))
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_weighted_median(ds, key_col: str, value_col: str,
+                            weight_col: str, n_buckets: int = 64):
+    """Weighted median per key: the smallest value whose cumulative
+    weight reaches half the key's total — "the price at which half the
+    QUANTITY traded", robust where the row-median ignores volume.
+
+    Scale shape: one bucketed key shuffle; inside the bucket each key
+    sorts once and the threshold is found on an int64 cumulative-sum
+    (the ``2·cumw ≥ totw`` integer rule — no float halving, and the
+    answer is independent of tie order among equal values, so engine
+    and SQL twin agree without a tie-break column).  Values are exact
+    cents, weights exact int64.  Output: (key, wmedian_cents int64,
+    total_weight int64).
+    """
+
+    def wmed(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, meds, tots = [], [], []
+        for key, grp in g.groupby(key_col, sort=False):
+            v = _cents(grp[value_col].to_numpy())
+            w = grp[weight_col].to_numpy(dtype=np.int64)
+            order = np.argsort(v, kind="mergesort")
+            v, w = v[order], w[order]
+            cw = np.cumsum(w)
+            tot = int(cw[-1])
+            idx = int(np.searchsorted(2 * cw, tot))
+            keys_out.append(key)
+            meds.append(int(v[idx]))
+            tots.append(tot)
+        return pd.DataFrame({key_col: keys_out,
+                             "wmedian_cents": pd.array(meds,
+                                                       dtype="int64"),
+                             "total_weight": pd.array(tots,
+                                                      dtype="int64")})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(wmed, batch_format="pandas")

@@ -476,3 +476,97 @@ def set_op_distinct(left_ds, right_ds, key: str, op: str = "intersect"):
         return batch.filter(mask).select([key])
 
     return merged.map_batches(pick, batch_format="pyarrow")
+
+
+def banded_range_join(points_ds, intervals_ds, point_col: str,
+                      lo_col: str, hi_col: str, band_width: int,
+                      n_buckets: int = 64):
+    """Distributed range join for BIG point × BIG interval tables —
+    the scale path past ``q_range_join_events``'s broadcast variant
+    (which requires the interval side to fit every worker).
+
+    Shape: the int64 domain splits into fixed bands of ``band_width``;
+    each interval EXPLODES to one row per band it overlaps
+    (``lo // W .. (hi-1) // W`` — hi exclusive) and each point maps to
+    exactly one band, so every qualifying (point, interval) pair meets
+    in exactly ONE band (the point's) and the in-band merge needs no
+    post-dedup.  One band-keyed shuffle total; the in-bucket probe is
+    a vectorized pandas merge + range filter.
+
+    Knobs & caveats: explosion factor ≈ avg interval span / W + 1 —
+    pick W near the typical span.  A band holding a hot spot still
+    bounds one task (same one-key-one-worker contract as the as-of
+    join); sub-split hot bands upstream if needed.  ``point_col`` /
+    ``lo_col`` / ``hi_col`` must be int64 (µs timestamps, cents).
+    Output: joined pairs carrying every column of both sides.
+    """
+    import pandas as pd
+
+    pschema = points_ds.schema()
+    ischema = intervals_ds.schema()
+    pcols = list(pschema.names)
+    icols = list(ischema.names)
+    ptypes = {n: _pa_type(t) for n, t in zip(pschema.names, pschema.types)}
+    itypes = {n: _pa_type(t) for n, t in zip(ischema.names, ischema.types)}
+    overlap = set(pcols) & set(icols)
+    if overlap:
+        raise ValueError(f"column collision (rename first): {sorted(overlap)}")
+    if band_width <= 0:
+        raise ValueError(f"band_width must be > 0, got {band_width}")
+
+    wide_names = pcols + icols
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        v = b.column(point_col).to_numpy(zero_copy_only=False)
+        band = v // band_width
+        cols = {c: b.column(c) for c in pcols}
+        for c in icols:
+            cols[c] = pa.nulls(b.num_rows, itypes[c])
+        cols["__band"] = pa.array(band, pa.int64())
+        cols["__side"] = pa.array(["p"] * b.num_rows, pa.string())
+        return pa.table({n: cols[n] for n in
+                         wide_names + ["__band", "__side"]})
+
+    def explode_intervals(b: pa.Table) -> pa.Table:
+        lo = b.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = b.column(hi_col).to_numpy(zero_copy_only=False)
+        first = lo // band_width
+        last = np.maximum((hi - 1) // band_width, first)  # empty→1 band
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo)), reps)
+        # band sequence per interval: first[i] .. last[i]
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        bands = first[idx] + offs
+        cols = {}
+        for c in pcols:
+            cols[c] = pa.nulls(len(idx), ptypes[c])
+        for c in icols:
+            cols[c] = b.column(c).take(pa.array(idx))
+        cols["__band"] = pa.array(bands, pa.int64())
+        cols["__side"] = pa.array(["i"] * len(idx), pa.string())
+        return pa.table({n: cols[n] for n in
+                         wide_names + ["__band", "__side"]})
+
+    from .bucketing import key_buckets
+
+    def add_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.assign(_b=key_buckets(df["__band"].to_numpy(), n_buckets))
+
+    def probe(g: "pd.DataFrame") -> "pd.DataFrame":
+        pts = g[g["__side"] == "p"][pcols + ["__band"]]
+        ivs = g[g["__side"] == "i"][icols + ["__band"]]
+        if pts.empty or ivs.empty:
+            return pd.DataFrame({c: pd.array([], dtype="int64")
+                                 for c in wide_names})
+        m = pts.merge(ivs, on="__band")
+        keep = ((m[point_col] >= m[lo_col])
+                & (m[point_col] < m[hi_col]))
+        return m.loc[keep, wide_names]
+
+    tagged_p = points_ds.map_batches(tag_points, batch_format="pyarrow")
+    tagged_i = intervals_ds.map_batches(explode_intervals,
+                                        batch_format="pyarrow")
+    both = tagged_p.union(tagged_i).map_batches(add_bucket,
+                                                batch_format="pandas")
+    return both.groupby("_b").map_groups(probe, batch_format="pandas")
