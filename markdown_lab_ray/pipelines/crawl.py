@@ -36,7 +36,8 @@ _WARNED_SERIAL_CKPT = False
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links, parse_html_to_document
 from ..kernels.render import document_to_markdown
-from ..state.politeness import order_key_frame, round_budget, schedule_group
+from ..state.politeness import (effective_budget, order_key_frame,
+                                round_budget, schedule_group)
 from ..state.robots import LocalRobotsCache
 from ..state.seen import SeenProbe, create_seen_shards
 from ..stages.convert import EMPTY_DOC, chunk_explode_batch
@@ -139,7 +140,8 @@ class FetchStage:
     """
 
     def __init__(self, web_factory, cache_ttl: float = 0.0,
-                 pacing_rps: float = 0.0, clock=None, sleeper=None):
+                 pacing_rps: float = 0.0, clock=None, sleeper=None,
+                 robots_factory=None):
         import time as _t
 
         web = web_factory()
@@ -151,15 +153,28 @@ class FetchStage:
         self.pacing_rps = pacing_rps
         self.clock = clock or _t.monotonic
         self.sleeper = sleeper or _t.sleep
+        # robots_factory (optional): a host's robots Crawl-delay caps
+        # the realtime pacer below the configured rate, mirroring the
+        # budget cap the scheduler applies (state cached per actor)
+        self.robots_factory = robots_factory
         self._buckets: dict[str, object] = {}
+
+    def _host_rate(self, host: str) -> float:
+        rate = self.pacing_rps
+        if self.robots_factory is not None and host:
+            delay = _robots_rules(self.robots_factory, host).crawl_delay
+            if delay and delay > 0:
+                rate = min(rate, 1.0 / delay)
+        return rate
 
     def _pace(self, host: str) -> None:
         from ..state.politeness import TokenBucket
 
         bucket = self._buckets.get(host)
         if bucket is None:
+            rate = self._host_rate(host)
             bucket = self._buckets[host] = TokenBucket(
-                self.pacing_rps, capacity=max(1.0, self.pacing_rps))
+                rate, capacity=max(1.0, rate))
         # loop until a token is actually debited: re-read the clock after
         # sleeping (oversleep happens) and never assume the acquire
         # succeeded — float rounding can leave the bucket just short
@@ -293,8 +308,9 @@ class FetchConvertStage(FetchStage):
     def __init__(self, web_factory, cache_ttl: float = 0.0,
                  pacing_rps: float = 0.0, clock=None, sleeper=None,
                  chunk_sink=None, chunk_size: int = 1000,
-                 chunk_overlap: int = 200):
-        super().__init__(web_factory, cache_ttl, pacing_rps, clock, sleeper)
+                 chunk_overlap: int = 200, robots_factory=None):
+        super().__init__(web_factory, cache_ttl, pacing_rps, clock,
+                         sleeper, robots_factory=robots_factory)
         self.chunk_sink = chunk_sink
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
@@ -371,7 +387,8 @@ def _group_to_arrow(df, schema: pa.Schema) -> pa.Table:
     return _conform(pa.Table.from_pandas(df, preserve_index=False), schema)
 
 
-def make_host_processor(shards, robots_factory, budget: int):
+def make_host_processor(shards, robots_factory, budget: int,
+                        round_seconds: float = 0.0):
     """The fused per-host round step (ONE groupby instead of three):
     intra-round dedup (same seen_key ⟹ same host, so host groups see
     all duplicates) → URL-seen contains-filter → robots allow →
@@ -399,7 +416,9 @@ def make_host_processor(shards, robots_factory, budget: int):
         df = df[keep]
         if df.empty:
             return empty
-        return _group_to_arrow(schedule_group(df, budget),
+        host_budget = effective_budget(budget, round_seconds,
+                                       host_rules.crawl_delay)
+        return _group_to_arrow(schedule_group(df, host_budget),
                                _SCHEDULE_PA_SCHEMA)
 
     return process
@@ -447,11 +466,20 @@ def make_salted_preprocessor(shards, robots_factory, budget: int):
     return process
 
 
-def make_host_finalizer(budget: int):
+def make_host_finalizer(budget: int, robots_factory=None,
+                        round_seconds: float = 0.0):
     """Stage 2: schedule the per-host contender union (plain
-    ``schedule_group`` — seen/robots already applied in stage 1)."""
+    ``schedule_group`` — seen/robots already applied in stage 1; the
+    stage-1 contender cut uses the GLOBAL budget, which is ≥ every
+    host's ``Crawl-delay``-capped budget, so the union still contains
+    the final schedule)."""
     def process(df):
-        return _group_to_arrow(schedule_group(df, budget),
+        host_budget = budget
+        if robots_factory is not None and not df.empty:
+            rules = _robots_rules(robots_factory, df["host"].iloc[0])
+            host_budget = effective_budget(budget, round_seconds,
+                                           rules.crawl_delay)
+        return _group_to_arrow(schedule_group(df, host_budget),
                                _SCHEDULE_PA_SCHEMA)
 
     return process
@@ -676,13 +704,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             salted_out = pre.filter(expr="contender == False").map_batches(
                 _mark_deferred_batch, batch_format="pyarrow")
             final = contenders.groupby("host").map_groups(
-                make_host_finalizer(budget), batch_format="pandas")
+                make_host_finalizer(budget, robots_factory,
+                                    cfg.round_seconds),
+                batch_format="pandas")
             schedule = (final.map_batches(conform_schedule_batch,
                                           batch_format="pyarrow")
                         .union(salted_out)).materialize()
         else:
             schedule = unseen.groupby("host").map_groups(
-                make_host_processor(None, robots_factory, budget),
+                make_host_processor(None, robots_factory, budget,
+                                    cfg.round_seconds),
                 batch_format="pandas"
             ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                           ).materialize()
@@ -807,7 +838,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                                            pacing_rps=cfg.pacing_rps,
                                            chunk_sink=chunk_sink,
                                            chunk_size=cfg.chunk_size,
-                                           chunk_overlap=cfg.chunk_overlap))
+                                           chunk_overlap=cfg.chunk_overlap,
+                                           robots_factory=robots_factory))
         # stream straight to the parquet checkpoint (no materialize —
         # a round's docs shouldn't double-buffer through the object
         # store); chunks/links/metrics re-read column-pruned slices

@@ -14,7 +14,8 @@ import pandas as pd
 
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links
-from ..state.politeness import round_budget, schedule_group
+from ..state.politeness import (effective_budget, round_budget,
+                                schedule_group)
 from ..state.robots import LocalRobotsCache
 from ..state.seen import LocalSeen
 from .crawl_spec import (
@@ -57,7 +58,11 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
         if rows:
             frame = pd.DataFrame(rows)
             for host in sorted(frame["host"].unique()):
-                group = schedule_group(frame[frame["host"] == host], budget)
+                host_budget = effective_budget(
+                    budget, cfg.round_seconds,
+                    robots.rules_for(host).crawl_delay)
+                group = schedule_group(frame[frame["host"] == host],
+                                       host_budget)
                 for record in group.to_dict("records"):
                     (scheduled if record["scheduled"] else deferred).append(record)
 

@@ -59,6 +59,11 @@ class SiteSpec:
     seed: int = 42
     image_size_min: int = 16
     image_size_max: int = 40
+    # every Nth host with a robots.txt declares ``Crawl-delay:
+    # crawl_delay_seconds`` (0 = no host does; keeps the default web,
+    # and every fixture derived from it, unchanged)
+    crawl_delay_every: int = 0
+    crawl_delay_seconds: float = 1.0
 
     def host(self, i: int) -> str:
         return f"h{i:03d}.example.com"
@@ -151,12 +156,16 @@ def page_image_indices(spec: SiteSpec, host_i: int, page_j: int) -> list[int]:
 # ---------------------------------------------------------------------------
 
 def robots_body(spec: SiteSpec, host_i: int) -> str | None:
+    delay = ""
+    if (spec.crawl_delay_every > 0
+            and host_i % spec.crawl_delay_every == 0):
+        delay = f"Crawl-delay: {spec.crawl_delay_seconds:g}\n"
     if host_i % 3 == 0:
         host = spec.host(host_i)
-        return (f"User-agent: *\nDisallow: /private\n"
+        return (f"User-agent: *\nDisallow: /private\n{delay}"
                 f"Sitemap: https://{host}/custom_sitemap.xml\n")
     if host_i % 3 == 1:
-        return "User-agent: *\nDisallow: /private\n"
+        return f"User-agent: *\nDisallow: /private\n{delay}"
     return None  # 404
 
 

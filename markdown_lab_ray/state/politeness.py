@@ -57,6 +57,16 @@ def round_budget(requests_per_second: float, round_seconds: float) -> int:
     return max(1, math.floor(requests_per_second * round_seconds))
 
 
+def effective_budget(budget: int, round_seconds: float,
+                     crawl_delay: float | None) -> int:
+    """Per-host round budget under a robots ``Crawl-delay``: the
+    host's own declared rate (1/delay) caps the engine's configured
+    rate, never raises it; ≥1 so a polite host still makes progress."""
+    if not crawl_delay or crawl_delay <= 0:
+        return budget
+    return min(budget, max(1, math.floor(round_seconds / crawl_delay)))
+
+
 def order_key_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Sort a host's frontier rows by the canonical scheduling order:
     priority desc (None → 0.5), then seq_no asc, then loc asc."""

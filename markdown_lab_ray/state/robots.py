@@ -24,6 +24,7 @@ class RobotsRules:
     sitemaps: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
     fetched: bool = False  # False → robots.txt was absent (everything allowed)
+    crawl_delay: float | None = None  # UA:* Crawl-delay seconds (None = none)
 
     def allows(self, url: str) -> bool:
         path = urlsplit(url).path or "/"
@@ -31,7 +32,9 @@ class RobotsRules:
 
 
 def parse_robots(body: str) -> RobotsRules:
-    """Parse sitemap lines plus Disallow rules in ``User-agent: *`` groups."""
+    """Parse sitemap lines plus Disallow / Crawl-delay rules in
+    ``User-agent: *`` groups (invalid or non-positive delays ignored —
+    the de-facto standard big crawlers follow)."""
     rules = RobotsRules(sitemaps=sitemaps_from_robots(body), fetched=True)
     applies = False
     for raw in body.splitlines():
@@ -45,6 +48,13 @@ def parse_robots(body: str) -> RobotsRules:
             applies = value == "*"
         elif field_name == "disallow" and applies and value:
             rules.disallow.append(value)
+        elif field_name == "crawl-delay" and applies and value:
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay > 0:
+                rules.crawl_delay = delay
     return rules
 
 
