@@ -4595,6 +4595,70 @@ FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+
+def q_locf_daily(sf_dir: str):
+    """Dense per-user daily value panel: last observation per day,
+    carried forward across silent days (LOCF)."""
+    from markdown_lab_ray.stages.analytics import locf_fill
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+    out = locf_fill(ds, "user_id", "ts", "value", "event_id").to_pandas()
+    return (out.sort_values(["user_id", "day_id"])
+            .reset_index(drop=True))
+
+
+SQL_LOCF_DAILY = """
+WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id
+           FROM events),
+l AS (SELECT user_id, day, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                     ORDER BY ts DESC, event_id DESC)
+               AS rn FROM b)
+      WHERE rn = 1),
+bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM l
+           GROUP BY user_id),
+spine AS (SELECT user_id,
+                 CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                      AS DATE) AS day
+          FROM bounds),
+f AS (SELECT s.user_id, s.day,
+             LAST_VALUE(l.value IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value
+      FROM spine s LEFT JOIN l ON l.user_id = s.user_id
+                               AND l.day = s.day)
+SELECT user_id, CAST(strftime(day, '%Y%m%d') AS BIGINT) AS day_id, value
+FROM f ORDER BY user_id, day_id
+"""
+
+
+def q_daily_kl(sf_dir: str):
+    """Per-day KL divergence of the event-type mix vs the corpus mix
+    (micro-nats) — distribution-drift alarm."""
+    from markdown_lab_ray.stages.analytics import daily_kl_drift
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    out = daily_kl_drift(ds, "ts", "event_type").to_pandas()
+    return out.sort_values("day_id").reset_index(drop=True)
+
+
+SQL_DAILY_KL = """
+WITH c AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+                  event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+nd AS (SELECT day_id, SUM(c) AS n FROM c GROUP BY 1),
+g AS (SELECT t, SUM(c) AS cg FROM c GROUP BY 1),
+ng AS (SELECT SUM(c) AS ngl FROM c)
+SELECT day_id,
+       CAST(floor(SUM((c.c / nd.n) * ln((c.c / nd.n) / (g.cg / ng.ngl)))
+                  * 1e6 + 0.5) AS BIGINT) AS kl_micro
+FROM c JOIN nd USING (day_id) JOIN g USING (t) CROSS JOIN ng
+GROUP BY day_id ORDER BY day_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4719,6 +4783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": q_kmeans_assign,
         "range_join_banded": q_range_join_banded,
         "weighted_median": q_weighted_median,
+        "locf_daily": q_locf_daily,
+        "daily_kl": q_daily_kl,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4845,6 +4911,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": SQL_KMEANS_ASSIGN,
         "range_join_banded": SQL_RANGE_JOIN_BANDED,
         "weighted_median": SQL_WEIGHTED_MEDIAN,
+        "locf_daily": SQL_LOCF_DAILY,
+        "daily_kl": SQL_DAILY_KL,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

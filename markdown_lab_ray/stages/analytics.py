@@ -1718,3 +1718,95 @@ def grouped_weighted_median(ds, key_col: str, value_col: str,
                                             n_buckets)),
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(wmed, batch_format="pandas")
+
+
+def locf_fill(ds, key_col: str, ts_col: str, value_col: str,
+              id_col: str, n_buckets: int = 64):
+    """Daily last-observation-carried-forward series per key: one row
+    per calendar day between the key's first and last observation,
+    carrying the day's LAST value (ties on the id column) forward
+    across silent days — the dense panel a forecaster or feature store
+    wants instead of the raw sparse event stream.
+
+    Scale shape: ONE bucketed key shuffle; inside the bucket each key
+    reduces to per-day last values (vectorized sort + drop_duplicates)
+    and its day grid is filled with a single pandas ``ffill``.  The
+    value column is carried, never recomputed, so engine and SQL twin
+    agree bit-for-bit.  Output: (key, day_id int64 YYYYMMDD, value).
+    """
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = g.assign(_day=us // 86_400_000_000)
+        # per (key, day) last value: ts then id, keep the final row
+        g = (g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+             .drop_duplicates([key_col, "_day"], keep="last"))
+        frames = []
+        for key, grp in g.groupby(key_col, sort=False):
+            days = grp["_day"].to_numpy()
+            spine = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+            vals = pd.Series(index=days, data=grp[value_col].to_numpy(),
+                             dtype="float64").reindex(spine).ffill()
+            frames.append(pd.DataFrame({
+                key_col: key, "_day": spine,
+                value_col: vals.to_numpy()}))
+        if not frames:
+            return pd.DataFrame({key_col: pd.array([], dtype="int64"),
+                                 "day_id": pd.array([], dtype="int64"),
+                                 value_col: pd.array([], dtype="float64")})
+        out = pd.concat(frames, ignore_index=True)
+        out["day_id"] = (pd.to_datetime(out.pop("_day"), unit="D")
+                         .dt.strftime("%Y%m%d").astype(np.int64))
+        return out[[key_col, "day_id", value_col]]
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(fill, batch_format="pandas")
+
+
+def daily_kl_drift(ds, ts_col: str, cat_col: str):
+    """Per-day KL divergence of the day's categorical mix against the
+    corpus-wide mix, in integer micro-nats — the drift alarm that says
+    "today's traffic doesn't look like this corpus" before any model
+    trained on it does.
+
+    Scale shape: per-batch (day, cat) partial counts → one native
+    groupby over the bounded calendar × alphabet cell space → a
+    single-task finish that derives both the global mix and each day's
+    divergence from the SAME exact integer cells.  Identical
+    expression tree to the SQL twin (micro-rounding note as in
+    ``bm25_scores``).  Output: (day_id int64 YYYYMMDD, kl_micro int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        day = pc.cast(pc.strftime(batch.column(ts_col), format="%Y%m%d"),
+                      pa.int64())
+        df = pd.DataFrame({"day_id": day.to_numpy(),
+                           cat_col: batch.column(cat_col).to_pylist()})
+        g = (df.groupby(["day_id", cat_col], sort=False)
+             .size().rename("_c").astype("int64").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["day_id", cat_col])
+        n_g = float(df["_n"].sum())
+        cg = df.groupby(cat_col)["_n"].sum().astype("float64")
+        days, kls = [], []
+        for day, grp in df.groupby("day_id", sort=True):
+            n_d = float(grp["_n"].sum())
+            p = grp["_n"].to_numpy(np.float64) / n_d
+            q = (cg.loc[grp[cat_col]].to_numpy(np.float64) / n_g)
+            kl = float((p * np.log(p / q)).sum())
+            days.append(int(day))
+            kls.append(int(np.floor(kl * 1e6 + 0.5)))
+        return pa.table({"day_id": pa.array(days, pa.int64()),
+                         "kl_micro": pa.array(kls, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["day_id", cat_col]).aggregate(Sum("_c",
+                                                       alias_name="_n")))
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

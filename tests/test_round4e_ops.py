@@ -104,3 +104,66 @@ def test_weighted_median_tie_values_order_independent(ray_session):
     })
     out = grouped_weighted_median(rd.from_arrow(t), "k", "v", "w").to_pandas()
     assert out["wmedian_cents"].iloc[0] == 500
+
+
+# ---------------------------------------------------------------------------
+# locf_fill
+# ---------------------------------------------------------------------------
+
+def test_locf_fills_silent_days_with_last_value(ray_session):
+    from markdown_lab_ray.stages.analytics import locf_fill
+
+    day_us = 86_400_000_000
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 10, 3 * day_us, 3 * day_us + 5],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "u": pa.array([7, 7, 7, 9], pa.int64()),
+        "v": pa.array([1.5, 2.5, 9.0, 4.0]),
+    })
+    out = (locf_fill(rd.from_arrow(t).repartition(3), "u", "ts", "v", "id")
+           .to_pandas().sort_values(["u", "day_id"]))
+    u7 = out[out["u"] == 7]
+    # day 0: last value 2.5 (ts tie-break by id); days 1-2 carried;
+    # day 3: 9.0.  user 9: single-day series.
+    assert u7["day_id"].tolist() == [19700101, 19700102, 19700103,
+                                     19700104]
+    assert u7["v"].tolist() == [2.5, 2.5, 2.5, 9.0]
+    assert out[out["u"] == 9]["v"].tolist() == [4.0]
+
+
+# ---------------------------------------------------------------------------
+# daily_kl_drift
+# ---------------------------------------------------------------------------
+
+def test_daily_kl_zero_when_every_day_matches_corpus(ray_session):
+    from markdown_lab_ray.stages.analytics import daily_kl_drift
+
+    day_us = 86_400_000_000
+    # two days with the identical mix -> corpus mix == day mix -> KL 0
+    ts = [0, 1, 2, day_us, day_us + 1, day_us + 2]
+    cats = ["a", "a", "b"] * 2
+    t = pa.table({"ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                  "c": pa.array(cats)})
+    out = daily_kl_drift(rd.from_arrow(t), "ts", "c").to_pandas()
+    assert out["kl_micro"].tolist() == [0, 0]
+
+
+def test_daily_kl_detects_drifted_day(ray_session):
+    import numpy as np
+
+    from markdown_lab_ray.stages.analytics import daily_kl_drift
+
+    day_us = 86_400_000_000
+    # day 1 is all-"a", day 2 is balanced -> day 1 diverges more
+    ts = [0, 1, 2, 3] + [day_us, day_us + 1, day_us + 2, day_us + 3]
+    cats = ["a", "a", "a", "a", "a", "a", "b", "b"]
+    t = pa.table({"ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                  "c": pa.array(cats)})
+    out = (daily_kl_drift(rd.from_arrow(t).repartition(4), "ts", "c")
+           .to_pandas().sort_values("day_id"))
+    # exact: global p(a)=6/8, p(b)=2/8
+    kl1 = 1.0 * np.log(1.0 / (6 / 8))
+    kl2 = 0.5 * np.log(0.5 / (6 / 8)) + 0.5 * np.log(0.5 / (2 / 8))
+    assert out["kl_micro"].tolist() == [
+        int(np.floor(kl1 * 1e6 + 0.5)), int(np.floor(kl2 * 1e6 + 0.5))]
