@@ -4659,6 +4659,46 @@ GROUP BY day_id ORDER BY day_id
 """
 
 
+
+def q_ann_recall(sf_dir: str):
+    """Recall@10 audit of the approximate k-NN paths (LSH-bucketed and
+    IVF) against the exact brute-force result on the same query vector
+    — the accuracy half of the accuracy/cost trade both indexes make
+    (rows-only: recall is a property of the engine, not of SQL)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import (knn_brute_force,
+                                                    knn_ivf,
+                                                    knn_lsh_bucketed)
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    dim = len(emb.column("embedding")[0])
+    query = np.asarray(emb.column("embedding")[0].as_py(),
+                       dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    k = 10
+
+    def ids(res):
+        if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+        if isinstance(res, pd.DataFrame):
+            return set(res["vec_id"].tolist())
+        return {r["vec_id"] for r in res}
+
+    truth = ids(knn_brute_force(ds, query, k=k))
+    rows = []
+    for name, got in (
+            ("lsh", ids(knn_lsh_bucketed(ds, query, dim=dim, k=k,
+                                         probe_hamming=2))),
+            ("ivf", ids(knn_ivf(ds, query, k=k, n_lists=8, n_probe=3)))):
+        rec = len(got & truth) / k
+        rows.append({"method": name, "k": k,
+                     "recall_micro": int(np.floor(rec * 1e6 + 0.5))})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4795,6 +4835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_terms": q_hll_distinct_terms,
         "image_keep_best": q_image_keep_best,
         "image_channel_stats": q_image_channel_stats,
+        "ann_recall": q_ann_recall,
         "crawl_host_rank": q_crawl_host_rank,
         "lm_perplexity": q_lm_perplexity,
         "embedding_project": q_embedding_project,

@@ -167,3 +167,16 @@ def test_daily_kl_detects_drifted_day(ray_session):
     kl2 = 0.5 * np.log(0.5 / (6 / 8)) + 0.5 * np.log(0.5 / (2 / 8))
     assert out["kl_micro"].tolist() == [
         int(np.floor(kl1 * 1e6 + 0.5)), int(np.floor(kl2 * 1e6 + 0.5))]
+
+
+# ---------------------------------------------------------------------------
+# ann_recall audit
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_bounds_and_brute_is_one(ray_session):
+    import __ray_entry__ as entry
+
+    out = entry.q_ann_recall("/root/testdata/sf0.001")
+    assert set(out["method"]) == {"lsh", "ivf"}
+    assert ((out["recall_micro"] >= 0)
+            & (out["recall_micro"] <= 1_000_000)).all()
