@@ -2935,6 +2935,48 @@ def q_pagerank(sf_dir: str):
     return (pr.to_pandas().sort_values("node").reset_index(drop=True))
 
 
+def q_hits(sf_dir: str):
+    """2-iteration integer HITS over the customer→supplier graph:
+    customers are pure hubs (out-edges only), suppliers pure
+    authorities — the bipartite shape HITS was designed for.  Exact
+    int64 arithmetic with divide-by-floored-total renormalization so
+    the chained-CTE DuckDB twin matches bit-for-bit."""
+    from markdown_lab_ray.stages.graph import hits_integer
+
+    hs = hits_integer(_customer_supplier_edges(sf_dir),
+                      n_iter=2, n_buckets=16)
+    return (hs.to_pandas().sort_values("node").reset_index(drop=True)
+            [["node", "auth", "hub"]])
+
+
+_HITS_ITER = """
+a{t}r AS (SELECT n.node, CAST(COALESCE(SUM(h.hub), 0) AS BIGINT) AS raw
+          FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN h{p} h ON h.node = e.src
+          GROUP BY n.node),
+a{t}d AS (SELECT GREATEST(SUM(raw) // 1000000, 1) AS d FROM a{t}r),
+a{t} AS (SELECT node, CAST(raw // (SELECT d FROM a{t}d) AS BIGINT) AS auth
+         FROM a{t}r),
+h{t}r AS (SELECT n.node, CAST(COALESCE(SUM(a.auth), 0) AS BIGINT) AS raw
+          FROM nodes n LEFT JOIN edges e ON e.src = n.node
+          LEFT JOIN a{t} a ON a.node = e.dst
+          GROUP BY n.node),
+h{t}d AS (SELECT GREATEST(SUM(raw) // 1000000, 1) AS d FROM h{t}r),
+h{t} AS (SELECT node, CAST(raw // (SELECT d FROM h{t}d) AS BIGINT) AS hub
+         FROM h{t}r)"""
+
+SQL_HITS = ("""
+WITH edges AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),"""
+            + ",".join(_HITS_ITER.format(t=t, p=t - 1) for t in (1, 2))
+            + """
+SELECT a2.node, a2.auth, h2.hub FROM a2 JOIN h2 USING (node) ORDER BY node
+""")
+
+
 _PR_ITER = """
 r{t} AS (SELECT n.node,
                 150000000 + COALESCE(SUM((r.rank*85)//(100*o.d)), 0) AS rank
@@ -4660,6 +4702,80 @@ GROUP BY day_id ORDER BY day_id
 
 
 
+def q_user_ewma(sf_dir: str):
+    """Final per-user EWMA of event value in exact integer cents
+    (floor-division recurrence, alpha = 2/10) — the streaming smoothed
+    spend signal, bit-identical to the DuckDB list_reduce twin."""
+    from markdown_lab_ray.stages.analytics import grouped_ewma
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = grouped_ewma(ds, "user_id", "ts", "value", "event_id",
+                       a_num=2, a_den=10).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_EWMA = """
+SELECT user_id,
+       CAST(list_reduce(
+           list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id),
+           (acc, x) -> (2 * x + 8 * acc) // 10) AS BIGINT) AS ewma_cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_systematic_sample(sf_dir: str):
+    """Deterministic 1-in-97 systematic sample of events under the
+    (ts, event_id) total order — global ROW_NUMBER assigned by
+    zipWithIndex over the sorted blocks (driver sees only per-block
+    counts), then a stride filter."""
+    from markdown_lab_ray.stages.analytics import systematic_sample
+
+    ds = _read(sf_dir, "events", ["ts", "event_id"])
+    out = systematic_sample(ds, ["ts", "event_id"], every=97,
+                            keep_cols=["event_id"]).to_pandas()
+    return out.sort_values("rn").reset_index(drop=True)[["rn", "event_id"]]
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT rn, event_id FROM (
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) AS rn
+    FROM events)
+WHERE (rn - 1) % 97 = 0 ORDER BY rn
+"""
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease screen per document in integer micro-points
+    (vowel-group syllable approximation) — the classic text-quality
+    signal alongside the Gopher ratios."""
+    from markdown_lab_ray.stages.text import readability_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(readability_batch, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_READABILITY = """
+SELECT doc_id,
+       n_words, n_sents, n_syll,
+       CAST(206835000
+            - (1015000 * n_words) // GREATEST(n_sents, 1)
+            - (84600000 * n_syll) // GREATEST(n_words, 1)
+            AS BIGINT) AS flesch_micro
+FROM (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                 AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                 AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS n_syll
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 def q_ann_recall(sf_dir: str):
     """Recall@10 audit of the approximate k-NN paths (LSH-bucketed and
     IVF) against the exact brute-force result on the same query vector
@@ -4825,6 +4941,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "locf_daily": q_locf_daily,
         "daily_kl": q_daily_kl,
+        "hits": q_hits,
+        "user_ewma": q_user_ewma,
+        "systematic_sample": q_systematic_sample,
+        "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
         "budget_apportion": q_budget_apportion,
         "convert_payloads": q_convert_payloads,
@@ -4954,6 +5074,10 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median": SQL_WEIGHTED_MEDIAN,
         "locf_daily": SQL_LOCF_DAILY,
         "daily_kl": SQL_DAILY_KL,
+        "hits": SQL_HITS,
+        "user_ewma": SQL_USER_EWMA,
+        "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+        "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "orders_topk": SQL_ORDERS_TOPK,
         "segment_sales": SQL_SEGMENT_SALES,

@@ -1810,3 +1810,106 @@ def daily_kl_drift(ds, ts_col: str, cat_col: str):
            .groupby(["day_id", cat_col]).aggregate(Sum("_c",
                                                        alias_name="_n")))
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_ewma(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value", id_col: str = "event_id",
+                 a_num: int = 2, a_den: int = 10, n_buckets: int = 64):
+    """Final exponentially-weighted moving average per key in exact
+    integer cents: e_0 = c_0, e_i = (a_num*c_i + (a_den-a_num)*e_{i-1})
+    // a_den over the key's rows in (ts, id) order.  Floor division at
+    every step keeps the recurrence in int64 — bit-identical to the
+    DuckDB ``list_reduce`` twin, where float EWMA would be
+    association-order-dependent and unhashable cross-engine.
+
+    Scale shape: ONE keyed shuffle on ``hash(key) % n_buckets``.  The
+    recurrence is inherently sequential per key, so the in-bucket fold
+    is a single linear scan over the bucket's sorted rows (numpy
+    arrays, one Python step per row — no closed form exists once each
+    step floors).  Output: (key, ewma_cents), one row per key.
+    """
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        cents = _cents(g[value_col].to_numpy())
+        b = a_den - a_num
+        out_keys, out_vals = [], []
+        cur_key = None
+        e = 0
+        for k, c in zip(keys, cents):
+            if k != cur_key:
+                if cur_key is not None:
+                    out_keys.append(cur_key)
+                    out_vals.append(e)
+                cur_key = k
+                e = int(c)
+            else:
+                e = (a_num * int(c) + b * e) // a_den
+        if cur_key is not None:
+            out_keys.append(cur_key)
+            out_vals.append(e)
+        return pd.DataFrame({key_col: out_keys,
+                             "ewma_cents": pd.array(out_vals,
+                                                    dtype="int64")})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns([key_col, "ewma_cents"]))
+
+
+def with_global_row_number(ds, sort_cols, rn_col: str = "rn"):
+    """Total-order global ROW_NUMBER (1-based) over ``sort_cols``:
+    Ray's range-partitioned sort already leaves blocks in global
+    order, so the rank of a row is its block's row offset plus its
+    position — the classic zipWithIndex.  The driver touches only
+    O(blocks) row COUNTS (ints); the blocks themselves stay in the
+    object store and are re-wrapped by reference.
+
+    Ties within ``sort_cols`` would make the numbering
+    layout-dependent, so pass a total order (include a unique id)."""
+    import ray
+    import ray.data as rd
+
+    sds = ds.sort(sort_cols).materialize()
+    refs = sds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]) \
+        if counts else np.array([], dtype=np.int64)
+
+    @ray.remote
+    def add_rn(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            rn_col, pa.array(off + np.arange(1, t.num_rows + 1),
+                             pa.int64()))
+
+    new_refs = [add_rn.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(new_refs)
+
+
+def systematic_sample(ds, sort_cols, every: int, keep_cols=None,
+                      rn_col: str = "rn"):
+    """Deterministic 1-in-``every`` systematic sample under a total
+    order: keep rows whose global row number satisfies
+    (rn - 1) % every == 0 (the SQL ``row_number() OVER (ORDER BY ...)``
+    twin).  Unlike Bernoulli sampling the stride guarantees exact
+    coverage spacing — the survey-sampling standard when the sort key
+    is uncorrelated with the measurement."""
+    numbered = with_global_row_number(ds, sort_cols, rn_col=rn_col)
+
+    def keep(b: pa.Table) -> pa.Table:
+        rn = b.column(rn_col).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((rn - 1) % every == 0))
+        if keep_cols is not None:
+            t = t.select([rn_col] + list(keep_cols))
+        return t
+
+    return numbered.map_batches(keep, batch_format="pyarrow")

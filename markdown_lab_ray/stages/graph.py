@@ -599,3 +599,127 @@ def edge_reciprocity(edges_ds, src_col: str = "from_type",
     part = (edges_ds.map_batches(tag, batch_format="pandas")
             .groupby("_b").map_groups(fold, batch_format="pandas"))
     return part.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def hits_integer(edges_ds, n_iter: int = 2, scale: int = 10 ** 6,
+                 n_buckets: int = 32, small_cutoff: int = 2_000_000):
+    """Integer HITS (Kleinberg 1999, public) over a deduplicated
+    directed edge list Dataset with int64 columns (src, dst).
+
+    Hub/authority power iteration restated in exact int64 arithmetic
+    (the ``pagerank_integer`` trick) so a chained-CTE DuckDB twin
+    reproduces it bit-for-bit.  Starting from hub0 = ``scale`` per
+    node, each iteration computes::
+
+        auth_raw(v) = sum_{(u,v) in E} hub(u)
+        d_a         = max(sum_v auth_raw(v) // scale, 1)
+        auth(v)     = auth_raw(v) // d_a
+        hub_raw(u)  = sum_{(u,v) in E} auth(v)
+        d_h         = max(sum_u hub_raw(u) // scale, 1)
+        hub(u)      = hub_raw(u) // d_h
+
+    Re-normalization DIVIDES by the floor-scaled total instead of
+    multiplying by ``scale`` (a multiply would square the magnitude
+    and overflow int64 at web scale): after each normalize every
+    value is <= ~2*scale, so intermediates stay <= 2*E*scale —
+    with scale=10^6 that holds past 10^12 edges.  Deterministic:
+    floor division + integer sums are order-independent.
+
+    Scale shape per iteration: two bucketed hash joins (hub onto
+    edges by src, auth onto edges by dst), two keyed Sums with the
+    node-zeros union (sinks/sources keep rows), and two O(1) driver
+    scalars (the totals) — never a driver materialization of ranks.
+    Small graphs (< ``small_cutoff`` edges) run all iterations in one
+    numpy task, bit-identical to the distributed loop.
+
+    Returns a Dataset of (node:int64, auth:int64, hub:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges * 2 * scale >= 2 ** 63:
+        max_scale = (2 ** 63) // (2 * max(n_edges, 1))
+        raise ValueError(
+            f"hits_integer overflow risk: {n_edges} edges at "
+            f"scale={scale} exceeds int64 (2*E*scale >= 2^63); "
+            f"pass scale <= {max_scale}")
+
+    if 0 < n_edges <= small_cutoff:
+        def local_hits(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([src, dst]))
+            n = len(nodes_arr)
+            si = np.searchsorted(nodes_arr, src)
+            di = np.searchsorted(nodes_arr, dst)
+            hub = np.full(n, scale, np.int64)
+            auth = np.zeros(n, np.int64)
+            for _ in range(n_iter):
+                araw = np.zeros(n, np.int64)
+                np.add.at(araw, di, hub[si])
+                d_a = max(int(araw.sum()) // scale, 1)
+                auth = araw // d_a
+                hraw = np.zeros(n, np.int64)
+                np.add.at(hraw, si, auth[di])
+                d_h = max(int(hraw.sum()) // scale, 1)
+                hub = hraw // d_h
+            return pa.table({"node": pa.array(nodes_arr),
+                             "auth": pa.array(auth, pa.int64()),
+                             "hub": pa.array(hub, pa.int64())})
+
+        return (edges_ds.repartition(1)
+                .map_batches(local_hits, batch_format="pyarrow",
+                             batch_size=None)
+                .materialize())
+
+    edges = edges_ds.repartition(n_buckets).materialize()
+    nodes = distinct_nodes(edges_ds).repartition(n_buckets).materialize()
+    node_zeros = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "contrib": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(
+        lambda b: b.append_column(
+            "hub", pa.array(np.full(b.num_rows, scale, np.int64))),
+        batch_format="pyarrow").materialize()
+    auths = None
+
+    def _sum_then_norm(contribs, out_col: str):
+        """(node, contrib) rows + zeros → normalized (node, out_col)."""
+        raw = (contribs.union(node_zeros)
+               .groupby("node").aggregate(Sum("contrib", alias_name="raw"))
+               ).materialize()
+        total = raw.aggregate(Sum("raw", alias_name="t"))["t"] or 0
+        d = max(int(total) // scale, 1)
+
+        def norm(b: pa.Table) -> pa.Table:
+            r = b.column("raw").to_numpy(zero_copy_only=False)
+            return pa.table({"node": b.column("node"),
+                             out_col: pa.array(r // d, pa.int64())})
+
+        return (raw.map_batches(norm, batch_format="pyarrow")
+                .repartition(n_buckets).materialize())
+
+    for _ in range(n_iter):
+        # all-to-all 1: hub(src) onto edges, summed at dst
+        j = bucketed_hash_join(edges, _rename(hubs, {"node": "src"}),
+                               key="src", n_buckets=n_buckets)
+        auths = _sum_then_norm(
+            j.map_batches(lambda b: pa.table(
+                {"node": b.column("dst"), "contrib": b.column("hub")}),
+                batch_format="pyarrow"),
+            "auth")
+        # all-to-all 2: auth(dst) onto edges, summed at src
+        j2 = bucketed_hash_join(edges, _rename(auths, {"node": "dst"}),
+                                key="dst", n_buckets=n_buckets)
+        hubs = _sum_then_norm(
+            j2.map_batches(lambda b: pa.table(
+                {"node": b.column("src"), "contrib": b.column("auth")}),
+                batch_format="pyarrow"),
+            "hub")
+
+    return bucketed_hash_join(auths, hubs, key="node",
+                              n_buckets=n_buckets)

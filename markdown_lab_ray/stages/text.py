@@ -741,3 +741,46 @@ def hapax_stats(ds, group_col: str = "lang", text_col: str = "text",
                          hapax_micro=rate)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+_WORD_AZ_RE = re.compile(r"[A-Za-z]+")
+_SENT_END_RE = re.compile(r"[.!?]+")
+_VOWEL_RUN_RE = re.compile(r"[aeiouy]+")
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Flesch reading-ease screen in exact integer micro-points:
+
+        flesch_micro = 206_835_000
+                       - (1_015_000 * n_words) // max(n_sents, 1)
+                       - (84_600_000 * n_syll) // max(n_words, 1)
+
+    with n_words = count of ``[A-Za-z]+`` runs, n_sents = count of
+    ``[.!?]+`` runs (floored to 1), and n_syll = the standard
+    vowel-group syllable approximation (count of ``[aeiouy]+`` runs in
+    the lowercased text).  Floor division keeps the score int64 and
+    bit-identical to the DuckDB ``regexp_extract_all`` twin — the
+    float formula would round differently across engines.  Stateless
+    per-batch map, compiled module-level regexes, zero shuffles."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    words = np.zeros(n, np.int64)
+    sents = np.zeros(n, np.int64)
+    sylls = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words[i] = sum(1 for _ in _WORD_AZ_RE.finditer(t))
+        sents[i] = sum(1 for _ in _SENT_END_RE.finditer(t))
+        sylls[i] = sum(1 for _ in _VOWEL_RUN_RE.finditer(t.lower()))
+    flesch = (206_835_000
+              - (1_015_000 * words) // np.maximum(sents, 1)
+              - (84_600_000 * sylls) // np.maximum(words, 1))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(words, pa.int64()),
+        "n_sents": pa.array(sents, pa.int64()),
+        "n_syll": pa.array(sylls, pa.int64()),
+        "flesch_micro": pa.array(flesch, pa.int64()),
+    })
