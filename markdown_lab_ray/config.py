@@ -56,6 +56,13 @@ class EngineConfig:
                                        # one fetch per host cluster-wide
                                        # — use for real networks)
     robots_shards: int = 4
+    # -- per-host circuit breaker (0 = disabled): after
+    # ``breaker_threshold`` consecutive failed fetches with no
+    # intervening success, the host is skipped (its frontier rows
+    # deferred, never dropped) for ``breaker_cooldown_rounds`` rounds,
+    # then re-enters half-open with a fresh streak
+    breaker_threshold: int = 0
+    breaker_cooldown_rounds: int = 2
 
     # -- misc
     seed: int = 42
@@ -83,6 +90,11 @@ class EngineConfig:
             raise ValueError("fetch_mode must be 'actors' or 'tasks'")
         if self.robots_cache not in ("worker", "actor"):
             raise ValueError("robots_cache must be 'worker' or 'actor'")
+        if self.breaker_threshold < 0:
+            raise ValueError("breaker_threshold must be non-negative")
+        if self.breaker_threshold > 0 and self.breaker_cooldown_rounds < 1:
+            raise ValueError("breaker_cooldown_rounds must be >= 1 when "
+                             "the circuit breaker is enabled")
         return self
 
     @classmethod

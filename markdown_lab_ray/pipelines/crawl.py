@@ -388,7 +388,8 @@ def _group_to_arrow(df, schema: pa.Schema) -> pa.Table:
 
 
 def make_host_processor(shards, robots_factory, budget: int,
-                        round_seconds: float = 0.0):
+                        round_seconds: float = 0.0,
+                        open_hosts: frozenset | None = None):
     """The fused per-host round step (ONE groupby instead of three):
     intra-round dedup (same seen_key ⟹ same host, so host groups see
     all duplicates) → URL-seen contains-filter → robots allow →
@@ -404,6 +405,11 @@ def make_host_processor(shards, robots_factory, budget: int,
     empty = _SCHEDULE_PA_SCHEMA.empty_table()
 
     def process(df):
+        if open_hosts and df["host"].iloc[0] in open_hosts:
+            # circuit breaker open: the whole group defers untouched
+            # (no dedup/seen/robots work — it re-runs on re-entry)
+            return _group_to_arrow(schedule_group(df, 0),
+                                   _SCHEDULE_PA_SCHEMA)
         df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
               .drop_duplicates("seen_key", keep="first"))
         if shards is not None:
@@ -434,7 +440,8 @@ def add_salt_batch(batch: pa.Table, n_salts: int) -> pa.Table:
     return batch.append_column("salt", pa.array(salts, pa.int32()))
 
 
-def make_salted_preprocessor(shards, robots_factory, budget: int):
+def make_salted_preprocessor(shards, robots_factory, budget: int,
+                             open_hosts: frozenset | None = None):
     """Stage 1 of hot-host scheduling: per (host, salt) group — dedup,
     seen-filter, robots — then keep only the group's top-``budget``
     rows as *contenders* (the global per-host top-budget is a subset of
@@ -448,6 +455,10 @@ def make_salted_preprocessor(shards, robots_factory, budget: int):
     empty = _SALTED_PA_SCHEMA.empty_table()
 
     def process(df):
+        if open_hosts and df["host"].iloc[0] in open_hosts:
+            # breaker open: nothing contends; rows defer untouched
+            return _group_to_arrow(df.assign(contender=False),
+                                   _SALTED_PA_SCHEMA)
         df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
               .drop_duplicates("seen_key", keep="first"))
         if shards is not None:
@@ -610,6 +621,74 @@ def _read_frontier(path: str):
     return rd.read_parquet(path)
 
 
+def _update_breaker(breaker: dict, docs_dir: str, round_no: int,
+                    cfg) -> None:
+    """Advance the circuit-breaker state from this round's fetch
+    results.  Per-host (ok, n) counts are folded per block, bucketed by
+    ``hash(host) % B`` (B group tasks regardless of host cardinality —
+    the repo's standard per-key fold), and FILTERED distributed-side:
+    only hosts with a failure this round, plus hosts already carrying
+    breaker state, reach the driver — O(failing hosts), never
+    O(scheduled hosts)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.bucketing import key_buckets
+    from ..state.politeness import breaker_update
+
+    prev_hosts = frozenset(breaker)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (pd.DataFrame({"host": df["host"],
+                           "ok": (df["status"] == 200).astype("int64")})
+             .groupby("host", sort=False)["ok"].agg(["sum", "size"])
+             .reset_index())
+        out = pd.DataFrame({"host": g["host"],
+                            "ok": g["sum"].astype("int64"),
+                            "n": g["size"].astype("int64")})
+        out["_b"] = key_buckets(out["host"].to_numpy(), 32)
+        return out
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        a = (g.groupby("host", sort=False)
+             .agg(ok=("ok", "sum"), n=("n", "sum")).reset_index())
+        keep = (a["n"] - a["ok"] > 0) | a["host"].isin(prev_hosts)
+        return a[keep][["host", "ok", "n"]]
+
+    stats = (rd.read_parquet(docs_dir, columns=["host", "status"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby("_b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+
+    if stats.empty:
+        # all-ok round with no carried streaks: the fold emits zero
+        # rows, and an all-empty map_groups result has no columns
+        return
+    for r in stats.sort_values("host").itertuples(index=False):
+        n_ok, n_fail = int(r.ok), int(r.n - r.ok)
+        prev = breaker.get(r.host, [0, 0])
+        streak, tripped = breaker_update(int(prev[0]), n_ok, n_fail,
+                                         cfg.breaker_threshold)
+        if tripped:
+            breaker[r.host] = [0, round_no + 1
+                               + cfg.breaker_cooldown_rounds]
+        elif streak > 0:
+            breaker[r.host] = [streak, int(prev[1])]
+        else:
+            breaker.pop(r.host, None)
+
+
+def _write_breaker_state(rdir: str, breaker: dict, round_no: int) -> None:
+    """Checkpoint the breaker table (pruning entries that are fully
+    expired AND streak-free — all-ok hosts never accumulate)."""
+    pruned = {h: v for h, v in breaker.items()
+              if v[0] > 0 or v[1] > round_no + 1}
+    breaker.clear()
+    breaker.update(pruned)
+    with open(os.path.join(rdir, "breaker.json"), "w") as f:
+        json.dump(pruned, f)
+
+
 def run_crawl_ray(web_factory, seed_urls: list[str],
                   out_dir: str, cfg: EngineConfig | None = None,
                   min_priority=None, include_patterns=None,
@@ -645,6 +724,19 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
     frontier = None
     if resume:
         start_round, frontier = _restore(out_dir, shards, result)
+
+    # circuit-breaker state: host → [streak, open_until].  Bounded by
+    # the number of CURRENTLY-failing hosts (all-ok hosts are pruned
+    # every round), so holding it on the driver — and re-broadcasting
+    # the open set into the schedule group fns — is O(failing hosts),
+    # not O(hosts).  Checkpointed per round for resume.
+    breaker: dict[str, list] = {}
+    if resume and start_round > 0 and cfg.breaker_threshold > 0:
+        bpath = os.path.join(_round_dir(out_dir, start_round - 1),
+                             "breaker.json")
+        if os.path.exists(bpath):
+            with open(bpath) as f:
+                breaker = json.load(f)
 
     import time as _time
 
@@ -689,6 +781,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         # shard RPC count is ∝ blocks × shards instead of host groups ×
         # shards (a 10^5-host round would otherwise issue 10^5
         # synchronous probe fan-outs from inside the group fns)
+        open_hosts = frozenset(
+            h for h, (streak, ou) in breaker.items() if ou > round_no)
         unseen = frontier.map_batches(
             SeenProbe(shards, mode="filter_unseen"), batch_format="pyarrow")
         if cfg.schedule_salts > 1:
@@ -696,7 +790,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 add_salt_batch, batch_format="pyarrow",
                 fn_kwargs=dict(n_salts=cfg.schedule_salts)
             ).groupby(["host", "salt"]).map_groups(
-                make_salted_preprocessor(None, robots_factory, budget),
+                make_salted_preprocessor(None, robots_factory, budget,
+                                         open_hosts=open_hosts),
                 batch_format="pandas")
             pre = pre.materialize()  # branched by two filters below —
             # without this the groupby + seen-probe RPCs would run twice
@@ -713,7 +808,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         else:
             schedule = unseen.groupby("host").map_groups(
                 make_host_processor(None, robots_factory, budget,
-                                    cfg.round_seconds),
+                                    cfg.round_seconds,
+                                    open_hosts=open_hosts),
                 batch_format="pandas"
             ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                           ).materialize()
@@ -792,14 +888,27 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         _bg_write(schedule, os.path.join(rdir, "schedule"))
 
         if n_scheduled == 0:
+            breaker_waiting = bool(open_hosts) and n_deferred > 0
+            if breaker_waiting:
+                # every pending row belongs to a breaker-open host:
+                # persist the deferred frontier and sit the round out
+                # (the oracle keeps advancing rounds the same way)
+                _bg_write(deferred.map_batches(conform_frontier_batch,
+                                               batch_format="pyarrow"),
+                          next_dir)
             _join_ckpt()
+            if cfg.breaker_threshold > 0:
+                _write_breaker_state(rdir, breaker, round_no)
             entry = {"round": round_no, "scheduled": 0, "fetched": 0,
-                     "failed": 0, "deferred": 0}
+                     "failed": 0, "deferred": n_deferred}
             result.manifest.append(entry)
             result.rounds = round_no + 1
             with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
                 json.dump(entry, f)
-            break
+            if not breaker_waiting:
+                break
+            frontier = _read_frontier(next_dir).materialize()
+            continue
 
         # deferred rows land in frontier_next immediately (the links
         # part appends to the same directory after docs complete)
@@ -883,9 +992,15 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                      .to_pandas())
         ok = int(status_df["ok"].sum())
         total = int(status_df["n"].sum())
+
+        if cfg.breaker_threshold > 0:
+            _update_breaker(breaker, docs_dir, round_no, cfg)
+
         t0 = _time.time()
         _join_ckpt()  # all checkpoint writes durable before the manifest
         timings["checkpoint_wait"] = round(_time.time() - t0, 2)
+        if cfg.breaker_threshold > 0:
+            _write_breaker_state(rdir, breaker, round_no)
         entry = {
             "round": round_no, "scheduled": total, "fetched": ok,
             "failed": total - ok,

@@ -14,8 +14,8 @@ import pandas as pd
 
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links
-from ..state.politeness import (effective_budget, round_budget,
-                                schedule_group)
+from ..state.politeness import (breaker_update, effective_budget,
+                                round_budget, schedule_group)
 from ..state.robots import LocalRobotsCache
 from ..state.seen import LocalSeen
 from .crawl_spec import (
@@ -44,10 +44,17 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
 
     order_rows: list[dict] = []
     fetched = failed = 0
+    streaks: dict[str, int] = {}      # circuit breaker: host → streak
+    open_until: dict[str, int] = {}   # host → first round it may re-enter
 
     for round_no in range(cfg.max_rounds):
         if not candidates:
             break
+        # breaker-open hosts sit the round out: their candidate rows
+        # are carried forward untouched (deferred, never dropped)
+        open_hosts = {h for h, r in open_until.items() if r > round_no}
+        carried = [c for c in candidates if c["host"] in open_hosts]
+        candidates = [c for c in candidates if c["host"] not in open_hosts]
         rows = dedup_candidates(candidates)
         flags = seen.contains_many([r["seen_key"] for r in rows])
         rows = [r for r, is_seen in zip(rows, flags) if not is_seen]
@@ -69,11 +76,12 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
         new_flags = seen.check_and_add([r["seen_key"] for r in scheduled])
         scheduled = [r for r, is_new in zip(scheduled, new_flags) if is_new]
 
-        candidates = [
+        candidates = carried + [
             {k: row[k] for k in ("loc", "lastmod", "changefreq", "priority",
                                  "host", "depth", "seq_no", "seen_key")}
             for row in deferred
         ]
+        round_stats: dict[str, list[int]] = {}  # host → [n_ok, n_fail]
         for row in scheduled:
             status, body = resolve_fn(row["loc"])
             order_rows.append({
@@ -81,13 +89,30 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
                 "fetch_order": row["fetch_order"], "loc": row["loc"],
                 "seq_no": row["seq_no"], "status": status,
             })
+            stat = round_stats.setdefault(row["host"], [0, 0])
             if status == 200 and isinstance(body, str):
                 fetched += 1
+                stat[0] += 1
                 if row["depth"] < cfg.max_depth:
                     candidates.extend(links_to_frontier_rows(
                         row["depth"], extract_links(body, row["loc"])))
             else:
                 failed += 1
+                stat[1] += 1
+
+        if cfg.breaker_threshold > 0:
+            for host, (n_ok, n_fail) in round_stats.items():
+                streak, tripped = breaker_update(
+                    streaks.get(host, 0), n_ok, n_fail,
+                    cfg.breaker_threshold)
+                if tripped:
+                    open_until[host] = (round_no + 1
+                                        + cfg.breaker_cooldown_rounds)
+                    streaks.pop(host, None)
+                elif streak > 0:
+                    streaks[host] = streak
+                else:
+                    streaks.pop(host, None)
 
     detail = pd.DataFrame(order_rows)
     if not detail.empty:

@@ -64,6 +64,16 @@ class SiteSpec:
     # and every fixture derived from it, unchanged)
     crawl_delay_every: int = 0
     crawl_delay_seconds: float = 1.0
+    # every Nth host serves ``error_status`` for all PAGE urls (robots
+    # and sitemaps still work, so the host gets discovered + scheduled
+    # and then fails every fetch — the circuit-breaker scenario).
+    # 0 = no host fails (default web unchanged).
+    error_host_every: int = 0
+    error_status: int = 503
+
+    def is_error_host(self, host_i: int) -> bool:
+        return (self.error_host_every > 0
+                and host_i % self.error_host_every == 0)
 
     def host(self, i: int) -> str:
         return f"h{i:03d}.example.com"
@@ -319,8 +329,12 @@ class SyntheticWeb:
         if path.startswith("/page/"):
             tail = path[len("/page/"):]
             if tail.isdigit() and int(tail) < self.spec.pages_per_host:
+                if self.spec.is_error_host(host_i):
+                    return self.spec.error_status, ""
                 return 200, page_html(self.spec, host_i, int(tail))
         if path == "/":
+            if self.spec.is_error_host(host_i):
+                return self.spec.error_status, ""
             return 200, page_html(self.spec, host_i, 0)
         return 404, ""
 

@@ -89,3 +89,21 @@ def schedule_group(df: pd.DataFrame, budget: int) -> pd.DataFrame:
         fetch_order=np.where(np.arange(n) < take, np.arange(n), -1).astype(np.int64),
     )
     return ordered
+
+
+def breaker_update(prev_streak: int, n_ok: int, n_fail: int,
+                   threshold: int) -> tuple[int, bool]:
+    """Round-grained per-host circuit-breaker accounting (one call per
+    host per BSP round it was scheduled in): any successful fetch in
+    the round closes the streak; an all-failure round extends it by the
+    round's failure count.  When the streak reaches ``threshold`` the
+    breaker TRIPS — the caller opens the host for its cooldown window
+    and the streak resets (half-open semantics: the host re-enters with
+    a clean slate and trips again after ``threshold`` fresh failures).
+
+    Pure and deterministic — the single source of truth shared by the
+    sequential oracle and the distributed engine, like
+    ``schedule_group``.  Returns (new_streak, tripped)."""
+    streak = 0 if n_ok > 0 else prev_streak + n_fail
+    tripped = threshold > 0 and streak >= threshold
+    return (0 if tripped else streak), tripped
