@@ -4814,6 +4814,187 @@ def q_ann_recall(sf_dir: str):
                      "recall_micro": int(np.floor(rec * 1e6 + 0.5))})
     return pd.DataFrame(rows)
 
+def q_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands engagement metric, de-duplicated to (user, day)
+    inside each block before the one keyed shuffle."""
+    from markdown_lab_ray.stages.analytics import user_streaks
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = user_streaks(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS dn
+           FROM events),
+i AS (SELECT user_id, dn,
+             dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+                 AS grp
+      FROM d),
+s AS (SELECT user_id, COUNT(*) AS len FROM i GROUP BY user_id, grp)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_event_type_runs(sf_dir: str):
+    """Longest unbroken run of one event type per user under the
+    (ts, event_id) total order (ties to the smallest type) — the
+    repetition/bot-behavior signal."""
+    from markdown_lab_ray.stages.analytics import event_type_runs
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    out = event_type_runs(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_RUNS = """
+WITH o AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rt
+           FROM events),
+r AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM o GROUP BY user_id, event_type, rn - rt)
+SELECT user_id, run_len, event_type
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY run_len DESC,
+                                            event_type ASC) AS pick
+      FROM r)
+WHERE pick = 1 ORDER BY user_id
+"""
+
+
+def q_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of daily revenue (integer micro-units,
+    exact-integer Pearson sums) — the stationarity sanity check."""
+    from markdown_lab_ray.stages.analytics import daily_autocorr
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return daily_autocorr(ds).to_pandas().reset_index(drop=True)
+
+
+SQL_DAILY_AUTOCORR = """
+WITH d AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS s
+           FROM events GROUP BY 1),
+p AS (SELECT CAST(s AS BIGINT) AS x,
+             CAST(LEAD(s) OVER (ORDER BY day_id) AS BIGINT) AS y
+      FROM d),
+q AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+m AS (SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM q)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) + 0.5)
+            AS BIGINT) AS lag1_corr_micro
+FROM m
+"""
+
+
+def q_bollinger_daily(sf_dir: str):
+    """Trailing 7-day Bollinger bands (mean ± 2 population sigma, exact
+    integer window sums) with a breach flag per day."""
+    from markdown_lab_ray.stages.analytics import bollinger_daily
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = bollinger_daily(ds).to_pandas()
+    return out.sort_values("day_id").reset_index(drop=True)
+
+
+SQL_BOLLINGER_DAILY = """
+WITH d AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS s
+           FROM events GROUP BY 1),
+w AS (SELECT day_id, CAST(s AS BIGINT) AS s,
+             SUM(CAST(s AS HUGEINT)) OVER win AS su,
+             SUM(CAST(s AS HUGEINT) * s) OVER win AS sq,
+             COUNT(*) OVER win AS cnt
+      FROM d WINDOW win AS (ORDER BY day_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+e AS (SELECT day_id, s, cnt,
+             CAST(su AS DOUBLE) / cnt AS m,
+             CAST(cnt * sq - su * su AS DOUBLE)
+                 / CAST(cnt * cnt AS DOUBLE) AS var
+      FROM w),
+f AS (SELECT day_id, s, m,
+             CASE WHEN var > 0 THEN sqrt(var) ELSE 0 END AS sd
+      FROM e)
+SELECT day_id, s AS s_cents,
+       CAST(floor(1e6 * m + 0.5) AS BIGINT) AS mean_micro,
+       CAST(floor(1e6 * (m - 2 * sd) + 0.5) AS BIGINT) AS lower_micro,
+       CAST(floor(1e6 * (m + 2 * sd) + 0.5) AS BIGINT) AS upper_micro,
+       CAST(CASE WHEN CAST(s AS DOUBLE) < m - 2 * sd THEN -1
+                 WHEN CAST(s AS DOUBLE) > m + 2 * sd THEN 1
+                 ELSE 0 END AS BIGINT) AS breach
+FROM f ORDER BY day_id
+"""
+
+
+def q_user_trend(sf_dir: str):
+    """Per-user OLS spend trend in integer micro-cents/hour (exact
+    normal-equation integer sums; one double division at the end)."""
+    from markdown_lab_ray.stages.analytics import user_trend
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = user_trend(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_TREND = """
+WITH b AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+e AS (SELECT e.user_id,
+             CAST(date_diff('second', b.t0, e.ts) AS BIGINT) AS x,
+             CAST(round(e.value * 100) AS BIGINT) AS y
+      FROM events e JOIN b USING (user_id)),
+m AS (SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM e GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor(3.6e9 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5)
+            AS BIGINT) AS trend_micro
+FROM m WHERE n >= 2 AND (n * sxx - sx * sx) > 0 ORDER BY user_id
+"""
+
+
+def q_pareto_customers(sf_dir: str):
+    """How many top customers carry 50/80/90/95% of order revenue —
+    exact-cents concentration crossings over the sorted spend curve."""
+    from markdown_lab_ray.stages.analytics import pareto_crossings
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = pareto_crossings(ds, "o_custkey", "o_totalprice").to_pandas()
+    return out.sort_values("pct").reset_index(drop=True)
+
+
+SQL_PARETO_CUSTOMERS = """
+WITH c AS (SELECT o_custkey,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+           FROM orders GROUP BY 1),
+r AS (SELECT SUM(CAST(s AS HUGEINT)) OVER (ORDER BY s DESC, o_custkey)
+                 AS cum,
+             ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS rn
+      FROM c),
+t AS (SELECT SUM(CAST(s AS HUGEINT)) AS total FROM c)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(MIN(rn) AS BIGINT) AS n_keys
+FROM r CROSS JOIN t, (VALUES (50), (80), (90), (95)) AS p(pct)
+WHERE cum * 100 >= total * p.pct
+GROUP BY p.pct ORDER BY pct
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -4943,6 +5124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_kl": q_daily_kl,
         "hits": q_hits,
         "user_ewma": q_user_ewma,
+        "user_streaks": q_user_streaks,
+        "event_type_runs": q_event_type_runs,
+        "daily_autocorr": q_daily_autocorr,
+        "bollinger_daily": q_bollinger_daily,
+        "user_trend": q_user_trend,
+        "pareto_customers": q_pareto_customers,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5076,6 +5263,12 @@ def oracle_sql() -> dict[str, str]:
         "daily_kl": SQL_DAILY_KL,
         "hits": SQL_HITS,
         "user_ewma": SQL_USER_EWMA,
+        "user_streaks": SQL_USER_STREAKS,
+        "event_type_runs": SQL_EVENT_TYPE_RUNS,
+        "daily_autocorr": SQL_DAILY_AUTOCORR,
+        "bollinger_daily": SQL_BOLLINGER_DAILY,
+        "user_trend": SQL_USER_TREND,
+        "pareto_customers": SQL_PARETO_CUSTOMERS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

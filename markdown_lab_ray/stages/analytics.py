@@ -1913,3 +1913,343 @@ def systematic_sample(ds, sort_cols, every: int, keep_cols=None,
         return t
 
     return numbered.map_batches(keep, batch_format="pyarrow")
+
+
+def user_streaks(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 n_buckets: int = 64):
+    """Longest consecutive-day activity streak per key — the classic
+    gaps-and-islands engagement metric (a run of calendar days with at
+    least one event each).
+
+    Scale shape: a per-batch combiner first collapses rows to DISTINCT
+    (key, day-number) pairs — at most keys × days rows leave each
+    block, never raw events — then ONE keyed shuffle on
+    ``hash(key) % n_buckets``; inside a bucket the streak is a numpy
+    diff over each key's de-duplicated sorted day numbers.  Day number
+    is epoch-days (us // 86 400e6), identical to the SQL twin's
+    ``date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))``.
+    Output: (key, max_streak int64), one row per key.
+    """
+    _US_PER_DAY = 86_400_000_000
+
+    def slim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dn = pc.cast(batch.column(ts_col), pa.int64())
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            "_dn": dn.to_numpy(zero_copy_only=False) // _US_PER_DAY})
+        df = df.drop_duplicates()
+        df["_b"] = key_buckets(df[key_col].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[[key_col, "_dn"]].drop_duplicates()
+             .sort_values([key_col, "_dn"], kind="mergesort"))
+        keys = g[key_col].to_numpy()
+        days = g["_dn"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key_col: pd.array([], dtype="int64"),
+                                 "max_streak": pd.array([], dtype="int64")})
+        # a new island starts at a key change or a day gap > 1
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (keys[1:] != keys[:-1]) | (np.diff(days) != 1)
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        isl = pd.DataFrame({key_col: keys[starts], "_len": lens})
+        out = (isl.groupby(key_col, sort=True)["_len"].max()
+               .rename("max_streak").reset_index())
+        out["max_streak"] = out["max_streak"].astype("int64")
+        return out
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def event_type_runs(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", cat_col: str = "event_type",
+                    n_buckets: int = 64):
+    """Longest run of identical consecutive categories per key under
+    the (ts, id) total order — e.g. "this user's longest unbroken
+    stretch of error events" (session-quality / bot-detection signal).
+    Ties broken toward the lexicographically smallest category.
+
+    Scale shape: one keyed shuffle on ``hash(key) % n_buckets``; the
+    in-bucket fold is a vectorized change-point scan (numpy boundary
+    mask → run lengths via diff of run starts), never a Python loop
+    over rows.  Output: (key, run_len int64, category).
+    """
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        cats = g[cat_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key_col: pd.array([], dtype="int64"),
+                                 "run_len": pd.array([], dtype="int64"),
+                                 cat_col: pd.array([], dtype=str)})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (keys[1:] != keys[:-1]) | (cats[1:] != cats[:-1])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        runs = pd.DataFrame({key_col: keys[starts], "run_len": lens,
+                             cat_col: cats[starts]})
+        runs = runs.sort_values([key_col, "run_len", cat_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        out = runs.groupby(key_col, sort=True).head(1)
+        return out[[key_col, "run_len", cat_col]].reset_index(drop=True)
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns([key_col, "run_len", cat_col]))
+
+
+def _daily_cents(ds, ts_col: str, value_col: str):
+    """Shared combiner: per-batch (YYYYMMDD, cents) partial sums →
+    one native groupby over the bounded calendar — the only shuffle
+    moves O(days × blocks) partial rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        day = pc.cast(pc.strftime(batch.column(ts_col), format="%Y%m%d"),
+                      pa.int64())
+        df = pd.DataFrame({
+            "day_id": day.to_numpy(zero_copy_only=False),
+            "_c": _cents(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False))})
+        g = df.groupby("day_id", sort=False)["_c"].sum().astype("int64")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day_id").aggregate(Sum("_c", alias_name="_s")))
+
+
+def daily_autocorr(ds, ts_col: str = "ts", value_col: str = "value"):
+    """Lag-1 autocorrelation of the daily revenue series in integer
+    micro-units — the "is tomorrow like today" stationarity check run
+    before any time-series model is trusted.
+
+    Exactness: the Pearson numerator and both variance terms are
+    assembled from exact integer sums of daily cents (Python ints, no
+    streaming-covariance float drift), then ONE double division +
+    sqrt — the identical expression tree the SQL twin evaluates on
+    HUGEINT aggregates, so the micro-rounded result hashes equal.
+    Scale shape: the calendar is bounded, so after ``_daily_cents``
+    the finish is a single tiny task.  Output: one row
+    (n_pairs int64, lag1_corr_micro int64).
+    """
+    import math
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_s" not in b.column_names:
+            return pa.table({"n_pairs": pa.array([0], pa.int64()),
+                             "lag1_corr_micro": pa.array([None],
+                                                         pa.int64())})
+        df = b.to_pandas().sort_values("day_id")
+        s = [int(v) for v in df["_s"].to_numpy()]
+        x, y = s[:-1], s[1:]
+        n = len(x)
+        if n < 2:
+            return pa.table({"n_pairs": pa.array([n], pa.int64()),
+                             "lag1_corr_micro": pa.array([None],
+                                                         pa.int64())})
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b_ for a, b_ in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b_ * b_ for b_ in y)
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            corr = None
+        else:
+            corr = int(math.floor(
+                1e6 * float(num) / math.sqrt(float(d1) * float(d2)) + 0.5))
+        return pa.table({"n_pairs": pa.array([n], pa.int64()),
+                         "lag1_corr_micro": pa.array([corr], pa.int64())})
+
+    return (_daily_cents(ds, ts_col, value_col)
+            .repartition(1).map_batches(finish, batch_format="pyarrow"))
+
+
+def bollinger_daily(ds, ts_col: str = "ts", value_col: str = "value",
+                    window: int = 7, n_sigma: int = 2):
+    """Trailing ``window``-day Bollinger bands over daily revenue:
+    mean ± ``n_sigma`` population stddevs, plus a breach flag (-1 below
+    band, 0 inside, +1 above) — the anomaly screen over the revenue
+    series.
+
+    Exactness: window sums / sums-of-squares stay exact integers; the
+    only floats are one division and one sqrt per day, mirroring the
+    SQL twin's expression tree on HUGEINT window sums.  Scale shape:
+    bounded calendar → single tiny finish task after ``_daily_cents``.
+    Output per day: (day_id, s_cents, mean_micro, lower_micro,
+    upper_micro, breach).
+    """
+    import math
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = ("day_id", "s_cents", "mean_micro", "lower_micro",
+                "upper_micro", "breach")
+        if b.num_rows == 0 or "_s" not in b.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        df = b.to_pandas().sort_values("day_id")
+        days = df["day_id"].to_numpy(np.int64)
+        s = [int(v) for v in df["_s"].to_numpy()]
+        rows = {"day_id": [], "s_cents": [], "mean_micro": [],
+                "lower_micro": [], "upper_micro": [], "breach": []}
+        for i in range(len(s)):
+            w = s[max(0, i - window + 1):i + 1]
+            cnt = len(w)
+            su = sum(w)
+            sq = sum(v * v for v in w)
+            m = float(su) / cnt
+            var = float(cnt * sq - su * su) / float(cnt * cnt)
+            sd = math.sqrt(var) if var > 0 else 0.0
+            up, lo = m + n_sigma * sd, m - n_sigma * sd
+            rows["day_id"].append(int(days[i]))
+            rows["s_cents"].append(s[i])
+            rows["mean_micro"].append(int(math.floor(1e6 * m + 0.5)))
+            rows["lower_micro"].append(int(math.floor(1e6 * lo + 0.5)))
+            rows["upper_micro"].append(int(math.floor(1e6 * up + 0.5)))
+            rows["breach"].append(
+                -1 if float(s[i]) < lo else (1 if float(s[i]) > up else 0))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    return (_daily_cents(ds, ts_col, value_col)
+            .repartition(1).map_batches(finish, batch_format="pyarrow"))
+
+
+def user_trend(ds, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", value_col: str = "value",
+               n_buckets: int = 64):
+    """Per-key OLS slope of spend over time, in integer micro-cents
+    per hour — the "is this user ramping up or churning" trend signal.
+
+    Exactness: x is whole seconds since the key's first event (floored
+    the way SQL ``date_diff('second', …)`` floors), y is integer
+    cents; the normal-equation terms n·Σxy−ΣxΣy and n·Σx²−(Σx)² are
+    accumulated as arbitrary-precision Python ints (object-dtype
+    sums — no int64 overflow cliff however long a key's history), then
+    ONE double division mirrors the SQL twin's HUGEINT expression.
+    Scale shape: one keyed shuffle on ``hash(key) % n_buckets``; the
+    fold is pandas-groupby vectorized.  Keys with <2 events or zero
+    time variance are dropped (slope undefined), as in the twin.
+    Output: (key, n int64, trend_micro int64).
+    """
+    import math
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sec = (g[ts_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 1_000_000)
+        g = g.assign(_sec=sec, _y=_cents(g[value_col].to_numpy()))
+        t0 = g.groupby(key_col)["_sec"].transform("min")
+        x = (g["_sec"] - t0).to_numpy(np.int64).astype(object)
+        y = g["_y"].to_numpy(np.int64).astype(object)
+        parts = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                              "_n": 1, "_sx": x, "_sy": y,
+                              "_sxy": x * y, "_sxx": x * x})
+        a = parts.groupby(key_col, sort=True).sum()
+        out_k, out_n, out_t = [], [], []
+        for k, r in a.iterrows():
+            n = int(r["_n"])
+            num = n * int(r["_sxy"]) - int(r["_sx"]) * int(r["_sy"])
+            den = n * int(r["_sxx"]) - int(r["_sx"]) ** 2
+            if n < 2 or den <= 0:
+                continue
+            out_k.append(k)
+            out_n.append(n)
+            out_t.append(int(math.floor(
+                3.6e9 * float(num) / float(den) + 0.5)))
+        return pd.DataFrame({key_col: out_k,
+                             "n": pd.array(out_n, dtype="int64"),
+                             "trend_micro": pd.array(out_t,
+                                                     dtype="int64")})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns([key_col, "n", "trend_micro"]))
+
+
+def pareto_crossings(ds, key_col: str, value_col: str,
+                     pcts=(50, 80, 90, 95)):
+    """Revenue-concentration curve readout: for each percentage p,
+    the minimum number of top keys (by exact cents spend, ties to the
+    smaller key) whose cumulative spend reaches ≥ p% of the total —
+    the 80/20 answer ("how many customers are 80% of revenue").
+
+    Scale shape: per-batch per-key partial sums → one keyed Sum →
+    range-partitioned sort by (spend desc, key asc) → the crossing
+    search runs per sorted block given only that block's starting
+    offsets (prefix row-count and prefix spend, O(blocks) ints on the
+    driver — the zipWithIndex trick ``with_global_row_number`` uses);
+    the comparison cum·100 ≥ total·p is exact integer math.  Output:
+    (pct int64, n_keys int64), ≤ len(pcts) rows.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            "_c": _cents(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False))})
+        g = df.groupby(key_col, sort=False)["_c"].sum().astype("int64")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    totals = (ds.map_batches(slim, batch_format="pyarrow")
+              .groupby(key_col).aggregate(Sum("_c", alias_name="_s")))
+    sds = totals.sort(["_s", key_col],
+                      descending=[True, False]).materialize()
+    refs = sds.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        if t.num_rows == 0 or "_s" not in t.column_names:
+            return 0, 0
+        col = t.column("_s").to_numpy(zero_copy_only=False)
+        return t.num_rows, int(col.sum())
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    total = sum(s for _, s in stats)
+    row_off, spend_off = [], []
+    r_acc = s_acc = 0
+    for nr, s in stats:
+        row_off.append(r_acc)
+        spend_off.append(s_acc)
+        r_acc += nr
+        s_acc += s
+
+    @ray.remote
+    def crossings(t: pa.Table, r_off: int, s_off: int) -> pa.Table:
+        if t.num_rows == 0 or "_s" not in t.column_names:
+            return pa.table({"pct": pa.array([], pa.int64()),
+                             "n_keys": pa.array([], pa.int64())})
+        cum = s_off + np.cumsum(
+            t.column("_s").to_numpy(zero_copy_only=False), dtype=object)
+        out_p, out_n = [], []
+        for p in pcts:
+            th = total * int(p)  # crossing: first rank with cum*100 >= th
+            if s_off * 100 >= th:
+                continue  # crossed in an earlier block
+            hit = np.flatnonzero(cum * 100 >= th)
+            if len(hit):
+                out_p.append(int(p))
+                out_n.append(int(r_off + hit[0] + 1))
+        return pa.table({"pct": pa.array(out_p, pa.int64()),
+                         "n_keys": pa.array(out_n, pa.int64())})
+
+    parts = [crossings.remote(r, ro, so)
+             for r, ro, so in zip(refs, row_off, spend_off)]
+    return rd.from_arrow_refs(parts)

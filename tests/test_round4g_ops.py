@@ -1,0 +1,250 @@
+"""Round-4g additions: gaps-and-islands streaks, identical-event runs,
+daily lag-1 autocorrelation, Bollinger bands, per-user OLS trend,
+Pareto revenue-concentration crossings."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+_US_DAY = 86_400_000_000
+_US_HOUR = 3_600_000_000
+
+
+def _events(rows):
+    """rows: list of (event_id, user_id, ts_us, event_type, value)."""
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# user_streaks
+# ---------------------------------------------------------------------------
+
+def test_user_streaks_islands(ray_session):
+    from markdown_lab_ray.stages.analytics import user_streaks
+
+    rows = []
+    eid = 0
+    # user 1: days 0,1,2 then 5,6 -> streak 3 (two events on day 1)
+    for d in (0, 1, 1, 2, 5, 6):
+        rows.append((eid, 1, d * _US_DAY + 7, "view", 1.0))
+        eid += 1
+    # user 2: single day -> streak 1
+    rows.append((eid, 2, 40 * _US_DAY, "view", 1.0))
+    eid += 1
+    # user 3: days 10..16 -> streak 7
+    for d in range(10, 17):
+        rows.append((eid, 3, d * _US_DAY + 123, "click", 2.0))
+        eid += 1
+
+    got = (user_streaks(_events(rows)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert list(got["user_id"]) == [1, 2, 3]
+    assert list(got["max_streak"]) == [3, 1, 7]
+
+
+def test_user_streaks_random_vs_naive(ray_session):
+    from markdown_lab_ray.stages.analytics import user_streaks
+
+    rng = np.random.RandomState(7)
+    rows = [(i, int(rng.randint(0, 12)),
+             int(rng.randint(0, 40)) * _US_DAY + int(rng.randint(0, 1000)),
+             "e", 1.0) for i in range(400)]
+    got = (user_streaks(_events(rows), n_buckets=4).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+
+    by_user = {}
+    for _, u, ts, _t, _v in rows:
+        by_user.setdefault(u, set()).add(ts // _US_DAY)
+    want = {}
+    for u, days in by_user.items():
+        ds_ = sorted(days)
+        best = cur = 1
+        for a, b in zip(ds_, ds_[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            best = max(best, cur)
+        want[u] = best
+    assert dict(zip(got["user_id"], got["max_streak"])) == want
+
+
+# ---------------------------------------------------------------------------
+# event_type_runs
+# ---------------------------------------------------------------------------
+
+def test_event_type_runs_tiebreak(ray_session):
+    from markdown_lab_ray.stages.analytics import event_type_runs
+
+    # user 1: aa bb -> tie at 2, smallest type "a" wins
+    rows = [(0, 1, 1_000, "a", 0.0), (1, 1, 2_000, "a", 0.0),
+            (2, 1, 3_000, "b", 0.0), (3, 1, 4_000, "b", 0.0),
+            # user 2: a b b b a -> ("b", 3)
+            (4, 2, 1_000, "a", 0.0), (5, 2, 2_000, "b", 0.0),
+            (6, 2, 3_000, "b", 0.0), (7, 2, 4_000, "b", 0.0),
+            (8, 2, 5_000, "a", 0.0)]
+    got = (event_type_runs(_events(rows)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert list(got.itertuples(index=False)) == [
+        (1, 2, "a"), (2, 3, "b")]
+
+
+def test_event_type_runs_order_is_ts_then_id(ray_session):
+    from markdown_lab_ray.stages.analytics import event_type_runs
+
+    # same ts: event_id breaks the tie, making the run a,a,b not a,b,a
+    rows = [(0, 1, 1_000, "a", 0.0), (1, 1, 1_000, "a", 0.0),
+            (2, 1, 1_000, "b", 0.0)]
+    got = event_type_runs(_events(rows)).to_pandas()
+    assert list(got.itertuples(index=False)) == [(1, 2, "a")]
+
+
+# ---------------------------------------------------------------------------
+# daily_autocorr / bollinger_daily
+# ---------------------------------------------------------------------------
+
+def _one_event_per_day(series_cents):
+    return _events([(i, 1, i * _US_DAY + 5, "x", c / 100.0)
+                    for i, c in enumerate(series_cents)])
+
+
+def test_daily_autocorr_alternating_is_negative(ray_session):
+    from markdown_lab_ray.stages.analytics import daily_autocorr
+
+    s = [100, 200] * 10  # perfectly alternating -> r = -1
+    got = daily_autocorr(_one_event_per_day(s)).to_pandas()
+    assert got.loc[0, "n_pairs"] == 19
+    assert got.loc[0, "lag1_corr_micro"] == -1_000_000
+
+
+def test_daily_autocorr_matches_naive(ray_session):
+    from markdown_lab_ray.stages.analytics import daily_autocorr
+
+    rng = np.random.RandomState(3)
+    s = [int(rng.randint(50, 5000)) for _ in range(30)]
+    got = daily_autocorr(_one_event_per_day(s)).to_pandas()
+    x, y = s[:-1], s[1:]
+    n = len(x)
+    num = n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+    d1 = n * sum(a * a for a in x) - sum(x) ** 2
+    d2 = n * sum(b * b for b in y) - sum(y) ** 2
+    want = int(math.floor(
+        1e6 * float(num) / math.sqrt(float(d1) * float(d2)) + 0.5))
+    assert got.loc[0, "lag1_corr_micro"] == want
+
+
+def test_bollinger_constant_series_never_breaches(ray_session):
+    from markdown_lab_ray.stages.analytics import bollinger_daily
+
+    got = (bollinger_daily(_one_event_per_day([500] * 10)).to_pandas()
+           .sort_values("day_id"))
+    assert (got["breach"] == 0).all()
+    assert (got["mean_micro"] == 500_000_000).all()
+    assert (got["upper_micro"] == got["lower_micro"]).all()
+
+
+def test_bollinger_spike_breaches_up(ray_session):
+    from markdown_lab_ray.stages.analytics import bollinger_daily
+
+    s = [100] * 9 + [10_000]
+    got = (bollinger_daily(_one_event_per_day(s)).to_pandas()
+           .sort_values("day_id").reset_index(drop=True))
+    assert got.loc[9, "breach"] == 1
+    assert (got.loc[:8, "breach"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# user_trend
+# ---------------------------------------------------------------------------
+
+def test_user_trend_exact_line(ray_session):
+    from markdown_lab_ray.stages.analytics import user_trend
+
+    # user 1: +100 cents every hour -> exactly 100e6 micro-cents/hour
+    rows = [(i, 1, i * _US_HOUR, "x", 1.0 * (i + 1)) for i in range(5)]
+    # user 2: single event -> dropped
+    rows.append((99, 2, 0, "x", 5.0))
+    got = user_trend(_events(rows)).to_pandas()
+    assert list(got["user_id"]) == [1]
+    assert got.loc[0, "n"] == 5
+    assert got.loc[0, "trend_micro"] == 100_000_000
+
+
+def test_user_trend_matches_naive(ray_session):
+    from markdown_lab_ray.stages.analytics import user_trend
+
+    rng = np.random.RandomState(5)
+    rows = [(i, int(rng.randint(0, 6)),
+             int(rng.randint(0, 10 ** 12)),
+             "x", float(rng.randint(1, 10_000)) / 100.0)
+            for i in range(300)]
+    got = (user_trend(_events(rows), n_buckets=4).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+
+    by_user = {}
+    for eid, u, ts, _t, v in rows:
+        by_user.setdefault(u, []).append(
+            (ts // 1_000_000, int(math.floor(v * 100 + 0.5))))
+    want = {}
+    for u, pts in by_user.items():
+        t0 = min(p[0] for p in pts)
+        xs = [p[0] - t0 for p in pts]
+        ys = [p[1] for p in pts]
+        n = len(pts)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = n * sum(a * a for a in xs) - sum(xs) ** 2
+        if n >= 2 and den > 0:
+            want[u] = int(math.floor(
+                3.6e9 * float(num) / float(den) + 0.5))
+    assert dict(zip(got["user_id"], got["trend_micro"])) == want
+
+
+# ---------------------------------------------------------------------------
+# pareto_crossings
+# ---------------------------------------------------------------------------
+
+def test_pareto_crossings_hand_case(ray_session):
+    from markdown_lab_ray.stages.analytics import pareto_crossings
+
+    # spends: 50, 30, 15, 5 (totals in dollars -> cents below)
+    t = pa.table({"o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "o_totalprice": pa.array([50.0, 30.0, 15.0, 5.0])})
+    got = (pareto_crossings(rd.from_arrow(t), "o_custkey", "o_totalprice")
+           .to_pandas().sort_values("pct").reset_index(drop=True))
+    # cum%: 50, 80, 95, 100
+    assert dict(zip(got["pct"], got["n_keys"])) == {
+        50: 1, 80: 2, 90: 3, 95: 3}
+
+
+def test_pareto_crossings_matches_naive(ray_session):
+    from markdown_lab_ray.stages.analytics import pareto_crossings
+
+    rng = np.random.RandomState(11)
+    keys = np.arange(200, dtype=np.int64)
+    vals = rng.randint(1, 100_000, size=200) / 100.0
+    t = pa.table({"o_custkey": pa.array(keys),
+                  "o_totalprice": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(8)
+    got = (pareto_crossings(ds, "o_custkey", "o_totalprice")
+           .to_pandas().sort_values("pct").reset_index(drop=True))
+
+    cents = [int(math.floor(v * 100 + 0.5)) for v in vals]
+    order = sorted(zip(cents, keys), key=lambda kv: (-kv[0], kv[1]))
+    total = sum(cents)
+    want = {}
+    for p in (50, 80, 90, 95):
+        cum = 0
+        for i, (c, _k) in enumerate(order, start=1):
+            cum += c
+            if cum * 100 >= total * p:
+                want[p] = i
+                break
+    assert dict(zip(got["pct"], got["n_keys"])) == want
