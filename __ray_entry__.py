@@ -4996,6 +4996,90 @@ GROUP BY p.pct ORDER BY pct
 """
 
 
+def q_source_fairness(sf_dir: str):
+    """Jain's fairness index over per-source document counts (integer
+    micro-units) — is the crawl budget spread evenly across sources?"""
+    from markdown_lab_ray.stages.analytics import source_fairness
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return source_fairness(ds).to_pandas().reset_index(drop=True)
+
+
+SQL_SOURCE_FAIRNESS = """
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x
+           FROM documents GROUP BY 1),
+m AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n_cats,
+       CAST(floor(1e6 * CAST(sx * sx AS DOUBLE)
+                  / CAST(n * sxx AS DOUBLE) + 0.5) AS BIGINT)
+           AS jain_micro
+FROM m
+"""
+
+
+def q_daily_cusum(sf_dir: str):
+    """One-sided CUSUM drift accumulator over daily revenue in exact
+    integer cents (prefix-sum − running-min closed form)."""
+    from markdown_lab_ray.stages.analytics import daily_cusum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = daily_cusum(ds).to_pandas()
+    return out.sort_values("day_id").reset_index(drop=True)
+
+
+SQL_DAILY_CUSUM = """
+WITH d AS (SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS s
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(SUM(s) AS BIGINT) // COUNT(*) AS mu FROM d),
+p AS (SELECT day_id,
+             SUM(CAST(s AS BIGINT) - mu) OVER (ORDER BY day_id) AS p
+      FROM d CROSS JOIN m),
+r AS (SELECT day_id, p,
+             LEAST(MIN(p) OVER (ORDER BY day_id), 0) AS fl
+      FROM p)
+SELECT day_id, CAST(p - fl AS BIGINT) AS cusum_cents
+FROM r ORDER BY day_id
+"""
+
+
+def q_spend_count_tau(sf_dir: str):
+    """Kendall tau-b between per-user total spend and event count
+    (integer micro-units, exact pair counts) — rank correlation of
+    engagement vs revenue."""
+    from markdown_lab_ray.stages.analytics import grouped_kendall_tau
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return (grouped_kendall_tau(ds, "user_id", "value")
+            .to_pandas().reset_index(drop=True))
+
+
+SQL_SPEND_COUNT_TAU = """
+WITH a AS (SELECT user_id,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS spend,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+p AS (SELECT sign(CAST(a1.spend - a2.spend AS DOUBLE)) AS dx,
+             sign(CAST(a1.n - a2.n AS DOUBLE)) AS dy
+      FROM a a1 JOIN a a2 ON a1.user_id < a2.user_id),
+m AS (SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS nd,
+             SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+             SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+      FROM p),
+k AS (SELECT COUNT(*) AS nk FROM a)
+SELECT CAST(nk AS BIGINT) AS n_keys,
+       CAST(floor(1e6 * CAST(nc - nd AS DOUBLE)
+                  / sqrt(CAST(n0 - tx AS DOUBLE)
+                         * CAST(n0 - ty AS DOUBLE)) + 0.5) AS BIGINT)
+           AS tau_micro
+FROM m CROSS JOIN k
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5130,6 +5214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bollinger_daily": q_bollinger_daily,
         "user_trend": q_user_trend,
         "pareto_customers": q_pareto_customers,
+        "source_fairness": q_source_fairness,
+        "daily_cusum": q_daily_cusum,
+        "spend_count_tau": q_spend_count_tau,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5269,6 +5356,9 @@ def oracle_sql() -> dict[str, str]:
         "bollinger_daily": SQL_BOLLINGER_DAILY,
         "user_trend": SQL_USER_TREND,
         "pareto_customers": SQL_PARETO_CUSTOMERS,
+        "source_fairness": SQL_SOURCE_FAIRNESS,
+        "daily_cusum": SQL_DAILY_CUSUM,
+        "spend_count_tau": SQL_SPEND_COUNT_TAU,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

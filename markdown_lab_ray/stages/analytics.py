@@ -2253,3 +2253,132 @@ def pareto_crossings(ds, key_col: str, value_col: str,
     parts = [crossings.remote(r, ro, so)
              for r, ro, so in zip(refs, row_off, spend_off)]
     return rd.from_arrow_refs(parts)
+
+
+def source_fairness(ds, cat_col: str = "source"):
+    """Jain's fairness index over per-category row counts, in integer
+    micro-units — the crawl-fairness readout ("is the fetch budget
+    spread across hosts or hogged by one?"): J = (Σx)² / (n·Σx²),
+    1.0 = perfectly even, 1/n = one category has everything.
+
+    Exactness: counts are exact ints; the single division runs on the
+    same exact integer products the SQL twin casts to DOUBLE.  Scale
+    shape: per-batch partial counts → one keyed Sum over the bounded
+    category space → O(categories) finish.  Output: one row
+    (n_cats int64, jain_micro int64).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({cat_col: batch.column(cat_col)
+                           .to_pylist()})
+        g = df.groupby(cat_col, sort=False).size().rename("_c")
+        return pa.Table.from_pandas(g.astype("int64").reset_index(),
+                                    preserve_index=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_n" not in b.column_names:
+            return pa.table({"n_cats": pa.array([0], pa.int64()),
+                             "jain_micro": pa.array([None], pa.int64())})
+        x = [int(v) for v in b.column("_n").to_pylist()]
+        n = len(x)
+        sx, sxx = sum(x), sum(v * v for v in x)
+        jain = int(math.floor(
+            1e6 * float(sx * sx) / float(n * sxx) + 0.5))
+        return pa.table({"n_cats": pa.array([n], pa.int64()),
+                         "jain_micro": pa.array([jain], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(cat_col).aggregate(Sum("_c", alias_name="_n")))
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def daily_cusum(ds, ts_col: str = "ts", value_col: str = "value"):
+    """One-sided CUSUM drift detector over daily revenue in exact
+    integer cents: s_0 = 0, s_i = max(0, s_{i-1} + d_i − μ) with
+    μ = ⌊total / n_days⌋ — the "revenue has been running above trend
+    for a while" accumulator that fires before any single day breaches
+    a Bollinger band.
+
+    The sequential recurrence has the closed form
+    s_i = p_i − min(0, min_{j≤i} p_j) over the prefix sums
+    p_i = Σ_{k≤i}(d_k − μ), so both this engine (vectorized
+    cumsum/cummin) and the SQL twin (two window functions) evaluate it
+    without a per-row fold — all int64, no floats anywhere.  Scale
+    shape: bounded calendar → single tiny finish after the daily
+    combiner.  Output per day: (day_id, cusum_cents int64).
+    """
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_s" not in b.column_names:
+            return pa.table({"day_id": pa.array([], pa.int64()),
+                             "cusum_cents": pa.array([], pa.int64())})
+        df = b.to_pandas().sort_values("day_id")
+        d = df["_s"].to_numpy(np.int64)
+        mu = int(d.sum()) // len(d)
+        p = np.cumsum(d - mu)
+        floor_ = np.minimum(np.minimum.accumulate(p), 0)
+        s = p - floor_
+        return pa.table({"day_id": pa.array(df["day_id"].to_numpy(np.int64)),
+                         "cusum_cents": pa.array(s.astype(np.int64))})
+
+    return (_daily_cents(ds, ts_col, value_col)
+            .repartition(1).map_batches(finish, batch_format="pyarrow"))
+
+
+def grouped_kendall_tau(ds, key_col: str, value_col: str = "value"):
+    """Kendall τ-b between per-key total spend (exact cents) and
+    per-key event count, in integer micro-units — "do my heavy users
+    also spend more?" as a rank-correlation, robust to outliers where
+    Pearson is not.
+
+    Exactness: concordant/discordant/tie pair counts are exact int64
+    (numpy sign-matrix over the per-key aggregate vectors), the final
+    τ-b is one double division on the same integer products the SQL
+    twin evaluates.  Scale shape: the raw shuffle is only the keyed
+    Sum/Count pre-aggregation; the O(k²) pair count runs in ONE task
+    over the k aggregate rows (fine to ~10⁵ keys; beyond that swap in
+    the O(k log k) merge-sort inversion count — the τ value is
+    identical).  Output: one row (n_keys, tau_micro).
+    """
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column(key_col),
+            "_c": pa.array(_cents(batch.column(value_col)
+                                  .to_numpy(zero_copy_only=False)),
+                           pa.int64())})
+
+    agg = (ds.map_batches(slim, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("_c", alias_name="_spend"),
+                      Count(alias_name="_n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows < 2 or "_spend" not in b.column_names:
+            return pa.table({"n_keys": pa.array([b.num_rows], pa.int64()),
+                             "tau_micro": pa.array([None], pa.int64())})
+        x = b.column("_spend").to_numpy(zero_copy_only=False)
+        y = b.column("_n").to_numpy(zero_copy_only=False)
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(len(x), k=1)
+        prod = dx[iu] * dy[iu]
+        nc = int((prod > 0).sum())
+        nd = int((prod < 0).sum())
+        tx = int((dx[iu] == 0).sum())
+        ty = int((dy[iu] == 0).sum())
+        n0 = len(x) * (len(x) - 1) // 2
+        den = float(n0 - tx) * float(n0 - ty)
+        tau = (int(math.floor(
+            1e6 * float(nc - nd) / math.sqrt(den) + 0.5))
+            if den > 0 else None)
+        return pa.table({"n_keys": pa.array([len(x)], pa.int64()),
+                         "tau_micro": pa.array([tau], pa.int64())})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -248,3 +248,95 @@ def test_pareto_crossings_matches_naive(ray_session):
                 want[p] = i
                 break
     assert dict(zip(got["pct"], got["n_keys"])) == want
+
+
+# ---------------------------------------------------------------------------
+# source_fairness / daily_cusum / grouped_kendall_tau
+# ---------------------------------------------------------------------------
+
+def test_source_fairness_even_and_skewed(ray_session):
+    from markdown_lab_ray.stages.analytics import source_fairness
+
+    def docs(counts):
+        src = [f"s{i}" for i, c in enumerate(counts) for _ in range(c)]
+        return rd.from_arrow(pa.table({"source": pa.array(src)}))
+
+    even = source_fairness(docs([10, 10, 10, 10])).to_pandas()
+    assert even.loc[0, "n_cats"] == 4
+    assert even.loc[0, "jain_micro"] == 1_000_000
+
+    skew = source_fairness(docs([97, 1, 1, 1])).to_pandas()
+    # J = 100^2 / (4 * (9409+3)) = 10000/37648
+    want = int(math.floor(1e6 * 10000.0 / 37648.0 + 0.5))
+    assert skew.loc[0, "jain_micro"] == want
+
+
+def test_daily_cusum_closed_form_equals_recurrence(ray_session):
+    from markdown_lab_ray.stages.analytics import daily_cusum
+
+    rng = np.random.RandomState(2)
+    s = [int(rng.randint(100, 10_000)) for _ in range(25)]
+    got = (daily_cusum(_one_event_per_day(s)).to_pandas()
+           .sort_values("day_id").reset_index(drop=True))
+    mu = sum(s) // len(s)
+    cur, want = 0, []
+    for d in s:
+        cur = max(0, cur + d - mu)
+        want.append(cur)
+    assert list(got["cusum_cents"]) == want
+
+
+def test_kendall_tau_perfect_and_inverted(ray_session):
+    from markdown_lab_ray.stages.analytics import grouped_kendall_tau
+
+    # user u has u+1 events of 1.00 each -> spend and count perfectly
+    # concordant -> tau = +1
+    rows = [(u * 10 + j, u, (u * 10 + j) * 1_000, "x", 1.0)
+            for u in range(5) for j in range(u + 1)]
+    got = grouped_kendall_tau(_events(rows), "user_id").to_pandas()
+    assert got.loc[0, "n_keys"] == 5
+    assert got.loc[0, "tau_micro"] == 1_000_000
+
+    # more events but proportionally LESS total spend -> tau = -1
+    rows = [(u * 10 + j, u, (u * 10 + j) * 1_000, "x",
+             (5 - u) ** 2 / (u + 1) * 1.0)
+            for u in range(5) for j in range(u + 1)]
+    got = grouped_kendall_tau(_events(rows), "user_id").to_pandas()
+    assert got.loc[0, "tau_micro"] == -1_000_000
+
+
+def test_kendall_tau_matches_scipy_free_naive(ray_session):
+    from markdown_lab_ray.stages.analytics import grouped_kendall_tau
+
+    rng = np.random.RandomState(9)
+    rows = [(i, int(rng.randint(0, 20)), int(rng.randint(0, 10 ** 9)),
+             "x", float(rng.randint(1, 500)) / 100.0)
+            for i in range(600)]
+    got = grouped_kendall_tau(_events(rows), "user_id").to_pandas()
+
+    agg = {}
+    for _i, u, _ts, _t, v in rows:
+        c = int(math.floor(v * 100 + 0.5))
+        s, n = agg.get(u, (0, 0))
+        agg[u] = (s + c, n + 1)
+    xs = [v[0] for v in agg.values()]
+    ys = [v[1] for v in agg.values()]
+    nc = nd = tx = ty = 0
+    k = len(xs)
+    for i in range(k):
+        for j in range(i + 1, k):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = k * (k - 1) // 2
+    want = int(math.floor(
+        1e6 * float(nc - nd)
+        / math.sqrt(float(n0 - tx) * float(n0 - ty)) + 0.5))
+    assert got.loc[0, "tau_micro"] == want
