@@ -5080,6 +5080,52 @@ FROM m CROSS JOIN k
 """
 
 
+def q_group_split(sf_dir: str):
+    """Leakage-free train/val/test split audit: every user's events
+    land in exactly one split (md5-of-key rule, no shuffle)."""
+    from markdown_lab_ray.stages.trainprep import group_split_summary
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    out = group_split_summary(ds, "user_id").to_pandas()
+    return out.sort_values("split").reset_index(drop=True)
+
+
+SQL_GROUP_SPLIT = """
+WITH t AS (SELECT user_id,
+                  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                            < 'cccccccc' THEN 'train'
+                       WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                            < 'e6666666' THEN 'val'
+                       ELSE 'test' END AS split
+           FROM events)
+SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM t GROUP BY split ORDER BY split
+"""
+
+
+def q_class_weights(sf_dir: str):
+    """Inverse-frequency class weights over embedding labels (integer
+    micro-units) — the imbalance correction for a downstream loss."""
+    from markdown_lab_ray.stages.trainprep import class_weights
+
+    ds = _read(sf_dir, "embeddings", ["label"])
+    out = class_weights(ds).to_pandas()
+    return out.sort_values("label").reset_index(drop=True)
+
+
+SQL_CLASS_WEIGHTS = """
+WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+m AS (SELECT SUM(CAST(n AS HUGEINT)) AS total, COUNT(*) AS k FROM c)
+SELECT label, n,
+       CAST(floor(1e6 * CAST(total AS DOUBLE)
+                  / CAST(k * n AS DOUBLE) + 0.5) AS BIGINT)
+           AS weight_micro
+FROM c CROSS JOIN m ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5217,6 +5263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_fairness": q_source_fairness,
         "daily_cusum": q_daily_cusum,
         "spend_count_tau": q_spend_count_tau,
+        "group_split": q_group_split,
+        "class_weights": q_class_weights,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5359,6 +5407,8 @@ def oracle_sql() -> dict[str, str]:
         "source_fairness": SQL_SOURCE_FAIRNESS,
         "daily_cusum": SQL_DAILY_CUSUM,
         "spend_count_tau": SQL_SPEND_COUNT_TAU,
+        "group_split": SQL_GROUP_SPLIT,
+        "class_weights": SQL_CLASS_WEIGHTS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

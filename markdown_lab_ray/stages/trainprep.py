@@ -491,3 +491,111 @@ def cap_per_key(ds, key_col: str, id_col: str, k: int,
 
     return (ds.map_batches(precap, batch_format="pandas")
             .groupby("_kb").map_groups(final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# leakage-free group split + class weights
+# ---------------------------------------------------------------------------
+
+# hex-string thresholds on the first 8 md5 chars: < t1 → train,
+# < t2 → val, else test (≈ 80/10/10); string comparison keeps the rule
+# bit-identical in SQL (substr(md5(…),1,8) compares the same way).
+_SPLIT_T1 = "cccccccc"
+_SPLIT_T2 = "e6666666"
+
+
+def group_split_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    """Tag every row with a train/val/test split decided ONLY by
+    ``md5(str(key))`` — all rows of one key land in one split, so a
+    user (or domain) can never leak across the train/test boundary,
+    the failure mode row-wise random splits have on grouped data.
+
+    Pure per-row hash: NO shuffle, no state — embarrassingly parallel
+    at any scale, stable across runs/repartition/resume (same
+    determinism contract as ``cap_per_key``).  The reference has no
+    splitter; rule mirrored in SQL via ``substr(md5(CAST(key AS
+    VARCHAR)), 1, 8)`` string comparison."""
+    h8 = [hashlib.md5(str(k).encode()).hexdigest()[:8]
+          for k in batch.column(key_col).to_pylist()]
+    split = ["train" if h < _SPLIT_T1 else ("val" if h < _SPLIT_T2
+                                            else "test")
+             for h in h8]
+    return batch.append_column("split", pa.array(split, pa.string()))
+
+
+def group_split_summary(ds, key_col: str):
+    """Split audit: per split, distinct keys and total rows.  A
+    per-batch DISTINCT (split, key) combiner bounds the distinct-count
+    shuffle to keys × blocks rows; row counts ride a keyed Sum."""
+    from ray.data.aggregate import Sum
+
+    tagged = ds.map_batches(group_split_batch,
+                            batch_format="pyarrow",
+                            fn_kwargs=dict(key_col=key_col))
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "split": batch.column("split").to_pylist(),
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["split", key_col], sort=False)
+             .size().rename("_rows").astype("int64").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_key = (tagged.map_batches(slim, batch_format="pyarrow")
+               .groupby(["split", key_col])
+               .aggregate(Sum("_rows", alias_name="_n")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_n" not in b.column_names:
+            return pa.table({"split": pa.array([], pa.string()),
+                             "n_keys": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        df = b.to_pandas()
+        g = (df.groupby("split", sort=True)
+             .agg(n_keys=(key_col, "size"), n_rows=("_n", "sum"))
+             .reset_index())
+        g["n_keys"] = g["n_keys"].astype("int64")
+        g["n_rows"] = g["n_rows"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return per_key.repartition(1).map_batches(fold,
+                                              batch_format="pyarrow")
+
+
+def class_weights(ds, label_col: str = "label"):
+    """Inverse-frequency class weights in integer micro-units —
+    w(c) = N / (K · n_c), the imbalance correction handed to a loss
+    function: 1.0 when balanced, > 1 for rare classes.
+
+    Scale shape: per-batch partial counts → one keyed Sum over the
+    bounded label space → O(K) finish; exactness as everywhere (exact
+    integer products, one double division mirroring the SQL twin).
+    Output: (label, n int64, weight_micro int64)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({label_col: batch.column(label_col)
+                           .to_pylist()})
+        g = df.groupby(label_col, sort=False).size().rename("_c")
+        return pa.Table.from_pandas(g.astype("int64").reset_index(),
+                                    preserve_index=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_n" not in b.column_names:
+            return pa.table({label_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "weight_micro": pa.array([], pa.int64())})
+        df = b.to_pandas().sort_values(label_col)
+        counts = [int(v) for v in df["_n"]]
+        total, k = sum(counts), len(counts)
+        w = [int(math.floor(1e6 * float(total) / float(k * c) + 0.5))
+             for c in counts]
+        return pa.table({label_col: pa.array(df[label_col].tolist()),
+                         "n": pa.array(counts, pa.int64()),
+                         "weight_micro": pa.array(w, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(label_col).aggregate(Sum("_c", alias_name="_n"))
+            .repartition(1).map_batches(finish, batch_format="pyarrow"))

@@ -340,3 +340,57 @@ def test_kendall_tau_matches_scipy_free_naive(ray_session):
         1e6 * float(nc - nd)
         / math.sqrt(float(n0 - tx) * float(n0 - ty)) + 0.5))
     assert got.loc[0, "tau_micro"] == want
+
+
+# ---------------------------------------------------------------------------
+# group_split / class_weights
+# ---------------------------------------------------------------------------
+
+def test_group_split_no_leakage(ray_session):
+    import hashlib
+
+    from markdown_lab_ray.stages.trainprep import group_split_batch
+
+    t = pa.table({"user_id": pa.array(list(range(50)) * 4, pa.int64())})
+    tagged = (rd.from_arrow(t).repartition(8)
+              .map_batches(group_split_batch, batch_format="pyarrow",
+                           fn_kwargs=dict(key_col="user_id"))
+              .to_pandas())
+    # every user maps to exactly one split, and it is the md5 rule
+    per_user = tagged.groupby("user_id")["split"].nunique()
+    assert (per_user == 1).all()
+    for u, s in tagged.drop_duplicates("user_id").itertuples(index=False):
+        h = hashlib.md5(str(u).encode()).hexdigest()[:8]
+        want = ("train" if h < "cccccccc"
+                else "val" if h < "e6666666" else "test")
+        assert s == want
+
+
+def test_group_split_summary_counts(ray_session):
+    from markdown_lab_ray.stages.trainprep import group_split_summary
+
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                  "event_id": pa.array(range(6), pa.int64())})
+    got = (group_split_summary(rd.from_arrow(t), "user_id").to_pandas()
+           .sort_values("split"))
+    assert int(got["n_keys"].sum()) == 3
+    assert int(got["n_rows"].sum()) == 6
+
+
+def test_class_weights_balanced_and_skewed(ray_session):
+    from markdown_lab_ray.stages.trainprep import class_weights
+
+    def labels(counts):
+        vals = [f"c{i}" for i, c in enumerate(counts) for _ in range(c)]
+        return rd.from_arrow(pa.table({"label": pa.array(vals)}))
+
+    bal = class_weights(labels([5, 5, 5])).to_pandas()
+    assert (bal["weight_micro"] == 1_000_000).all()
+
+    skew = class_weights(labels([8, 1, 1])).to_pandas().sort_values(
+        "label").reset_index(drop=True)
+    # N=10, K=3: w = 10/(3*8), 10/3, 10/3
+    assert skew.loc[0, "weight_micro"] == int(
+        math.floor(1e6 * 10 / 24 + 0.5))
+    assert skew.loc[1, "weight_micro"] == int(
+        math.floor(1e6 * 10 / 3 + 0.5))
