@@ -2334,14 +2334,15 @@ def grouped_kendall_tau(ds, key_col: str, value_col: str = "value"):
     also spend more?" as a rank-correlation, robust to outliers where
     Pearson is not.
 
-    Exactness: concordant/discordant/tie pair counts are exact int64
-    (numpy sign-matrix over the per-key aggregate vectors), the final
-    τ-b is one double division on the same integer products the SQL
-    twin evaluates.  Scale shape: the raw shuffle is only the keyed
-    Sum/Count pre-aggregation; the O(k²) pair count runs in ONE task
-    over the k aggregate rows (fine to ~10⁵ keys; beyond that swap in
-    the O(k log k) merge-sort inversion count — the τ value is
-    identical).  Output: one row (n_keys, tau_micro).
+    Exactness: concordant/discordant/tie pair counts are exact int64,
+    the final τ-b is one double division on the same integer products
+    the SQL twin evaluates.  Scale shape: the raw shuffle is only the
+    keyed Sum/Count pre-aggregation; the pair count runs in ONE task
+    over the k aggregate rows — Knight's O(k log k) algorithm (sort by
+    (x, y), merge-count strict y-inversions, tie-group corrections),
+    with the O(k²) sign-matrix kept as the small-k fast path and as
+    the parity twin the tests pin the scale path against.  Output:
+    one row (n_keys, tau_micro).
     """
     import math
 
@@ -2365,20 +2366,82 @@ def grouped_kendall_tau(ds, key_col: str, value_col: str = "value"):
                              "tau_micro": pa.array([None], pa.int64())})
         x = b.column("_spend").to_numpy(zero_copy_only=False)
         y = b.column("_n").to_numpy(zero_copy_only=False)
-        dx = np.sign(x[:, None] - x[None, :])
-        dy = np.sign(y[:, None] - y[None, :])
-        iu = np.triu_indices(len(x), k=1)
-        prod = dx[iu] * dy[iu]
-        nc = int((prod > 0).sum())
-        nd = int((prod < 0).sum())
-        tx = int((dx[iu] == 0).sum())
-        ty = int((dy[iu] == 0).sum())
+        nc_nd, tx, ty = kendall_pair_counts(x, y)
         n0 = len(x) * (len(x) - 1) // 2
         den = float(n0 - tx) * float(n0 - ty)
         tau = (int(math.floor(
-            1e6 * float(nc - nd) / math.sqrt(den) + 0.5))
+            1e6 * float(nc_nd) / math.sqrt(den) + 0.5))
             if den > 0 else None)
         return pa.table({"n_keys": pa.array([len(x)], pa.int64()),
                          "tau_micro": pa.array([tau], pa.int64())})
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def kendall_pair_counts(x, y, small_cutoff: int = 512):
+    """Exact (nc − nd, tied-in-x, tied-in-y) pair counts for Kendall
+    τ-b.  k ≤ ``small_cutoff``: O(k²) numpy sign matrix.  Larger:
+    Knight's algorithm — nc − nd = n0 − n1 − n2 + n3 − 2·inv, where
+    n1/n2/n3 are the C(t,2) tie sums for x / y / (x,y) groups and
+    ``inv`` counts strict y-inversions after sorting by (x, y)
+    (merge-based, vectorized ``searchsorted`` per level: O(k log² k),
+    no Python row loop).  Both paths return identical integers; the
+    tests assert it."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    k = len(x)
+    if k <= small_cutoff:
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(k, k=1)
+        prod = dx[iu] * dy[iu]
+        nc = int((prod > 0).sum())
+        nd = int((prod < 0).sum())
+        tx = int((dx[iu] == 0).sum())
+        ty = int((dy[iu] == 0).sum())
+        return nc - nd, tx, ty
+
+    def tie_sum(groups):
+        _, counts = np.unique(groups, return_counts=True, axis=0)
+        c = counts.astype(object)
+        return int((c * (c - 1) // 2).sum())
+
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    n0 = k * (k - 1) // 2
+    n1 = tie_sum(xs)
+    n2 = tie_sum(y)
+    n3 = tie_sum(np.stack([xs, ys], axis=1))
+
+    def inversions(a: np.ndarray, base: int = 256) -> int:
+        # strict inversions (a_i > a_j, i < j): O(b²) sign matrix
+        # inside base blocks, then bottom-up merge counting — for a
+        # sorted left part and any right part, the cross-pair count is
+        # Σ_r (len(left) − searchsorted(left, r, 'right')); internal
+        # order of the halves is irrelevant to cross pairs, so both
+        # stay sorted.  Python iterates over BLOCKS (k/base + merges),
+        # never rows.
+        total = 0
+        segs = []
+        for s in range(0, len(a), base):
+            blk = a[s:s + base]
+            if len(blk) > 1:
+                iu = np.triu_indices(len(blk), k=1)
+                total += int((blk[:, None] > blk[None, :])[iu].sum())
+            segs.append(np.sort(blk, kind="mergesort"))
+        while len(segs) > 1:
+            nxt = []
+            for i in range(0, len(segs) - 1, 2):
+                left, right = segs[i], segs[i + 1]
+                pos = np.searchsorted(left, right, side="right")
+                total += int((len(left) - pos).sum())
+                merged = np.concatenate([left, right])
+                merged.sort(kind="mergesort")
+                nxt.append(merged)
+            if len(segs) % 2:
+                nxt.append(segs[-1])
+            segs = nxt
+        return total
+
+    inv = inversions(ys)
+    return n0 - n1 - n2 + n3 - 2 * inv, n1, n2

@@ -394,3 +394,21 @@ def test_class_weights_balanced_and_skewed(ray_session):
         math.floor(1e6 * 10 / 24 + 0.5))
     assert skew.loc[1, "weight_micro"] == int(
         math.floor(1e6 * 10 / 3 + 0.5))
+
+
+def test_kendall_knight_path_equals_sign_matrix():
+    from markdown_lab_ray.stages.analytics import kendall_pair_counts
+
+    rng = np.random.RandomState(21)
+    for k in (2, 3, 7, 100, 513, 1500):
+        x = rng.randint(0, max(2, k // 5), size=k).astype(np.int64)
+        y = rng.randint(0, max(2, k // 9), size=k).astype(np.int64)
+        assert (kendall_pair_counts(x, y, small_cutoff=1)
+                == kendall_pair_counts(x, y, small_cutoff=10 ** 9))
+    # all-x-tied and perfectly sorted edges
+    x = np.zeros(64, np.int64)
+    y = np.arange(64, dtype=np.int64)
+    assert (kendall_pair_counts(x, y, small_cutoff=1)
+            == kendall_pair_counts(x, y, small_cutoff=10 ** 9))
+    assert (kendall_pair_counts(y, y, small_cutoff=1)
+            == kendall_pair_counts(y, y, small_cutoff=10 ** 9))
