@@ -5126,6 +5126,88 @@ FROM c CROSS JOIN m ORDER BY label
 """
 
 
+def q_part_kcore(sf_dir: str):
+    """3-core of the part co-occurrence graph after an 8-round peel —
+    the dense backbone of parts that ship together."""
+    from markdown_lab_ray.stages.graph import cooccurrence_edges, kcore_peel
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow")
+    out = kcore_peel(edges, k=3, max_rounds=8).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_PART_KCORE = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+l1 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs)
+    GROUP BY node) WHERE d >= 3),
+l2 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l1) AND dst IN (SELECT node FROM l1)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l1) AND dst IN (SELECT node FROM l1))
+    GROUP BY node) WHERE d >= 3),
+l3 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l2) AND dst IN (SELECT node FROM l2)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l2) AND dst IN (SELECT node FROM l2))
+    GROUP BY node) WHERE d >= 3),
+l4 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l3) AND dst IN (SELECT node FROM l3)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l3) AND dst IN (SELECT node FROM l3))
+    GROUP BY node) WHERE d >= 3),
+l5 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l4) AND dst IN (SELECT node FROM l4)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l4) AND dst IN (SELECT node FROM l4))
+    GROUP BY node) WHERE d >= 3),
+l6 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l5) AND dst IN (SELECT node FROM l5)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l5) AND dst IN (SELECT node FROM l5))
+    GROUP BY node) WHERE d >= 3),
+l7 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l6) AND dst IN (SELECT node FROM l6)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l6) AND dst IN (SELECT node FROM l6))
+    GROUP BY node) WHERE d >= 3),
+l8 AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT src AS node FROM pairs
+       WHERE src IN (SELECT node FROM l7) AND dst IN (SELECT node FROM l7)
+      UNION ALL
+      SELECT dst FROM pairs
+       WHERE src IN (SELECT node FROM l7) AND dst IN (SELECT node FROM l7))
+    GROUP BY node) WHERE d >= 3)
+SELECT CAST(node AS BIGINT) AS node FROM l8 ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5265,6 +5347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_count_tau": q_spend_count_tau,
         "group_split": q_group_split,
         "class_weights": q_class_weights,
+        "part_kcore": q_part_kcore,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5409,6 +5492,7 @@ def oracle_sql() -> dict[str, str]:
         "spend_count_tau": SQL_SPEND_COUNT_TAU,
         "group_split": SQL_GROUP_SPLIT,
         "class_weights": SQL_CLASS_WEIGHTS,
+        "part_kcore": SQL_PART_KCORE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

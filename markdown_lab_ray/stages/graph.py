@@ -723,3 +723,89 @@ def hits_integer(edges_ds, n_iter: int = 2, scale: int = 10 ** 6,
 
     return bucketed_hash_join(auths, hubs, key="node",
                               n_buckets=n_buckets)
+
+
+def kcore_peel(edges_ds, k: int = 3, max_rounds: int = 8,
+               n_buckets: int = 32, small_cutoff: int = 2_000_000):
+    """k-core peel over an undirected, deduplicated (u < v) edge-list
+    Dataset (src, dst int64): repeatedly drop every node whose degree
+    within the surviving induced subgraph is < ``k``.  The k-core is
+    the densest "backbone" community screen — what survives is where
+    link-spam rings and genuine hub clusters live (Seidman 1983,
+    public).
+
+    Round semantics are pinned for the oracle: exactly
+    ``max_rounds`` peels (survivor sets only shrink, so a converged
+    peel is a no-op and early exit is sound); the SQL twin chains the
+    same number of level CTEs, so engine and oracle agree even on a
+    graph that hasn't converged by the cap.
+
+    Small-graph fast path (mirrors ``pagerank_integer``): under
+    ``small_cutoff`` edges the whole peel is numpy bincounts in ONE
+    task.  Scale path: per round, one exploded-degree keyed Sum +
+    two bucketed semi-joins to drop dead endpoints, with a
+    ``materialize()`` per round to truncate iterative lineage.
+    Output: (node int64), the surviving nodes.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import bucketed_semi_join
+
+    edges_ds = edges_ds.materialize()
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        def local_peel(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([src, dst]))
+            si = np.searchsorted(nodes_arr, src)
+            di = np.searchsorted(nodes_arr, dst)
+            alive = np.ones(len(nodes_arr), dtype=bool)
+            for _ in range(max_rounds):
+                e_alive = alive[si] & alive[di]
+                deg = (np.bincount(si[e_alive], minlength=len(nodes_arr))
+                       + np.bincount(di[e_alive],
+                                     minlength=len(nodes_arr)))
+                new_alive = alive & (deg >= k)
+                if np.array_equal(new_alive, alive):
+                    break
+                alive = new_alive
+            return pa.table({"node": pa.array(nodes_arr[alive],
+                                              pa.int64())})
+
+        merged = edges_ds.repartition(1).map_batches(
+            local_peel, batch_format="pyarrow",
+            batch_size=small_cutoff + 1)
+        return merged
+
+    def explode(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        node = np.concatenate([src, dst]).astype(np.int64, copy=False)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "_c": pa.array(np.ones(len(node), np.int64))})
+
+    cur = edges_ds
+    prev_n = None
+    surv = None
+    for _ in range(max_rounds):
+        deg = (cur.map_batches(explode, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("_c", alias_name="_d")))
+        surv = deg.filter(expr=f"_d >= {int(k)}").select_columns(
+            ["node"]).materialize()
+        n_surv = surv.count()
+        if n_surv == prev_n or n_surv == 0:
+            break
+        prev_n = n_surv
+        as_src = surv.map_batches(
+            lambda b: b.rename_columns(["src"]), batch_format="pyarrow")
+        as_dst = surv.map_batches(
+            lambda b: b.rename_columns(["dst"]), batch_format="pyarrow")
+        cur = bucketed_semi_join(cur, as_src, "src",
+                                 n_buckets=n_buckets)
+        cur = bucketed_semi_join(cur, as_dst, "dst",
+                                 n_buckets=n_buckets).materialize()
+    if surv is None:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    return surv
