@@ -5208,6 +5208,109 @@ SELECT CAST(node AS BIGINT) AS node FROM l8 ORDER BY node
 """
 
 
+def q_part_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the part
+    co-occurrence graph — how clique-like each part's neighborhood
+    is (the Watts-Strogatz small-world screen)."""
+    from markdown_lab_ray.stages.graph import (
+        clustering_coefficient,
+        cooccurrence_edges,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = clustering_coefficient(edges).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_PART_CLUSTERING = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node),
+tris AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+tcnt AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris) GROUP BY node)
+SELECT CAST(deg.node AS BIGINT) AS node, deg.deg,
+       CAST(COALESCE(tcnt.tri, 0) AS BIGINT) AS tri,
+       CAST(CASE WHEN deg.deg < 2 THEN 0
+            ELSE floor(2e6 * COALESCE(tcnt.tri, 0)
+                       / (deg.deg * (deg.deg - 1)) + 0.5) END AS BIGINT)
+           AS coef_micro
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+ORDER BY node
+"""
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDedup semantic near-dup screen: nearest-of-8 centroid cells,
+    greedy keep-lowest-id within a cell above the cosine threshold."""
+    from markdown_lab_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = ds.sort("vec_id").limit(8).take_all()
+    cents = np.asarray([r["embedding"] for r in seed_rows],
+                       dtype=np.float64)
+    cids = np.asarray([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    out = semantic_dedup(ds, cents, cids,
+                         cosine_threshold=0.40).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+a AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.cvec), c.cid) AS rn
+    FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+SELECT x.vec_id, x.cell FROM a x
+WHERE NOT EXISTS (
+  SELECT 1 FROM a y
+  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+    AND list_cosine_similarity(x.v, y.v) >= 0.40)
+ORDER BY x.vec_id
+"""
+
+
+def q_lang_source_mi(sf_dir: str):
+    """Mutual information between document language and source in
+    integer micro-nats — does the source facet predict the language?"""
+    from markdown_lab_ray.stages.analytics import mutual_information
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return mutual_information(ds, "lang", "source").to_pandas()
+
+
+SQL_LANG_SOURCE_MI = """
+WITH cnt AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2),
+tot AS (SELECT SUM(c) AS n, SUM(c * ln(c)) AS scc FROM cnt),
+ma AS (SELECT SUM(a * ln(a)) AS sa FROM
+        (SELECT SUM(c) AS a FROM cnt GROUP BY lang)),
+mb AS (SELECT SUM(b * ln(b)) AS sb FROM
+        (SELECT SUM(c) AS b FROM cnt GROUP BY source))
+SELECT CAST(floor((ln(n) + (scc - sa - sb) / n) * 1e6 + 0.5) AS BIGINT)
+           AS mi_micro
+FROM tot, ma, mb
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5348,6 +5451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_split": q_group_split,
         "class_weights": q_class_weights,
         "part_kcore": q_part_kcore,
+        "part_clustering": q_part_clustering,
+        "semantic_dedup": q_semantic_dedup,
+        "lang_source_mi": q_lang_source_mi,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5493,6 +5599,9 @@ def oracle_sql() -> dict[str, str]:
         "group_split": SQL_GROUP_SPLIT,
         "class_weights": SQL_CLASS_WEIGHTS,
         "part_kcore": SQL_PART_KCORE,
+        "part_clustering": SQL_PART_CLUSTERING,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "lang_source_mi": SQL_LANG_SOURCE_MI,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

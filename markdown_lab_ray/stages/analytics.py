@@ -2445,3 +2445,49 @@ def kendall_pair_counts(x, y, small_cutoff: int = 512):
 
     inv = inversions(ys)
     return n0 - n1 - n2 + n3 - 2 * inv, n1, n2
+
+
+def mutual_information(ds, col_x: str, col_y: str):
+    """Mutual information between two categorical columns in integer
+    micro-nats — the dataset-curation screen for "does this metadata
+    field actually carry signal about that one" (label leakage,
+    redundant facets).  From exact pair counts:
+
+        MI = ln N + (Σ c_xy·ln c_xy − Σ c_x·ln c_x − Σ c_y·ln c_y) / N
+
+    — the same expression tree as the SQL twin so the float64 math
+    agrees term-for-term before the ``floor(·1e6 + 0.5)`` pin.
+
+    Scale shape: per-batch (x, y) partial counts collapse every block
+    before ONE keyed Sum whose group count is bounded by |X|·|Y| (the
+    CARDINALITY PRODUCT, not the row count); the marginals + final
+    scalar fold run in a single ``repartition(1)`` task over that
+    O(|X|·|Y|) aggregate — the driver never holds it.  For
+    high-cardinality columns bucket/bin them first; MI over raw ids
+    is degenerate anyway.  Output: one row (mi_micro int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([col_x, col_y], sort=False)
+             .size().rename("_c").astype("int64").reset_index())
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (df.groupby([col_x, col_y], sort=False)["_c"].sum()
+               .astype("int64").reset_index())
+        c = cnt["_c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        scc = (c * np.log(c)).sum()
+        a = cnt.groupby(col_x, sort=False)["_c"].sum().to_numpy(np.float64)
+        b = cnt.groupby(col_y, sort=False)["_c"].sum().to_numpy(np.float64)
+        sa = (a * np.log(a)).sum()
+        sb = (b * np.log(b)).sum()
+        mi = np.log(n) + (scc - sa - sb) / n
+        return pd.DataFrame({"mi_micro": np.asarray(
+            [np.floor(mi * 1e6 + 0.5)], dtype=np.int64)})
+
+    pairs = (ds.map_batches(partial, batch_format="pandas")
+             .groupby([col_x, col_y]).aggregate(Sum("_c", alias_name="_c")))
+    return pairs.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

@@ -809,3 +809,218 @@ def kcore_peel(edges_ds, k: int = 3, max_rounds: int = 8,
     if surv is None:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
     return surv
+
+
+def clustering_coefficient(edges_ds, n_buckets: int = 64,
+                           small_cutoff: int = 2_000_000):
+    """Per-node local clustering coefficient over a distinct (u < v)
+    undirected edge list: ``C(v) = 2·T(v) / (d(v)·(d(v)−1))`` where
+    T(v) counts triangles through v (Watts & Strogatz 1998, public).
+
+    Same degree-ordered wedge machinery as ``triangle_count`` — every
+    out-degree bounded by O(sqrt(E)) — but each closed wedge credits
+    all THREE corners, so the close step explodes (src, x, y) node
+    rows instead of a scalar and one more keyed Sum folds them into
+    per-node triangle counts.  The coefficient itself rides the
+    degree merge: one final bucketed join, double math pinned to the
+    SQL twin's expression tree ``floor(2e6·T/(d·(d−1)) + 0.5)``
+    (deg < 2 scores 0).  Output: (node, deg, tri, coef_micro), all
+    int64.
+
+    Small-graph fast path (the per-group-overhead rule, SURVEY
+    §2.11): under ``small_cutoff`` edges the whole thing — orient,
+    wedge, close, credit — is numpy in ONE task, bit-identical to the
+    distributed path (exact integers either way).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .bucketing import key_buckets
+
+    edges_ds = edges_ds.materialize()
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        def local_cc(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([u, v]))
+            n = len(nodes_arr)
+            ui = np.searchsorted(nodes_arr, u)
+            vi = np.searchsorted(nodes_arr, v)
+            deg = (np.bincount(ui, minlength=n)
+                   + np.bincount(vi, minlength=n)).astype(np.int64)
+            # orient each edge from its (deg, id)-smaller endpoint
+            u_first = (deg[ui] < deg[vi]) | ((deg[ui] == deg[vi])
+                                             & (ui < vi))
+            src = np.where(u_first, ui, vi)
+            dst = np.where(u_first, vi, ui)
+            # edge-key set for wedge closing (n fits int64 squared:
+            # oriented keys are < small_cutoff² nodes, fine at 2e6)
+            ekeys = np.sort(src.astype(np.int64) * n + dst)
+            # within each src group, neighbors in (deg, id) order so a
+            # wedge pair (i < j) matches the closing edge's orientation
+            order = np.lexsort((dst, deg[dst], src))
+            s_s, d_s = src[order], dst[order]
+            tri = np.zeros(n, np.int64)
+            starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+            ends = np.r_[starts[1:], len(s_s)]
+            for a, b in zip(starts, ends):
+                m = b - a
+                if m < 2:
+                    continue
+                nb = d_s[a:b]  # already (deg, id)-ordered via lexsort
+                i, j = np.triu_indices(m, 1)
+                wk = nb[i].astype(np.int64) * n + nb[j]
+                closed = ekeys[np.searchsorted(ekeys, wk).clip(
+                    max=len(ekeys) - 1)] == wk
+                if not closed.any():
+                    continue
+                tri[s_s[a]] += int(closed.sum())
+                np.add.at(tri, nb[i][closed], 1)
+                np.add.at(tri, nb[j][closed], 1)
+            degf = deg.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                coef = np.floor(2e6 * tri / (degf * (degf - 1)) + 0.5)
+            coef = np.where(deg < 2, 0.0, coef)
+            return pa.table({
+                "node": pa.array(nodes_arr, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "tri": pa.array(tri, pa.int64()),
+                "coef_micro": pa.array(coef.astype(np.int64),
+                                       pa.int64())})
+
+        return edges_ds.repartition(1).map_batches(
+            local_cc, batch_format="pyarrow",
+            batch_size=small_cutoff + 1)
+
+    def explode_partial(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([b.column("u").combine_chunks(),
+                                  b.column("v").combine_chunks()]
+                                 ).to_numpy(zero_copy_only=False)
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    def sum_deg(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.groupby("node", sort=False)["deg"].sum()
+                .astype("int64").reset_index())
+
+    part = edges_ds.map_batches(explode_partial, batch_format="pyarrow")
+    tagged = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    deg = tagged.groupby("_b").map_groups(
+        sum_deg, batch_format="pandas").materialize()
+
+    with_du = _merge_on_node(edges_ds, deg, "u", "deg_u", n_buckets,
+                             edge_cols=["u", "v"])
+    with_both = _merge_on_node(with_du, deg, "v", "deg_v", n_buckets,
+                               edge_cols=["u", "v", "deg_u"])
+
+    def orient(df: "pd.DataFrame") -> "pd.DataFrame":
+        u, v = df["u"].to_numpy(), df["v"].to_numpy()
+        du, dv = df["deg_u"].to_numpy(), df["deg_v"].to_numpy()
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({
+            "src": np.where(u_first, u, v),
+            "dst": np.where(u_first, v, u),
+            "deg_dst": np.where(u_first, dv, du).astype(np.int64),
+        })
+
+    oriented = with_both.map_batches(orient,
+                                     batch_format="pandas").materialize()
+
+    def wedges(g: "pd.DataFrame") -> "pd.DataFrame":
+        srcs, xs, ys = [], [], []
+        for s, grp in g.groupby("src", sort=False):
+            nbr = grp[["dst", "deg_dst"]].to_numpy()
+            order = np.lexsort((nbr[:, 0], nbr[:, 1]))
+            d = nbr[order, 0]
+            n = len(d)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            srcs.append(np.full(len(i), s, dtype=np.int64))
+            xs.append(d[i])
+            ys.append(d[j])
+        if not xs:
+            return pd.DataFrame({"w_src": pd.Series([], dtype="int64"),
+                                 "x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"w_src": np.concatenate(srcs),
+                             "x": np.concatenate(xs).astype(np.int64),
+                             "y": np.concatenate(ys).astype(np.int64)})
+
+    by_src = oriented.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["src"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    wedge_ds = by_src.groupby("_b").map_groups(wedges,
+                                               batch_format="pandas")
+
+    def close_credit(g: "pd.DataFrame") -> "pd.DataFrame":
+        e = (g[g["_kind"] == 1][["x", "y"]].drop_duplicates())
+        w = g[g["_kind"] == 0][["w_src", "x", "y"]]
+        hit = w.merge(e, on=["x", "y"])
+        if not len(hit):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "_t": pd.Series([], dtype="int64")})
+        nodes = np.concatenate([hit["w_src"].to_numpy(),
+                                hit["x"].to_numpy(),
+                                hit["y"].to_numpy()]).astype(np.int64)
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "_t": c.astype(np.int64)})
+
+    wedge_rows = wedge_ds.map_batches(
+        lambda df: df.assign(_kind=np.int64(0)), batch_format="pandas")
+    edge_rows = oriented.map_batches(
+        lambda df: pd.DataFrame({"w_src": np.int64(0),
+                                 "x": df["src"].astype("int64"),
+                                 "y": df["dst"].astype("int64"),
+                                 "_kind": np.int64(1)}),
+        batch_format="pandas")
+    union = wedge_rows.union(edge_rows)
+    keyed = union.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["x"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    credits = keyed.groupby("_b").map_groups(close_credit,
+                                             batch_format="pandas")
+    tri = credits.groupby("node").aggregate(Sum("_t", alias_name="tri"))
+
+    # attach triangle counts to degrees: reuse the bucketed node merge
+    # (deg rows dominate; nodes without a triangle default to 0)
+    def tag_deg(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "deg": df["deg"].astype("int64"),
+                             "tri": np.int64(-1)})
+
+    def tag_tri(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "deg": np.int64(-1),
+                             "tri": df["tri"].astype("int64")})
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = g[g["tri"] < 0][["node", "deg"]]
+        t = g[g["tri"] >= 0][["node", "tri"]]
+        m = d.merge(t, on="node", how="left")
+        deg_v = m["deg"].to_numpy(dtype=np.float64)
+        tri_v = np.nan_to_num(m["tri"].to_numpy(dtype=np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coef = np.floor(2e6 * tri_v / (deg_v * (deg_v - 1)) + 0.5)
+        coef = np.where(deg_v < 2, 0.0, coef)
+        return pd.DataFrame({
+            "node": m["node"].astype("int64"),
+            "deg": m["deg"].astype("int64"),
+            "tri": tri_v.astype(np.int64),
+            "coef_micro": coef.astype(np.int64)})
+
+    union2 = (deg.map_batches(tag_deg, batch_format="pandas")
+              .union(tri.map_batches(tag_tri, batch_format="pandas")))
+    keyed2 = union2.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return keyed2.groupby("_b").map_groups(finish, batch_format="pandas")

@@ -535,3 +535,74 @@ def kmeans_assign(ds, centroids: np.ndarray, centroid_ids: np.ndarray,
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, centroids: np.ndarray, centroid_ids: np.ndarray,
+                   cosine_threshold: float = 0.82,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   col_block: int = 4096):
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): assign every embedding to its nearest
+    centroid cell, then WITHIN each cell greedily drop any row whose
+    cosine similarity to an earlier-id row in the same cell is
+    ``>= cosine_threshold``.  Keep-lowest-id is deterministic and
+    matches the SQL twin's ``NOT EXISTS (... b.id < a.id AND cos >=
+    t)`` exactly — a dropped row needs only SOME earlier near-twin,
+    not a surviving one, so the screen is one pass, not a transitive
+    closure.
+
+    Scale shape: the (k × d) centroid matrix ships ONCE via
+    ``ray.put`` and assignment is one vectorized distance pass per
+    batch (same (dist, cid) tie-break as ``kmeans_assign``); the only
+    shuffle is ONE groupby on the cell id.  The in-cell screen is a
+    normalized matmul done in ``col_block``-column strips, so memory
+    is O(cell × col_block) while flops stay the unavoidable
+    O(cell²·d).  Cell sizes are the partitioning assumption: pick k
+    so cells stay ~10⁴-10⁵ rows (the SemDedup regime — the paper uses
+    k=11k cells for 600M embeddings); a hot cell bounds one task, it
+    never lands on the driver.  Output: (id, cell int64) survivors.
+    """
+    import pandas as pd
+    import ray
+
+    cref = ray.put((np.asarray(centroids, dtype=np.float64),
+                    np.asarray(centroid_ids, dtype=np.int64)))
+    thr = float(cosine_threshold)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents, cids = ray.get(cref)
+        x = _embedding_matrix(batch, vec_col)
+        # direct (x−c)² form + ascending-cid evaluation order: exact
+        # argmin tie-break on the smaller centroid id (see
+        # kmeans_assign for why the matmul expansion is avoided)
+        diff_all = x[:, None, :] - cents[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff_all, diff_all)
+        order = np.argsort(cids, kind="stable")
+        pick = np.argmin(d2[:, order], axis=1)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "cell": pa.array(cids[order[pick]], pa.int64()),
+            vec_col: batch.column(vec_col),
+        })
+
+    def screen(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(id_col, kind="mergesort")
+        v = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        n = len(v)
+        norm = np.sqrt((v * v).sum(1))
+        norm[norm == 0.0] = 1.0
+        vn = v / norm[:, None]
+        drop = np.zeros(n, dtype=bool)
+        for lo in range(0, n, col_block):
+            hi = min(lo + col_block, n)
+            # sims of ALL rows vs columns [lo, hi); only j < i counts
+            s = vn @ vn[lo:hi].T
+            m = (s >= thr) & (np.arange(n)[:, None]
+                              < np.arange(lo, hi)[None, :])
+            drop[lo:hi] |= m.any(axis=0)
+        keep = g.loc[~drop, [id_col, "cell"]]
+        return pd.DataFrame({id_col: keep[id_col].astype("int64"),
+                             "cell": keep["cell"].astype("int64")})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell").map_groups(screen, batch_format="pandas"))

@@ -85,3 +85,152 @@ def test_kcore_round_cap_semantics(ray_session):
         got = _nodes(kcore_peel(_edges_ds(edges), k=2,
                                 max_rounds=rounds))
         assert got == _naive_kcore(edges, 2, rounds), rounds
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+def _uv_ds(edges):
+    return rd.from_arrow(pa.table({
+        "u": pa.array([u for u, _ in edges], pa.int64()),
+        "v": pa.array([v for _, v in edges], pa.int64())}))
+
+
+def _naive_clustering(edges):
+    import itertools
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        t = sum(1 for a, b in itertools.combinations(sorted(nb), 2)
+                if b in adj.get(a, ()))
+        coef = 0 if d < 2 else int(np.floor(2e6 * t / (d * (d - 1)) + 0.5))
+        out[n] = (d, t, coef)
+    return out
+
+
+_CC_EDGES = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (2, 4), (4, 5),
+             (0, 3)]
+
+
+def test_clustering_matches_naive(ray_session):
+    from markdown_lab_ray.stages.graph import clustering_coefficient
+
+    got = (clustering_coefficient(_uv_ds(_CC_EDGES))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = _naive_clustering(_CC_EDGES)
+    assert list(got["node"]) == sorted(want)
+    for _, r in got.iterrows():
+        assert (r["deg"], r["tri"], r["coef_micro"]) == want[r["node"]], \
+            r["node"]
+
+
+def test_clustering_distributed_equals_small_path(ray_session):
+    from markdown_lab_ray.stages.graph import clustering_coefficient
+
+    rng = np.random.RandomState(13)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 40, size=(300, 2)) if a < b})
+    small = (clustering_coefficient(_uv_ds(edges))
+             .to_pandas().sort_values("node").reset_index(drop=True))
+    dist = (clustering_coefficient(_uv_ds(edges), small_cutoff=0,
+                                   n_buckets=4)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    want = _naive_clustering(edges)
+    for df in (small, dist):
+        assert list(df["node"]) == sorted(want)
+        for _, r in df.iterrows():
+            assert (r["deg"], r["tri"], r["coef_micro"]) == \
+                want[r["node"]], r["node"]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_greedy_keep_lowest_id(ray_session):
+    from markdown_lab_ray.stages.similarity import semantic_dedup
+
+    # two well-separated centroids; per cell a near-dup pair + a loner
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    cids = np.array([0, 1])
+    vecs = [
+        [1.0, 0.05],    # id 1, cell 0
+        [1.0, 0.06],    # id 2, cell 0 — near-dup of 1 → dropped
+        [0.2, 0.9],     # id 3, cell 1
+        [-0.1, 1.0],    # id 4, cell 1 — cos vs 3 below threshold
+        [0.21, 0.9],    # id 5, cell 1 — near-dup of 3 → dropped
+    ]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    got = (semantic_dedup(ds, cents, cids, cosine_threshold=0.95)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert list(got["vec_id"]) == [1, 3, 4]
+    assert list(got["cell"]) == [0, 1, 1]
+
+
+def test_semantic_dedup_drop_needs_only_earlier_not_survivor(ray_session):
+    """b dropped by a, c dropped by b even though b itself is gone —
+    the one-pass EXISTS semantics, NOT transitive-closure-keep-one."""
+    from markdown_lab_ray.stages.similarity import semantic_dedup
+
+    # chain a-b-c where cos(a,b) >= t, cos(b,c) >= t, cos(a,c) < t
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(0.45), np.sin(0.45)])
+    c = np.array([np.cos(0.90), np.sin(0.90)])
+    thr = np.cos(0.5)  # 0.45 rad apart passes, 0.9 rad fails
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([10, 11, 12], pa.int64()),
+        "embedding": pa.array([a.tolist(), b.tolist(), c.tolist()],
+                              pa.list_(pa.float32()))}))
+    got = (semantic_dedup(ds, np.array([[1.0, 0.0]]), np.array([0]),
+                          cosine_threshold=float(thr))
+           .to_pandas().sort_values("vec_id"))
+    # 11 dropped by 10; 12 dropped by 11 (existence, not survival)
+    assert list(got["vec_id"]) == [10]
+
+
+def test_semantic_dedup_col_block_strips_match(ray_session):
+    from markdown_lab_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(64, 8)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
+    cents = vecs[:4]
+    cids = np.arange(4, dtype=np.int64)
+    full = (semantic_dedup(ds, cents, cids, cosine_threshold=0.5)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    strip = (semantic_dedup(ds, cents, cids, cosine_threshold=0.5,
+                            col_block=5)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert full.equals(strip)
+    assert len(full) < 64  # the screen actually dropped something
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+def test_mutual_information_independent_and_determined(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import mutual_information
+
+    # perfectly dependent: y == x → MI = H(x) = ln 2 for a 50/50 split
+    df = pd.DataFrame({"x": ["a", "b"] * 50, "y": ["a", "b"] * 50})
+    got = mutual_information(rd.from_pandas(df), "x", "y").to_pandas()
+    assert int(got["mi_micro"].iloc[0]) == int(
+        np.floor(np.log(2) * 1e6 + 0.5))
+
+    # independent uniform: MI = 0 exactly (balanced 2x2 contingency)
+    df2 = pd.DataFrame({"x": ["a", "a", "b", "b"] * 25,
+                        "y": ["u", "v", "u", "v"] * 25})
+    got2 = mutual_information(rd.from_pandas(df2), "x", "y").to_pandas()
+    assert int(got2["mi_micro"].iloc[0]) == 0
