@@ -5311,6 +5311,78 @@ FROM tot, ma, mb
 """
 
 
+def q_part_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-occurrence graph — do
+    high-degree parts co-ship with other high-degree parts?"""
+    from markdown_lab_ray.stages.graph import (
+        cooccurrence_edges,
+        degree_assortativity,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return degree_assortativity(edges).to_pandas()
+
+
+SQL_PART_ASSORTATIVITY = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node),
+e AS (SELECT du.deg AS j, dv.deg AS k
+      FROM pairs JOIN deg du ON du.node = pairs.u
+      JOIN deg dv ON dv.node = pairs.v),
+m AS (SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(j + k) AS HUGEINT) AS sj,
+             CAST(2 * SUM(j * k) AS HUGEINT) AS sjk,
+             CAST(SUM(j * j + k * k) AS HUGEINT) AS sj2 FROM e)
+SELECT CAST(CASE WHEN m * sj2 - sj * sj = 0 THEN 0
+            ELSE floor(1e6 * ((m * sjk - sj * sj)
+                              / (m * sj2 - sj * sj)) + 0.5)
+            END AS BIGINT) AS assortativity_micro
+FROM m
+"""
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM quintile segmentation of customers from the orders table
+    (recency / frequency / monetary, custkey tie-break)."""
+    from markdown_lab_ray.stages.analytics import rfm_segments
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = rfm_segments(ds, "o_custkey", "o_orderdate",
+                       "o_totalprice").to_pandas()
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+SQL_RFM_SEGMENTS = """
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+             AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1),
+mx AS (SELECT MAX(last_day) AS mxd FROM agg)
+SELECT custkey,
+       CAST(mxd - last_day AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY mxd - last_day, custkey)
+            AS BIGINT) AS r_tile,
+       CAST(ntile(5) OVER (ORDER BY frequency, custkey)
+            AS BIGINT) AS f_tile,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents, custkey)
+            AS BIGINT) AS m_tile
+FROM agg, mx ORDER BY custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5454,6 +5526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_clustering": q_part_clustering,
         "semantic_dedup": q_semantic_dedup,
         "lang_source_mi": q_lang_source_mi,
+        "part_assortativity": q_part_assortativity,
+        "rfm_segments": q_rfm_segments,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5602,6 +5676,8 @@ def oracle_sql() -> dict[str, str]:
         "part_clustering": SQL_PART_CLUSTERING,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "lang_source_mi": SQL_LANG_SOURCE_MI,
+        "part_assortativity": SQL_PART_ASSORTATIVITY,
+        "rfm_segments": SQL_RFM_SEGMENTS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

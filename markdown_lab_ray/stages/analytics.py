@@ -2491,3 +2491,71 @@ def mutual_information(ds, col_x: str, col_y: str):
              .groupby([col_x, col_y]).aggregate(Sum("_c", alias_name="_c")))
     return pairs.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def rfm_segments(ds, cust_col: str, date_col: str, price_col: str,
+                 n_tiles: int = 5):
+    """RFM customer segmentation (recency / frequency / monetary, the
+    classic marketing screen): per customer, days since last order
+    relative to the corpus max date, order count, lifetime spend in
+    exact cents — then NTILE(n) over each metric with a custkey
+    tie-break.
+
+    Scale shape: ONE keyed shuffle folds orders into per-customer
+    partials (per-batch combiner first, so blocks collapse before the
+    exchange); the corpus max date is a scalar off that aggregate.
+    The tiling is a global total order — inherently a sort — run as a
+    single ``repartition(1)`` task over the O(customers) aggregate
+    rows (4 ints each; ~32 MB per 10⁶ customers).  Past ~10⁸
+    customers switch to the distributed sort + count-below rank the
+    systematic-sample path uses.  Output: (custkey, recency_days,
+    frequency, monetary_cents, r_tile, f_tile, m_tile), all int64.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df[price_col].to_numpy())
+        day = (df[date_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = pd.DataFrame({"custkey": df[cust_col].to_numpy(),
+                          "_last": day, "_n": np.int64(1), "_c": cents})
+        out = g.groupby("custkey", sort=False).agg(
+            _last=("_last", "max"), _n=("_n", "sum"),
+            _c=("_c", "sum")).reset_index()
+        return out.astype({"_last": "int64", "_n": "int64", "_c": "int64"})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("custkey")
+           .aggregate(Max("_last", alias_name="last_day"),
+                      Sum("_n", alias_name="frequency"),
+                      Sum("_c", alias_name="monetary_cents"))
+           .materialize())
+    mx = int(agg.max("last_day"))
+
+    def tile_all(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("custkey", kind="mergesort").reset_index(
+            drop=True)
+        rec = (mx - df["last_day"].to_numpy(dtype=np.int64))
+        n = len(df)
+        base, rem = n // n_tiles, n % n_tiles
+        big = rem * (base + 1)
+
+        def ntile(metric: np.ndarray) -> np.ndarray:
+            order = np.lexsort((df["custkey"].to_numpy(), metric))
+            i = np.empty(n, np.int64)
+            i[order] = np.arange(n)
+            return np.where(
+                i < big, i // max(base + 1, 1),
+                rem + np.maximum(i - big, 0) // max(base, 1)) + 1
+
+        return pd.DataFrame({
+            "custkey": df["custkey"].astype("int64"),
+            "recency_days": rec,
+            "frequency": df["frequency"].astype("int64"),
+            "monetary_cents": df["monetary_cents"].astype("int64"),
+            "r_tile": ntile(rec),
+            "f_tile": ntile(df["frequency"].to_numpy(np.int64)),
+            "m_tile": ntile(df["monetary_cents"].to_numpy(np.int64))})
+
+    return agg.repartition(1).map_batches(
+        tile_all, batch_format="pandas", batch_size=None)

@@ -1024,3 +1024,110 @@ def clustering_coefficient(edges_ds, n_buckets: int = 64,
                                             n_buckets)),
         batch_format="pandas")
     return keyed2.groupby("_b").map_groups(finish, batch_format="pandas")
+
+
+def degree_assortativity(edges_ds, n_buckets: int = 64,
+                         small_cutoff: int = 2_000_000):
+    """Degree assortativity coefficient of an undirected, distinct
+    (u < v) edge list — the Pearson correlation of endpoint degrees
+    over the DIRECTED edge multiset (each edge counted both ways;
+    Newman 2002, public).  Positive: hubs link hubs (social graphs);
+    negative: hubs link leaves (the web-crawl shape).
+
+    All four moments (m = 2E, Σj, Σjk, Σj²) stay EXACT integers
+    through one bucketed degree merge + a per-batch combiner; only
+    the final r = (m·Σjk − Σj²ᵘᵐ) / (m·Σj² − Σj²ᵘᵐ) divides, in the
+    same HUGEINT→double order as the SQL twin, then pins to
+    micro-units.  Zero-variance degree sequences (every node the same
+    degree) emit 0 by the pinned CASE.  int64 partials bound:
+    Σ(j²+k²) ≤ 2·E·max_deg² must fit 2⁶³ — at web scale shard the
+    moments (they are associative) or downscale degrees first.
+    Output: one row (assortativity_micro int64).
+
+    Small-graph fast path (the per-group-overhead rule): under
+    ``small_cutoff`` edges the degrees + moments run in ONE numpy
+    task — same exact integers, no merges.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    edges_ds = edges_ds.materialize()
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        def local_assort(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([u, v]))
+            ui = np.searchsorted(nodes_arr, u)
+            vi = np.searchsorted(nodes_arr, v)
+            deg = (np.bincount(ui, minlength=len(nodes_arr))
+                   + np.bincount(vi, minlength=len(nodes_arr)))
+            j, k = deg[ui], deg[vi]
+            m = 2 * len(j)
+            sj = int((j + k).sum())
+            # int() BEFORE the doubling: the int64 sum alone is safe
+            # (star worst case ~8e18 at the 2M-edge cutoff) but 2x wraps
+            sjk = 2 * int((j * k).sum())
+            sj2 = int((j * j + k * k).sum())
+            num, den = m * sjk - sj * sj, m * sj2 - sj * sj
+            r_micro = 0 if den == 0 else int(
+                np.floor(1e6 * (float(num) / float(den)) + 0.5))
+            return pa.table({"assortativity_micro": pa.array(
+                [r_micro], pa.int64())})
+
+        return edges_ds.repartition(1).map_batches(
+            local_assort, batch_format="pyarrow",
+            batch_size=small_cutoff + 1)
+
+    def explode_partial(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([b.column("u").combine_chunks(),
+                                  b.column("v").combine_chunks()]
+                                 ).to_numpy(zero_copy_only=False)
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    def sum_deg(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.groupby("node", sort=False)["deg"].sum()
+                .astype("int64").reset_index())
+
+    part = edges_ds.map_batches(explode_partial, batch_format="pyarrow")
+    tagged = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    deg = tagged.groupby("_b").map_groups(
+        sum_deg, batch_format="pandas").materialize()
+
+    with_du = _merge_on_node(edges_ds, deg, "u", "deg_u", n_buckets,
+                             edge_cols=["u", "v"])
+    with_both = _merge_on_node(with_du, deg, "v", "deg_v", n_buckets,
+                               edge_cols=["u", "v", "deg_u"])
+
+    def moments(df: "pd.DataFrame") -> "pd.DataFrame":
+        j = df["deg_u"].to_numpy(dtype=np.int64)
+        k = df["deg_v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "m": [np.int64(2 * len(j))],
+            "sj": [np.int64((j + k).sum())],
+            "sjk": [np.int64(2 * (j * k).sum())],
+            "sj2": [np.int64((j * j + k * k).sum())]})
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        # Python ints: the cross products (m·Σjk) overflow int64 long
+        # before the per-batch partials do
+        m = int(df["m"].sum())
+        sj = int(df["sj"].sum())
+        sjk = int(df["sjk"].sum())
+        sj2 = int(df["sj2"].sum())
+        num = m * sjk - sj * sj
+        den = m * sj2 - sj * sj
+        r_micro = 0 if den == 0 else int(
+            np.floor(1e6 * (float(num) / float(den)) + 0.5))
+        return pd.DataFrame({"assortativity_micro": pd.array(
+            [r_micro], dtype="int64")})
+
+    partials = with_both.map_batches(moments, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

@@ -234,3 +234,96 @@ def test_mutual_information_independent_and_determined(ray_session):
                         "y": ["u", "v", "u", "v"] * 25})
     got2 = mutual_information(rd.from_pandas(df2), "x", "y").to_pandas()
     assert int(got2["mi_micro"].iloc[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+def _naive_assort(edges):
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = 2 * len(edges)
+    sj = sum(deg[u] + deg[v] for u, v in edges)
+    sjk = 2 * sum(deg[u] * deg[v] for u, v in edges)
+    sj2 = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    den = m * sj2 - sj * sj
+    if den == 0:
+        return 0
+    return int(np.floor(1e6 * (float(m * sjk - sj * sj) / float(den))
+                        + 0.5))
+
+
+def test_assortativity_matches_naive_both_paths(ray_session):
+    from markdown_lab_ray.stages.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 8)]            # strongly negative
+    ring = [(i, (i + 1) % 6) for i in range(5)] + [(5, 0)]
+    ring = sorted({(min(a, b), max(a, b)) for a, b in ring})
+    rng = np.random.RandomState(17)
+    rand = sorted({(int(a), int(b)) for a, b in
+                   rng.randint(0, 30, size=(120, 2)) if a < b})
+    for edges in (star, ring, rand):
+        want = _naive_assort(edges)
+        small = int(degree_assortativity(_uv_ds(edges))
+                    .to_pandas()["assortativity_micro"].iloc[0])
+        dist = int(degree_assortativity(_uv_ds(edges), small_cutoff=0,
+                                        n_buckets=4)
+                   .to_pandas()["assortativity_micro"].iloc[0])
+        assert small == want and dist == want, edges[:3]
+    # the ring is degree-regular: zero variance → pinned 0
+    assert _naive_assort(ring) == 0
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+def test_rfm_segments_matches_pandas_twin(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import rfm_segments
+
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame({
+        "cust": rng.randint(1, 60, n).astype(np.int64),
+        "date": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 300, n), unit="D"),
+        "price": np.round(rng.uniform(5, 500, n), 2)})
+    got = (rfm_segments(rd.from_pandas(df), "cust", "date", "price")
+           .to_pandas().sort_values("custkey").reset_index(drop=True))
+
+    cents = np.floor(df["price"].to_numpy() * 100 + 0.5).astype(np.int64)
+    day = (df["date"].to_numpy().astype("datetime64[D]")
+           .astype(np.int64))
+    tw = pd.DataFrame({"custkey": df["cust"], "day": day, "c": cents})
+    agg = tw.groupby("custkey").agg(
+        last=("day", "max"), frequency=("day", "size"),
+        monetary_cents=("c", "sum")).reset_index()
+    mx = agg["last"].max()
+    agg["recency_days"] = mx - agg["last"]
+
+    def sql_ntile(metric, keys, n_tiles=5):
+        order = np.lexsort((keys, metric))
+        i = np.empty(len(keys), np.int64)
+        i[order] = np.arange(len(keys))
+        base, rem = len(keys) // n_tiles, len(keys) % n_tiles
+        big = rem * (base + 1)
+        return np.where(i < big, i // max(base + 1, 1),
+                        rem + np.maximum(i - big, 0) // max(base, 1)) + 1
+
+    agg = agg.sort_values("custkey").reset_index(drop=True)
+    assert list(got["custkey"]) == list(agg["custkey"])
+    assert list(got["recency_days"]) == list(agg["recency_days"])
+    assert list(got["frequency"]) == list(agg["frequency"])
+    assert list(got["monetary_cents"]) == list(agg["monetary_cents"])
+    k = agg["custkey"].to_numpy()
+    assert list(got["r_tile"]) == list(
+        sql_ntile(agg["recency_days"].to_numpy(), k))
+    assert list(got["f_tile"]) == list(
+        sql_ntile(agg["frequency"].to_numpy(), k))
+    assert list(got["m_tile"]) == list(
+        sql_ntile(agg["monetary_cents"].to_numpy(), k))
