@@ -5383,6 +5383,73 @@ FROM agg, mx ORDER BY custkey
 """
 
 
+def q_source_dedup_yield(sf_dir: str):
+    """Per-source exact-dedup survival: which sources are mostly
+    copies of text we already have elsewhere."""
+    from markdown_lab_ray.stages.dedup import source_dedup_yield
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = source_dedup_yield(ds).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_DEDUP_YIELD = """
+WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+surv AS (SELECT hh, MIN(doc_id) AS keep FROM h GROUP BY hh),
+s1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM h GROUP BY source),
+s2 AS (SELECT h.source, CAST(COUNT(*) AS BIGINT) AS n_unique
+       FROM surv JOIN h ON h.doc_id = surv.keep GROUP BY h.source)
+SELECT s1.source, s1.n_docs,
+       CAST(COALESCE(s2.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(floor(1e6 * COALESCE(s2.n_unique, 0) / s1.n_docs + 0.5)
+            AS BIGINT) AS yield_micro
+FROM s1 LEFT JOIN s2 ON s1.source = s2.source ORDER BY s1.source
+"""
+
+
+def q_split_leakage(sf_dir: str):
+    """Shingle leakage across the md5 source-level train/test split:
+    distinct 8-gram shingles present on BOTH sides."""
+    from markdown_lab_ray.stages.trainprep import split_shingle_leakage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return split_shingle_leakage(ds, key_col="source").to_pandas()
+
+
+SQL_SPLIT_LEAKAGE = r"""
+WITH tagged AS (
+  SELECT text,
+         CASE WHEN substr(md5(CAST(source AS VARCHAR)), 1, 8)
+                   < 'cccccccc' THEN 'train'
+              WHEN substr(md5(CAST(source AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+words AS (
+  SELECT split,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM tagged WHERE split <> 'val'),
+sh AS (
+  SELECT DISTINCT split,
+         unnest(list_transform(generate_series(1, len(w) - 7),
+                i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+  FROM words WHERE len(w) >= 8),
+pres AS (SELECT g,
+                MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+                MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+         FROM sh GROUP BY g)
+SELECT CAST(SUM(tr) AS BIGINT) AS n_train,
+       CAST(SUM(te) AS BIGINT) AS n_test,
+       CAST(SUM(tr * te) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN SUM(te) = 0 THEN 0
+            ELSE floor(1e6 * SUM(tr * te) / SUM(te) + 0.5)
+            END AS BIGINT) AS leak_micro
+FROM pres
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5528,6 +5595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_mi": q_lang_source_mi,
         "part_assortativity": q_part_assortativity,
         "rfm_segments": q_rfm_segments,
+        "source_dedup_yield": q_source_dedup_yield,
+        "split_leakage": q_split_leakage,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5678,6 +5747,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_mi": SQL_LANG_SOURCE_MI,
         "part_assortativity": SQL_PART_ASSORTATIVITY,
         "rfm_segments": SQL_RFM_SEGMENTS,
+        "source_dedup_yield": SQL_SOURCE_DEDUP_YIELD,
+        "split_leakage": SQL_SPLIT_LEAKAGE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

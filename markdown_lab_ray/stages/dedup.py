@@ -1122,3 +1122,70 @@ def edit1_similar_pairs(ds, text_col: str = "c_name",
     # collapses cross-batch repeats — so each pair is emitted exactly
     # once globally (asserted by test_edit1_pairs_no_duplicates).
     return tagged.groupby("_b").map_groups(verify, batch_format="pandas")
+
+
+def source_dedup_yield(ds, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       source_col: str = "source",
+                       n_buckets: int = 64):
+    """Per-source exact-dedup yield — the curation question "which
+    sources are mostly copies of things we already have": per source,
+    total documents, documents surviving keep-min-id exact dedup, and
+    the survival fraction in micro-units.
+
+    Shape: one bucketed ``hash(md5) % B`` fold picks each digest's
+    min-id winner AND collapses winners to per-source partial counts
+    inside the bucket (so the second shuffle carries O(B × sources)
+    rows, not O(survivors)); totals ride the same per-batch combiner
+    pattern; a final native groupby over the bounded source set joins
+    the two.  Output: (source, n_docs, n_unique, yield_micro), sorted
+    upstream by the caller.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .bucketing import key_buckets
+    from .text import add_text_hash_batch
+
+    hashed = (ds.map_batches(add_text_hash_batch, batch_format="pyarrow",
+                             fn_kwargs=dict(text_col=text_col))
+              .select_columns(["text_md5", id_col, source_col])
+              .materialize())
+
+    def winners_per_source(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["text_md5", id_col], kind="mergesort")
+        w = df.drop_duplicates("text_md5", keep="first")
+        out = (w.groupby(source_col, sort=False).size()
+               .rename("n_unique").astype("int64").reset_index())
+        out["n_docs"] = np.int64(0)
+        return out[[source_col, "n_docs", "n_unique"]]
+
+    surv = (hashed.map_batches(
+        lambda df: df.assign(_hb=key_buckets(df["text_md5"].to_numpy(),
+                                             n_buckets)),
+        batch_format="pandas")
+        .groupby("_hb").map_groups(winners_per_source,
+                                   batch_format="pandas"))
+
+    def totals(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = (df.groupby(source_col, sort=False).size()
+               .rename("n_docs").astype("int64").reset_index())
+        out["n_unique"] = np.int64(0)
+        return out[[source_col, "n_docs", "n_unique"]]
+
+    tot = hashed.map_batches(totals, batch_format="pandas")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False)
+        nu = b.column("n_unique").to_numpy(zero_copy_only=False)
+        y = np.floor(1e6 * nu / np.maximum(nd, 1) + 0.5).astype(np.int64)
+        return pa.table({source_col: b.column(source_col),
+                         "n_docs": pa.array(nd, pa.int64()),
+                         "n_unique": pa.array(nu, pa.int64()),
+                         "yield_micro": pa.array(y, pa.int64())})
+
+    return (surv.union(tot)
+            .groupby(source_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_unique", alias_name="n_unique"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -599,3 +599,77 @@ def class_weights(ds, label_col: str = "label"):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(label_col).aggregate(Sum("_c", alias_name="_n"))
             .repartition(1).map_batches(finish, batch_format="pyarrow"))
+
+
+def split_shingle_leakage(ds, key_col: str, text_col: str = "text",
+                          n: int = 8, n_buckets: int = 64):
+    """Train/test contamination audit for the md5 group split: how
+    many distinct word ``n``-gram shingles occur in BOTH the train and
+    test splits.  Group-level splitting guarantees no KEY crosses the
+    boundary; this measures the leakage it cannot prevent — near-copy
+    TEXT living under different keys (the Lee-et-al cross-split
+    duplication failure mode).
+
+    Shape: split tags are the pure ``group_split_batch`` hash (no
+    shuffle); exploded (shingle-md5, split) rows collapse to per-batch
+    distinct pairs, then ONE bucketed fold computes each shingle's
+    train/test presence and per-bucket partial counts; a final
+    single-row fold emits the scalars.  Shingle identity is md5 (the
+    span-stats contract).  Output: one row (n_train, n_test, n_shared,
+    leak_micro = shared/test).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def shingle_split(batch: pa.Table) -> pa.Table:
+        tagged = group_split_batch(batch, key_col)
+        ghs, splits = [], []
+        for t, s in zip(tagged.column(text_col).to_pylist(),
+                        tagged.column("split").to_pylist()):
+            if s == "val":
+                continue
+            words = (t or "").lower().split()
+            for i in range(len(words) - n + 1):
+                ghs.append(hashlib.md5(
+                    " ".join(words[i:i + n]).encode()).hexdigest())
+                splits.append(s)
+        df = pd.DataFrame({"gh": ghs, "split": splits})
+        df = df.drop_duplicates()
+        return pa.table({"gh": pa.array(df["gh"], pa.string()),
+                         "split": pa.array(df["split"], pa.string())})
+
+    def bucket_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop_duplicates(["gh", "split"])
+        pres = g.pivot_table(index="gh", columns="split", aggfunc="size",
+                             fill_value=0)
+        in_tr = (pres["train"].to_numpy() > 0 if "train" in pres
+                 else np.zeros(len(pres), bool))
+        in_te = (pres["test"].to_numpy() > 0 if "test" in pres
+                 else np.zeros(len(pres), bool))
+        return pd.DataFrame({
+            "n_train": [np.int64(in_tr.sum())],
+            "n_test": [np.int64(in_te.sum())],
+            "n_shared": [np.int64((in_tr & in_te).sum())]})
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        tr = int(df["n_train"].sum())
+        te = int(df["n_test"].sum())
+        sh = int(df["n_shared"].sum())
+        leak = 0 if te == 0 else int(np.floor(1e6 * sh / te + 0.5))
+        return pd.DataFrame({"n_train": pd.array([tr], dtype="int64"),
+                             "n_test": pd.array([te], dtype="int64"),
+                             "n_shared": pd.array([sh], dtype="int64"),
+                             "leak_micro": pd.array([leak],
+                                                    dtype="int64")})
+
+    rows = ds.map_batches(shingle_split, batch_format="pyarrow")
+    folded = (rows.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["gh"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+        .groupby("_b").map_groups(bucket_fold, batch_format="pandas"))
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None)

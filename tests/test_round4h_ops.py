@@ -327,3 +327,56 @@ def test_rfm_segments_matches_pandas_twin(ray_session):
         sql_ntile(agg["frequency"].to_numpy(), k))
     assert list(got["m_tile"]) == list(
         sql_ntile(agg["monetary_cents"].to_numpy(), k))
+
+
+# ---------------------------------------------------------------------------
+# source_dedup_yield / split_shingle_leakage
+# ---------------------------------------------------------------------------
+
+def test_source_dedup_yield_counts(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.dedup import source_dedup_yield
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["aa", "aa", "bb", "cc", "cc", "cc"],
+        "source": ["s1", "s1", "s1", "s2", "s2", "s1"]})
+    got = (source_dedup_yield(rd.from_pandas(df))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    # s1: docs {1,2,3,6}; winners: "aa"->1, "bb"->3 ("cc"->4 is s2's)
+    # s2: docs {4,5}; winner of "cc" is doc 4 (min id overall)
+    assert list(got["source"]) == ["s1", "s2"]
+    assert list(got["n_docs"]) == [4, 2]
+    assert list(got["n_unique"]) == [2, 1]
+    assert list(got["yield_micro"]) == [500000, 500000]
+
+
+def test_split_leakage_detects_cross_split_copy(ray_session):
+    import hashlib
+
+    import pandas as pd
+
+    from markdown_lab_ray.stages.trainprep import split_shingle_leakage
+
+    def split_of(key):
+        h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+        return "train" if h < "cccccccc" else (
+            "val" if h < "e6666666" else "test")
+
+    # find one train key and one test key deterministically
+    tr = next(k for k in range(100) if split_of(f"k{k}") == "train")
+    te = next(k for k in range(100) if split_of(f"k{k}") == "test")
+    shared = "one two three four five six seven eight"
+    only_tr = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " " + only_tr, shared, only_tr],
+        "source": [f"k{tr}", f"k{te}", f"k{tr}"]})
+    got = split_shingle_leakage(
+        rd.from_pandas(df), key_col="source").to_pandas()
+    # doc1(train): 9 shingles; doc3(train): 1; doc2(test): 1 (=shared)
+    assert int(got["n_test"].iloc[0]) == 1
+    assert int(got["n_shared"].iloc[0]) == 1
+    assert int(got["leak_micro"].iloc[0]) == 1000000
+    assert int(got["n_train"].iloc[0]) == 9
