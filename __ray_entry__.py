@@ -5450,6 +5450,74 @@ FROM pres
 """
 
 
+def q_lang_weights(sf_dir: str):
+    """Square-root temperature sampling weights per language (the
+    multilingual upsampling panel)."""
+    from markdown_lab_ray.stages.trainprep import lang_temperature_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = lang_temperature_weights(ds).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_WEIGHTS = """
+WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY lang),
+tot AS (SELECT SUM(sqrt(n_docs)) AS t FROM cnt)
+SELECT lang, n_docs,
+       CAST(floor(1e6 * (sqrt(n_docs) / t) + 0.5) AS BIGINT)
+           AS weight_micro
+FROM cnt, tot ORDER BY lang
+"""
+
+
+def q_packing_waste(sf_dir: str):
+    """Pad-waste lower bound of the corpus at 512/1024/2048 context
+    lengths (which context length wastes the least compute)."""
+    from markdown_lab_ray.stages.text import token_count_batch
+    from markdown_lab_ray.stages.trainprep import packing_waste
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    out = packing_waste(toks).to_pandas()
+    return out.sort_values("context_len").reset_index(drop=True)
+
+
+SQL_PACKING_WASTE = r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+         ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS tok
+  FROM documents),
+L AS (SELECT unnest([512, 1024, 2048]) AS context_len),
+agg AS (
+  SELECT context_len, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         CAST(SUM((tok + context_len - 1) // context_len) AS BIGINT)
+             AS n_chunks
+  FROM t CROSS JOIN L GROUP BY context_len)
+SELECT CAST(context_len AS BIGINT) AS context_len, total_tokens,
+       n_chunks,
+       CAST(CASE WHEN n_chunks = 0 THEN 0
+            ELSE floor(1e6 * (1.0 - total_tokens
+                              / (n_chunks * context_len)) + 0.5)
+            END AS BIGINT) AS waste_micro
+FROM agg ORDER BY context_len
+"""
+
+
+def q_caption_screen(sf_dir: str):
+    """Caption junk screen over the synthetic image table (rows-only:
+    image bytes aren't SQL-reachable) — per-reason keep/drop counts."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import screen_caption_counts
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    out = screen_caption_counts(ds).to_pandas()
+    return out.sort_values("reason").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5597,6 +5665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "source_dedup_yield": q_source_dedup_yield,
         "split_leakage": q_split_leakage,
+        "lang_weights": q_lang_weights,
+        "packing_waste": q_packing_waste,
+        "caption_screen": q_caption_screen,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5749,6 +5820,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": SQL_RFM_SEGMENTS,
         "source_dedup_yield": SQL_SOURCE_DEDUP_YIELD,
         "split_leakage": SQL_SPLIT_LEAKAGE,
+        "lang_weights": SQL_LANG_WEIGHTS,
+        "packing_waste": SQL_PACKING_WASTE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -17,6 +17,7 @@ caption byte-equality.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -526,3 +527,58 @@ def channel_stats(images_ds, bytes_col: str = "bytes",
 
     part = images_ds.map_batches(partial, batch_format="pyarrow")
     return part.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+_CAPTION_FILENAME_RE = re.compile(
+    r"^(?:img|image|dsc|photo|pic|screenshot)[-_ ]?\d+$"
+    r"|\.(?:jpe?g|png|gif|webp|bmp)$", re.IGNORECASE)
+
+
+def screen_captions(ds, caption_col: str = "caption",
+                    id_col: str = "image_id", min_words: int = 6):
+    """Caption quality screen for image-text training pairs — the
+    LAION-style junk filters: camera-filename alt text ("IMG_1234",
+    "photo.jpg"), empty strings, digit soup, and too-short captions
+    that carry no supervision signal.  First matching reason wins:
+    ``empty`` → ``filename`` → ``numeric`` (digit ratio > 0.5) →
+    ``too_short`` (< min_words words) → ``ok``.
+
+    Pure vectorized per-batch predicates on the caption column only
+    (compiled module-level regex, no shuffle, no state) — prune
+    ``columns=[id, caption]`` at the read and the image BYTES never
+    move.  Output: (id, reason, keep bool) per pair; aggregate with
+    ``screen_caption_counts`` for the per-reason panel.
+    """
+    import pandas as pd
+
+    def screen(df: "pd.DataFrame") -> "pd.DataFrame":
+        cap = df[caption_col].fillna("").astype(str)
+        stripped = cap.str.strip()
+        empty = stripped == ""
+        filename = stripped.str.contains(_CAPTION_FILENAME_RE)
+        n_chars = stripped.str.len().to_numpy()
+        n_digits = stripped.str.count(r"\d").to_numpy()
+        numeric = (n_digits > 0.5 * np.maximum(n_chars, 1)) & ~empty
+        short = stripped.str.split().str.len().fillna(0).to_numpy() \
+            < min_words
+        reason = np.select(
+            [empty, filename.to_numpy() & ~empty,
+             numeric, short],
+            ["empty", "filename", "numeric", "too_short"],
+            default="ok")
+        return pd.DataFrame({id_col: df[id_col],
+                             "reason": reason,
+                             "keep": reason == "ok"})
+
+    return ds.map_batches(screen, batch_format="pandas")
+
+
+def screen_caption_counts(ds, caption_col: str = "caption",
+                          id_col: str = "image_id",
+                          min_words: int = 6):
+    """Per-reason counts of the caption screen (bounded-cardinality
+    native groupby — at most 5 reasons)."""
+    from ray.data.aggregate import Count
+
+    return (screen_captions(ds, caption_col, id_col, min_words)
+            .groupby("reason").aggregate(Count(alias_name="n")))

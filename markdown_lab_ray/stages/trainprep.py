@@ -673,3 +673,79 @@ def split_shingle_leakage(ds, key_col: str, text_col: str = "text",
         .groupby("_b").map_groups(bucket_fold, batch_format="pandas"))
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)
+
+
+def lang_temperature_weights(ds, lang_col: str = "lang"):
+    """Square-root temperature sampling weights per language —
+    ``w_i = sqrt(n_i) / Σ sqrt(n_j)`` (the α=0.5 point of the
+    mBERT/XLM-R multinomial upsampling family; sqrt chosen over a
+    free α because IEEE sqrt is correctly rounded on every engine,
+    so the oracle agrees bit-for-bit where pow() may drift an ulp).
+
+    Scale shape: per-batch language partials collapse each block
+    before ONE keyed Sum bounded by |langs|; the weight fold is a
+    single task over that bounded aggregate.  Output: (lang, n_docs,
+    weight_micro), weight in micro-units.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(lang_col, sort=False).size()
+                .rename("_n").astype("int64").reset_index())
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(lang_col, kind="mergesort")
+        n = df["_n"].to_numpy(dtype=np.int64)
+        s = np.sqrt(n.astype(np.float64))
+        tot = s.sum()
+        w = np.floor(1e6 * (s / tot) + 0.5).astype(np.int64)
+        return pd.DataFrame({lang_col: df[lang_col].to_numpy(),
+                             "n_docs": n, "weight_micro": w})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(lang_col).aggregate(Sum("_n", alias_name="_n")))
+    return agg.repartition(1).map_batches(fold, batch_format="pandas",
+                                          batch_size=None)
+
+
+def packing_waste(ds, token_col: str = "n_tokens_ws",
+                  context_lengths=(512, 1024, 2048)):
+    """Packing-waste lower bound per candidate context length: if
+    every document is split into ``ceil(tokens / L)`` chunks, the pad
+    waste is ``1 − total_tokens / (n_chunks · L)`` — the floor any
+    real packer (including ``pack_sequences``) can only approach.
+    The curation question it answers: which context length wastes the
+    least compute for THIS corpus.
+
+    All integers until the final division (ceil via
+    ``(t + L − 1) // L``, same as the SQL twin).  Per-batch partials
+    → one single-row fold per L; no shuffle at all.  Output: one row
+    per L (context_len, total_tokens, n_chunks, waste_micro).
+    """
+
+    Ls = [int(x) for x in context_lengths]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[token_col].to_numpy(dtype=np.int64)
+        rows = []
+        for L in Ls:
+            rows.append((L, int(t.sum()), int(((t + L - 1) // L).sum())))
+        return pd.DataFrame(rows, columns=["context_len",
+                                           "total_tokens", "n_chunks"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("context_len", sort=True)
+             .agg(total_tokens=("total_tokens", "sum"),
+                  n_chunks=("n_chunks", "sum")).reset_index())
+        L = g["context_len"].to_numpy(np.int64)
+        tt = g["total_tokens"].to_numpy(np.int64)
+        nc = g["n_chunks"].to_numpy(np.int64)
+        denom = np.maximum(nc * L, 1)
+        waste = np.floor(1e6 * (1.0 - tt / denom) + 0.5).astype(np.int64)
+        waste = np.where(nc == 0, 0, waste)
+        return pd.DataFrame({"context_len": L, "total_tokens": tt,
+                             "n_chunks": nc, "waste_micro": waste})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

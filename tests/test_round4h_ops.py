@@ -380,3 +380,59 @@ def test_split_leakage_detects_cross_split_copy(ray_session):
     assert int(got["n_shared"].iloc[0]) == 1
     assert int(got["leak_micro"].iloc[0]) == 1000000
     assert int(got["n_train"].iloc[0]) == 9
+
+
+# ---------------------------------------------------------------------------
+# lang_temperature_weights / packing_waste / screen_captions
+# ---------------------------------------------------------------------------
+
+def test_lang_temperature_weights_sqrt(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.trainprep import lang_temperature_weights
+
+    df = pd.DataFrame({"lang": ["en"] * 90 + ["de"] * 9 + ["fr"]})
+    got = (lang_temperature_weights(rd.from_pandas(df))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    s = np.sqrt(np.array([9.0, 90.0, 1.0]))
+    w = np.floor(1e6 * (s / s.sum()) + 0.5).astype(int)
+    assert list(got["lang"]) == ["de", "en", "fr"]
+    assert list(got["n_docs"]) == [9, 90, 1]
+    assert list(got["weight_micro"]) == list(w)
+    # sqrt flattens: en is 90% of docs but far less of the mixture
+    assert got.loc[1, "weight_micro"] < 900000
+
+
+def test_packing_waste_exact(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.trainprep import packing_waste
+
+    toks = [100, 512, 513, 0, 2000]
+    df = pd.DataFrame({"n_tokens_ws": toks})
+    got = (packing_waste(rd.from_pandas(df), context_lengths=(512,))
+           .to_pandas())
+    n_chunks = sum((t + 511) // 512 for t in toks)  # 1+1+2+0+4 = 8
+    total = sum(toks)
+    waste = int(np.floor(1e6 * (1 - total / (n_chunks * 512)) + 0.5))
+    assert int(got["n_chunks"].iloc[0]) == 8
+    assert int(got["total_tokens"].iloc[0]) == total
+    assert int(got["waste_micro"].iloc[0]) == waste
+
+
+def test_screen_captions_reasons(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.images import screen_captions
+
+    caps = ["", "IMG_1234", "sunset.jpg", "1234 5678 90",
+            "tiny cap", "a long descriptive caption of six words",
+            "DSC 0042", "photo_7"]
+    df = pd.DataFrame({"image_id": [f"i{n}" for n in range(len(caps))],
+                       "caption": caps})
+    got = (screen_captions(rd.from_pandas(df))
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    want = ["empty", "filename", "filename", "numeric", "too_short",
+            "ok", "filename", "filename"]
+    assert list(got["reason"]) == want
+    assert list(got["keep"]) == [r == "ok" for r in want]
