@@ -5518,6 +5518,59 @@ def q_caption_screen(sf_dir: str):
     return out.sort_values("reason").reset_index(drop=True)
 
 
+def q_corpus_summary(sf_dir: str):
+    """One-row dataset-card panel: docs, tokens, langs, sources,
+    unique texts, exact-duplicate rate."""
+    from markdown_lab_ray.stages.text import corpus_summary
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return corpus_summary(ds).to_pandas()
+
+
+SQL_CORPUS_SUMMARY = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text),
+                                                        '\s+'))
+                END) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(floor(1e6 * (1.0 - COUNT(DISTINCT md5(text)) * 1.0
+                               / COUNT(*)) + 0.5) AS BIGINT)
+           AS dup_rate_micro
+FROM documents
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency slope of the top-100 corpus terms."""
+    from markdown_lab_ray.stages.text import zipf_slope
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return zipf_slope(ds, top_n=100).to_pandas()
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                         '[\p{L}\p{N}_]+')) AS term
+        FROM documents)
+  GROUP BY term),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+        FROM cnt ORDER BY n DESC, term LIMIT 100),
+m AS (SELECT COUNT(*) AS k, SUM(ln(r)) AS sx, SUM(ln(n)) AS sy,
+             SUM(ln(r) * ln(n)) AS sxy, SUM(ln(r) * ln(r)) AS sx2
+      FROM top)
+SELECT CAST(floor(1e6 * ((k * sxy - sx * sy)
+                         / (k * sx2 - sx * sx)) + 0.5) AS BIGINT)
+           AS zipf_slope_micro,
+       CAST(k AS BIGINT) AS n_terms
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5668,6 +5721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_weights": q_lang_weights,
         "packing_waste": q_packing_waste,
         "caption_screen": q_caption_screen,
+        "corpus_summary": q_corpus_summary,
+        "zipf_slope": q_zipf_slope,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5822,6 +5877,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": SQL_SPLIT_LEAKAGE,
         "lang_weights": SQL_LANG_WEIGHTS,
         "packing_waste": SQL_PACKING_WASTE,
+        "corpus_summary": SQL_CORPUS_SUMMARY,
+        "zipf_slope": SQL_ZIPF_SLOPE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -784,3 +784,139 @@ def readability_batch(batch: pa.Table, text_col: str = "text",
         "n_syll": pa.array(sylls, pa.int64()),
         "flesch_micro": pa.array(flesch, pa.int64()),
     })
+
+
+def corpus_summary(ds, text_col: str = "text", lang_col: str = "lang",
+                   source_col: str = "source", n_buckets: int = 64):
+    """One-row dataset-card panel: document count, whitespace-token
+    total, distinct languages/sources, exact-duplicate rate — the
+    header numbers every corpus release publishes.
+
+    Scale shape: three independent partial streams union into one
+    final single-row fold — (a) per-batch (n_docs, total_tokens)
+    scalars, (b) per-bucket distinct-md5 counts (each digest lands in
+    exactly one ``hash(md5) % B`` bucket, so bucket-local uniques sum
+    exactly), (c) per-batch distinct (lang, source) pairs collapsing
+    to a bounded native groupby.  Nothing wider than O(B + |langs| ×
+    |sources|) reaches the fold.  ``dup_rate_micro`` =
+    ``floor(1e6·(1 − distinct/total) + 0.5)``.  Output: one row
+    (n_docs, total_tokens, n_langs, n_sources, n_unique_texts,
+    dup_rate_micro).
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def scalars(df: "pd.DataFrame") -> "pd.DataFrame":
+        toks = df[text_col].fillna("").astype(str).str.split().str.len()
+        return pd.DataFrame({
+            "kind": ["scalar"], "a": [np.int64(len(df))],
+            "b": [np.int64(toks.sum())]})
+
+    def hash_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        import hashlib
+        h = [hashlib.md5(str(t).encode()).hexdigest()
+             for t in df[text_col].fillna("")]
+        out = pd.DataFrame({"gh": h}).drop_duplicates()
+        out["_b"] = key_buckets(out["gh"].to_numpy(), n_buckets)
+        return out
+
+    def bucket_distinct(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "kind": ["uniq"],
+            "a": [np.int64(g["gh"].nunique())], "b": [np.int64(0)]})
+
+    def cat_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df[[lang_col, source_col]].drop_duplicates()
+        return pd.DataFrame({"lang": out[lang_col].astype(str),
+                             "source": out[source_col].astype(str)})
+
+    def cats_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "kind": ["cats"],
+            "a": [np.int64(df["lang"].nunique())],
+            "b": [np.int64(df["source"].nunique())]})
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        sc = df[df["kind"] == "scalar"]
+        uq = df[df["kind"] == "uniq"]
+        ct = df[df["kind"] == "cats"]
+        n_docs = int(sc["a"].sum())
+        total_tokens = int(sc["b"].sum())
+        n_unique = int(uq["a"].sum())
+        dup = 0 if n_docs == 0 else int(
+            np.floor(1e6 * (1.0 - n_unique / n_docs) + 0.5))
+        return pd.DataFrame({
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "total_tokens": pd.array([total_tokens], dtype="int64"),
+            "n_langs": pd.array([int(ct["a"].sum())], dtype="int64"),
+            "n_sources": pd.array([int(ct["b"].sum())], dtype="int64"),
+            "n_unique_texts": pd.array([n_unique], dtype="int64"),
+            "dup_rate_micro": pd.array([dup], dtype="int64")})
+
+    sc = ds.map_batches(scalars, batch_format="pandas")
+    uq = (ds.map_batches(hash_rows, batch_format="pandas")
+          .groupby("_b").map_groups(bucket_distinct,
+                                    batch_format="pandas"))
+    ct = (ds.map_batches(cat_rows, batch_format="pandas")
+          .repartition(1)
+          .map_batches(cats_fold, batch_format="pandas",
+                       batch_size=None))
+    return (sc.union(uq).union(ct)
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
+def zipf_slope(ds, text_col: str = "text", top_n: int = 100):
+    """Zipf rank-frequency slope over the corpus' top-``top_n`` terms
+    — OLS of ln(count) on ln(rank); natural text sits near −1, and a
+    big departure flags boilerplate floods or synthetic/spam corpora
+    (Zipf 1949, public).  Tokenization is the ``top_terms`` contract
+    (``\\w+`` on lowered text; ASCII-equivalent to the SQL twin's
+    ``[\\p{L}\\p{N}_]+`` — same documented caveat).
+
+    Scale shape: per-batch Counter partials (terms ≪ tokens) → one
+    keyed Sum → the rank/fit runs in a single task over the
+    O(distinct terms) aggregate, of which only ``top_n`` enter the
+    fit (count desc, term asc — the deterministic top-terms order).
+    Output: one row (zipf_slope_micro, n_terms).
+    """
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r"\w+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column(text_col).to_pylist():
+            c.update(pat.findall((t or "").lower()))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "_n": pa.array(list(c.values()), pa.int64())})
+
+    def fit(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(top_n)
+        k = len(df)
+        if k < 2:
+            return pd.DataFrame({
+                "zipf_slope_micro": pd.array([0], dtype="int64"),
+                "n_terms": pd.array([k], dtype="int64")})
+        r = np.arange(1, k + 1, dtype=np.float64)
+        x = np.log(r)
+        y = np.log(df["n"].to_numpy(dtype=np.float64))
+        sx, sy = x.sum(), y.sum()
+        sxy, sx2 = (x * y).sum(), (x * x).sum()
+        slope = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+        return pd.DataFrame({
+            "zipf_slope_micro": pd.array(
+                [int(np.floor(1e6 * slope + 0.5))], dtype="int64"),
+            "n_terms": pd.array([k], dtype="int64")})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("_n", alias_name="n")))
+    return counts.repartition(1).map_batches(
+        fit, batch_format="pandas", batch_size=None)

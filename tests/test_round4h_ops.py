@@ -436,3 +436,42 @@ def test_screen_captions_reasons(ray_session):
             "ok", "filename", "filename"]
     assert list(got["reason"]) == want
     assert list(got["keep"]) == [r == "ok" for r in want]
+
+
+# ---------------------------------------------------------------------------
+# corpus_summary / zipf_slope
+# ---------------------------------------------------------------------------
+
+def test_corpus_summary_counts(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.text import corpus_summary
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "a b c", "d e", ""],
+        "lang": ["en", "en", "de", "de"],
+        "source": ["s1", "s2", "s1", "s1"]})
+    got = corpus_summary(rd.from_pandas(df)).to_pandas()
+    assert int(got["n_docs"].iloc[0]) == 4
+    assert int(got["total_tokens"].iloc[0]) == 8
+    assert int(got["n_langs"].iloc[0]) == 2
+    assert int(got["n_sources"].iloc[0]) == 2
+    assert int(got["n_unique_texts"].iloc[0]) == 3
+    assert int(got["dup_rate_micro"].iloc[0]) == 250000
+
+
+def test_zipf_slope_exact_power_law(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.text import zipf_slope
+
+    # counts exactly proportional to 1/rank → slope == -1
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (2 ** 12 // r)
+    df = pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]})
+    got = zipf_slope(rd.from_pandas(df), top_n=20).to_pandas()
+    assert int(got["n_terms"].iloc[0]) == 20
+    # integer floor(1/r) distorts slightly; still ~-1
+    assert -1_050_000 < int(got["zipf_slope_micro"].iloc[0]) < -950_000
