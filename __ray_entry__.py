@@ -2088,6 +2088,27 @@ def q_crawl_order(sf_dir: str):
     return order[["round", "host", "fetch_order", "loc"]]
 
 
+def q_crawl_authority_order(sf_dir: str):
+    """Synthetic crawl with host-authority budget weighting
+    (sf-independent): hosts in the top PageRank band of the observed
+    cross-host link graph earn 2x budget — asserted equal to the
+    sequential oracle in tests/test_crawl_authority.py."""
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=6, pages_per_host=12, n_images=40)
+    cfg = EngineConfig(requests_per_second=0.05, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, seen_shards=4,
+                       fetch_concurrency=2, authority_boost=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        order = read_crawl_order(tmp)
+    return order[["round", "host", "fetch_order", "loc"]]
+
+
 def q_images_validate(sf_dir: str):
     """Image decode + PSNR/caption invariants over the synthetic
     image+caption table (input_hint schema)."""
@@ -5751,6 +5772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "char_chunks": q_char_chunks,
         "crawl_order": q_crawl_order,
+        "crawl_authority_order": q_crawl_authority_order,
         "crawl_image_validation": q_crawl_image_validation,
         "images_validate": q_images_validate,
         "minhash_pairs": q_minhash_pairs,

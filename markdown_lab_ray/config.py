@@ -63,6 +63,13 @@ class EngineConfig:
     # then re-enters half-open with a fresh streak
     breaker_threshold: int = 0
     breaker_cooldown_rounds: int = 2
+    # -- host-authority budget weighting (≤1 = disabled): hosts in the
+    # top PageRank band of the observed cross-host link graph earn
+    # ``authority_boost``× the round budget (Crawl-delay still caps);
+    # the edge set is capped deterministically at authority_edge_cap
+    authority_boost: int = 0
+    authority_edge_cap: int = 1_000_000
+    authority_iters: int = 2
 
     # -- misc
     seed: int = 42

@@ -389,7 +389,8 @@ def _group_to_arrow(df, schema: pa.Schema) -> pa.Table:
 
 def make_host_processor(shards, robots_factory, budget: int,
                         round_seconds: float = 0.0,
-                        open_hosts: frozenset | None = None):
+                        open_hosts: frozenset | None = None,
+                        host_boosts: dict | None = None):
     """The fused per-host round step (ONE groupby instead of three):
     intra-round dedup (same seen_key ⟹ same host, so host groups see
     all duplicates) → URL-seen contains-filter → robots allow →
@@ -422,7 +423,8 @@ def make_host_processor(shards, robots_factory, budget: int,
         df = df[keep]
         if df.empty:
             return empty
-        host_budget = effective_budget(budget, round_seconds,
+        boost = host_boosts.get(df["host"].iloc[0], 1) if host_boosts else 1
+        host_budget = effective_budget(budget * boost, round_seconds,
                                        host_rules.crawl_delay)
         return _group_to_arrow(schedule_group(df, host_budget),
                                _SCHEDULE_PA_SCHEMA)
@@ -478,17 +480,20 @@ def make_salted_preprocessor(shards, robots_factory, budget: int,
 
 
 def make_host_finalizer(budget: int, robots_factory=None,
-                        round_seconds: float = 0.0):
+                        round_seconds: float = 0.0,
+                        host_boosts: dict | None = None):
     """Stage 2: schedule the per-host contender union (plain
     ``schedule_group`` — seen/robots already applied in stage 1; the
-    stage-1 contender cut uses the GLOBAL budget, which is ≥ every
-    host's ``Crawl-delay``-capped budget, so the union still contains
-    the final schedule)."""
+    stage-1 contender cut uses the GLOBAL budget × the max authority
+    boost, which is ≥ every host's boosted, ``Crawl-delay``-capped
+    budget, so the union still contains the final schedule)."""
     def process(df):
-        host_budget = budget
+        boost = host_boosts.get(df["host"].iloc[0], 1) if (
+            host_boosts and not df.empty) else 1
+        host_budget = budget * boost
         if robots_factory is not None and not df.empty:
             rules = _robots_rules(robots_factory, df["host"].iloc[0])
-            host_budget = effective_budget(budget, round_seconds,
+            host_budget = effective_budget(budget * boost, round_seconds,
                                            rules.crawl_delay)
         return _group_to_arrow(schedule_group(df, host_budget),
                                _SCHEDULE_PA_SCHEMA)
@@ -678,6 +683,44 @@ def _update_breaker(breaker: dict, docs_dir: str, round_no: int,
             breaker.pop(r.host, None)
 
 
+def _update_authority_edges(host_edges: set, docs_dir: str, cfg) -> set:
+    """Fold this round's fetched pages into the cross-host link graph.
+    Per-batch distinct (src, dst) pairs collapse each block, then one
+    keyed distinct bounds what reaches the driver to O(host pairs) —
+    capped deterministically at ``authority_edge_cap`` (the same
+    ``merge_edges`` rule the oracle applies)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..state.authority import extract_host_edges, merge_edges
+
+    def partial(b: pa.Table) -> pa.Table:
+        pairs: set = set()
+        for h, links, status in zip(b.column("host").to_pylist(),
+                                    b.column("links").to_pylist(),
+                                    b.column("status").to_pylist()):
+            if status == 200:
+                pairs |= extract_host_edges(h, links)
+        ps = sorted(pairs)
+        return pa.table({"src": pa.array([a for a, _ in ps], pa.string()),
+                         "dst": pa.array([d for _, d in ps], pa.string())})
+
+    df = (rd.read_parquet(docs_dir, columns=["host", "links", "status"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+          .to_pandas())
+    new = (set(zip(df["src"], df["dst"]))
+           if len(df) and "src" in df.columns else set())
+    return merge_edges(host_edges, new, cfg.authority_edge_cap)
+
+
+def _write_authority_state(rdir: str, host_edges: set) -> None:
+    """Checkpoint the capped host-edge set for resume (sorted: the
+    file is byte-stable for a given graph)."""
+    with open(os.path.join(rdir, "authority.json"), "w") as f:
+        json.dump(sorted(list(e) for e in host_edges), f)
+
+
 def _write_breaker_state(rdir: str, breaker: dict, round_no: int) -> None:
     """Checkpoint the breaker table (pruning entries that are fully
     expired AND streak-free — all-ok hosts never accumulate)."""
@@ -738,6 +781,17 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             with open(bpath) as f:
                 breaker = json.load(f)
 
+    # host-authority budget weighting: the capped cross-host edge set
+    # lives on the driver (O(host pairs), checkpointed per round) and
+    # only the boosted-host multiplier dict ships into the schedulers
+    host_edges: set = set()
+    if resume and start_round > 0 and cfg.authority_boost > 1:
+        apath = os.path.join(_round_dir(out_dir, start_round - 1),
+                             "authority.json")
+        if os.path.exists(apath):
+            with open(apath) as f:
+                host_edges = {tuple(e) for e in json.load(f)}
+
     import time as _time
 
     t_disc = _time.time()
@@ -783,14 +837,26 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
         # synchronous probe fan-outs from inside the group fns)
         open_hosts = frozenset(
             h for h, (streak, ou) in breaker.items() if ou > round_no)
+        host_boosts: dict = {}
+        if cfg.authority_boost > 1 and host_edges:
+            from ..state.authority import (authority_multipliers,
+                                           local_pagerank_hosts)
+            host_boosts = authority_multipliers(
+                local_pagerank_hosts(host_edges, cfg.authority_iters),
+                cfg.authority_boost)
         unseen = frontier.map_batches(
             SeenProbe(shards, mode="filter_unseen"), batch_format="pyarrow")
         if cfg.schedule_salts > 1:
+            # stage-1 contender cut: global budget × MAX boost — a
+            # superset of every host's boosted final budget, so the
+            # per-host boost dict only needs to reach stage 2
+            cut_budget = budget * (max(host_boosts.values())
+                                   if host_boosts else 1)
             pre = unseen.map_batches(
                 add_salt_batch, batch_format="pyarrow",
                 fn_kwargs=dict(n_salts=cfg.schedule_salts)
             ).groupby(["host", "salt"]).map_groups(
-                make_salted_preprocessor(None, robots_factory, budget,
+                make_salted_preprocessor(None, robots_factory, cut_budget,
                                          open_hosts=open_hosts),
                 batch_format="pandas")
             pre = pre.materialize()  # branched by two filters below —
@@ -800,7 +866,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 _mark_deferred_batch, batch_format="pyarrow")
             final = contenders.groupby("host").map_groups(
                 make_host_finalizer(budget, robots_factory,
-                                    cfg.round_seconds),
+                                    cfg.round_seconds,
+                                    host_boosts=host_boosts),
                 batch_format="pandas")
             schedule = (final.map_batches(conform_schedule_batch,
                                           batch_format="pyarrow")
@@ -809,7 +876,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             schedule = unseen.groupby("host").map_groups(
                 make_host_processor(None, robots_factory, budget,
                                     cfg.round_seconds,
-                                    open_hosts=open_hosts),
+                                    open_hosts=open_hosts,
+                                    host_boosts=host_boosts),
                 batch_format="pandas"
             ).map_batches(conform_schedule_batch, batch_format="pyarrow"
                           ).materialize()
@@ -899,6 +967,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             _join_ckpt()
             if cfg.breaker_threshold > 0:
                 _write_breaker_state(rdir, breaker, round_no)
+            if cfg.authority_boost > 1:
+                _write_authority_state(rdir, host_edges)
             entry = {"round": round_no, "scheduled": 0, "fetched": 0,
                      "failed": 0, "deferred": n_deferred}
             result.manifest.append(entry)
@@ -995,12 +1065,16 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
 
         if cfg.breaker_threshold > 0:
             _update_breaker(breaker, docs_dir, round_no, cfg)
+        if cfg.authority_boost > 1:
+            host_edges = _update_authority_edges(host_edges, docs_dir, cfg)
 
         t0 = _time.time()
         _join_ckpt()  # all checkpoint writes durable before the manifest
         timings["checkpoint_wait"] = round(_time.time() - t0, 2)
         if cfg.breaker_threshold > 0:
             _write_breaker_state(rdir, breaker, round_no)
+        if cfg.authority_boost > 1:
+            _write_authority_state(rdir, host_edges)
         entry = {
             "round": round_no, "scheduled": total, "fetched": ok,
             "failed": total - ok,

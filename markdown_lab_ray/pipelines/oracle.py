@@ -14,6 +14,8 @@ import pandas as pd
 
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links
+from ..state.authority import (authority_multipliers, extract_host_edges,
+                               local_pagerank_hosts, merge_edges)
 from ..state.politeness import (breaker_update, effective_budget,
                                 round_budget, schedule_group)
 from ..state.robots import LocalRobotsCache
@@ -46,10 +48,16 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
     fetched = failed = 0
     streaks: dict[str, int] = {}      # circuit breaker: host → streak
     open_until: dict[str, int] = {}   # host → first round it may re-enter
+    host_edges: set = set()           # authority: observed cross-host links
 
     for round_no in range(cfg.max_rounds):
         if not candidates:
             break
+        boosts: dict = {}
+        if cfg.authority_boost > 1 and host_edges:
+            boosts = authority_multipliers(
+                local_pagerank_hosts(host_edges, cfg.authority_iters),
+                cfg.authority_boost)
         # breaker-open hosts sit the round out: their candidate rows
         # are carried forward untouched (deferred, never dropped)
         open_hosts = {h for h, r in open_until.items() if r > round_no}
@@ -66,7 +74,7 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
             frame = pd.DataFrame(rows)
             for host in sorted(frame["host"].unique()):
                 host_budget = effective_budget(
-                    budget, cfg.round_seconds,
+                    budget * boosts.get(host, 1), cfg.round_seconds,
                     robots.rules_for(host).crawl_delay)
                 group = schedule_group(frame[frame["host"] == host],
                                        host_budget)
@@ -93,9 +101,15 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
             if status == 200 and isinstance(body, str):
                 fetched += 1
                 stat[0] += 1
+                links = extract_links(body, row["loc"])
+                if cfg.authority_boost > 1:
+                    host_edges = merge_edges(
+                        host_edges,
+                        extract_host_edges(row["host"], links),
+                        cfg.authority_edge_cap)
                 if row["depth"] < cfg.max_depth:
                     candidates.extend(links_to_frontier_rows(
-                        row["depth"], extract_links(body, row["loc"])))
+                        row["depth"], links))
             else:
                 failed += 1
                 stat[1] += 1
