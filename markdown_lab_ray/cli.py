@@ -108,7 +108,8 @@ def cmd_crawl(args) -> int:
     cli_defaults = dict(requests_per_second=1.0, max_rounds=5, max_depth=2)
     flag_overrides = {k: v for k, v in dict(
         requests_per_second=args.rps, max_rounds=args.max_rounds,
-        max_depth=args.max_depth).items() if v is not None}
+        max_depth=args.max_depth,
+        authority_boost=args.authority_boost).items() if v is not None}
     if args.config:
         cfg = EngineConfig.from_file(args.config)
         layered = {**EngineConfig.env_overrides(), **flag_overrides}
@@ -359,6 +360,9 @@ def main(argv=None) -> int:
     p.add_argument("--rps", type=float)
     p.add_argument("--max-rounds", type=int)
     p.add_argument("--max-depth", type=int)
+    p.add_argument("--authority-boost", type=int,
+                   help="top-PageRank-band hosts earn this budget "
+                        "multiplier (host-authority frontier weighting)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_crawl)

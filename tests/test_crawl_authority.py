@@ -106,3 +106,22 @@ def test_ray_authority_resume(ray_session, tmp_path):
     resumed = read_crawl_order(part_dir)
     pd.testing.assert_frame_equal(full.reset_index(drop=True),
                                   resumed.reset_index(drop=True))
+
+
+def test_crawl_cli_authority_flag(ray_session, tmp_path):
+    """--authority-boost reaches EngineConfig and the run produces the
+    same order the oracle does under the same config."""
+    from markdown_lab_ray.cli import main
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order
+
+    out = str(tmp_path / "cli_crawl")
+    code = main(["crawl", "--out", out, "--hosts", "4", "--pages", "8",
+                 "--rps", "0.05", "--max-rounds", "3", "--max-depth", "2",
+                 "--authority-boost", "2"])
+    assert code == 0
+    spec = SiteSpec(n_hosts=4, pages_per_host=8)
+    cfg = EngineConfig(requests_per_second=0.05, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, authority_boost=2)
+    oracle = run_crawl_oracle(SyntheticWeb(spec).resolve,
+                              spec.seed_urls(), cfg)
+    assert read_crawl_order(out)["loc"].tolist() == oracle["order"]
