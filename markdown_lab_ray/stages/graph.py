@@ -284,7 +284,8 @@ def _merge_on_node(edges_ds, deg_ds, node_col: str, out_col: str,
     return tagged.groupby("_b").map_groups(merge, batch_format="pandas")
 
 
-def triangle_count(edges_ds, n_buckets: int = 64) -> int:
+def triangle_count(edges_ds, n_buckets: int = 64,
+                   small_cutoff: int = 2_000_000) -> int:
     """Exact triangle count of an undirected graph given as distinct
     (u < v) int edges — the degree-ordered node-iterator (public:
     Schank & Wagner 2005; the MapReduce restatement is Suri &
@@ -305,6 +306,45 @@ def triangle_count(edges_ds, n_buckets: int = 64) -> int:
     from .bucketing import key_buckets
 
     edges_ds = edges_ds.materialize()  # reused three times below
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        # same numpy orient/wedge/close as clustering_coefficient's
+        # fast path, summed to the scalar (per-group-overhead rule)
+        def local_tri(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([u, v]))
+            n = len(nodes_arr)
+            ui = np.searchsorted(nodes_arr, u)
+            vi = np.searchsorted(nodes_arr, v)
+            deg = (np.bincount(ui, minlength=n)
+                   + np.bincount(vi, minlength=n)).astype(np.int64)
+            u_first = (deg[ui] < deg[vi]) | ((deg[ui] == deg[vi])
+                                             & (ui < vi))
+            src = np.where(u_first, ui, vi)
+            dst = np.where(u_first, vi, ui)
+            ekeys = np.sort(src.astype(np.int64) * n + dst)
+            order = np.lexsort((dst, deg[dst], src))
+            s_s, d_s = src[order], dst[order]
+            total = 0
+            starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+            ends = np.r_[starts[1:], len(s_s)]
+            for a, b in zip(starts, ends):
+                m = b - a
+                if m < 2:
+                    continue
+                nb = d_s[a:b]
+                i, j = np.triu_indices(m, 1)
+                wk = nb[i].astype(np.int64) * n + nb[j]
+                pos = np.searchsorted(ekeys, wk).clip(
+                    max=len(ekeys) - 1)
+                total += int((ekeys[pos] == wk).sum())
+            return pa.table({"n": pa.array([total], pa.int64())})
+
+        out = (edges_ds.repartition(1)
+               .map_batches(local_tri, batch_format="pyarrow",
+                            batch_size=small_cutoff + 1).to_pandas())
+        return int(out["n"].sum())
 
     def explode_partial(b: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([b.column("u").combine_chunks(),
@@ -444,7 +484,8 @@ def cooccurrence_counts(ds, group_col: str, item_col: str,
     return by_u.groupby("_b").map_groups(support, batch_format="pandas")
 
 
-def bfs_hops(edges_ds, seeds, max_hops: int = 3, n_buckets: int = 32):
+def bfs_hops(edges_ds, seeds, max_hops: int = 3, n_buckets: int = 32,
+             small_cutoff: int = 2_000_000):
     """Minimum hop distance (≤ ``max_hops``) from a seed set over a
     DIRECTED int64 (src, dst) edge list — breadth-first frontier
     expansion, the Pregel shape shared with ``pagerank_integer``.
@@ -457,6 +498,10 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3, n_buckets: int = 32):
     minimum), so no separate anti-join is needed; already-settled
     nodes just re-emit their old distance.  Output: (node, hops),
     hops int64, exactly the recursive-CTE twin's MIN(hops).
+
+    Small-graph fast path (the per-group-overhead rule): under
+    ``small_cutoff`` edges the whole BFS is numpy frontier expansion
+    in ONE task — identical hop distances (BFS is deterministic).
     """
     import pandas as pd
 
@@ -471,6 +516,35 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3, n_buckets: int = 32):
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
 
     edges_ds = edges_ds.materialize()
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        seed_arr = np.array(sorted(set(seeds)), dtype=np.int64)
+
+        def local_bfs(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            nodes_arr = np.unique(np.concatenate([src, dst, seed_arr]))
+            n = len(nodes_arr)
+            si = np.searchsorted(nodes_arr, src)
+            di = np.searchsorted(nodes_arr, dst)
+            hops = np.full(n, -1, np.int64)
+            hops[np.searchsorted(nodes_arr, seed_arr)] = 0
+            frontier = hops == 0
+            for h in range(1, max_hops + 1):
+                reach = np.zeros(n, dtype=bool)
+                reach[di[frontier[si]]] = True
+                frontier = reach & (hops < 0)
+                if not frontier.any():
+                    break
+                hops[frontier] = h
+            keep = hops >= 0
+            return pa.table({
+                "node": pa.array(nodes_arr[keep], pa.int64()),
+                "hops": pa.array(hops[keep], pa.int64())})
+
+        return edges_ds.repartition(1).map_batches(
+            local_bfs, batch_format="pyarrow",
+            batch_size=small_cutoff + 1)
 
     settled = rd.from_arrow(pa.table({
         "node": pa.array(sorted(set(seeds)), pa.int64()),

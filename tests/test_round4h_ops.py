@@ -475,3 +475,36 @@ def test_zipf_slope_exact_power_law(ray_session):
     assert int(got["n_terms"].iloc[0]) == 20
     # integer floor(1/r) distorts slightly; still ~-1
     assert -1_050_000 < int(got["zipf_slope_micro"].iloc[0]) < -950_000
+
+
+# ---------------------------------------------------------------------------
+# small-graph fast paths: triangle_count / bfs_hops path equality
+# ---------------------------------------------------------------------------
+
+def test_triangle_count_fast_path_equals_distributed(ray_session):
+    from markdown_lab_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(23)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 50, size=(400, 2)) if a < b})
+    ds = _uv_ds(edges)
+    fast = triangle_count(ds)
+    dist = triangle_count(_uv_ds(edges), small_cutoff=0, n_buckets=8)
+    assert fast == dist
+
+
+def test_bfs_fast_path_equals_distributed(ray_session):
+    from markdown_lab_ray.stages.graph import bfs_hops
+
+    rng = np.random.RandomState(29)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 60, size=(300, 2)) if a != b})
+    ds = _edges_ds(edges)
+    seeds = [0, 7, 999]  # 999 not in the graph: still settled at hop 0
+    fast = (bfs_hops(ds, seeds, max_hops=3)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    dist = (bfs_hops(_edges_ds(edges), seeds, max_hops=3,
+                     small_cutoff=0, n_buckets=4)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert fast.equals(dist)
+    assert (fast.set_index("node").loc[999, "hops"]) == 0
