@@ -609,6 +609,33 @@ def pmi_collocations(ds, min_count: int = 5, text_col: str = "text",
     counts = tagged.groupby("_b").map_groups(
         fold, batch_format="pandas").materialize()
 
+    # small-vocab fast path (per-group-overhead rule): the exact
+    # global (w1, w2, c) aggregate already exists — when it is modest,
+    # the totals + two count merges + PMI all run in ONE task with
+    # local pandas merges (same expression tree, same float order)
+    if 0 < counts.count() <= 5_000_000:
+        def local_pmi(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = (df.groupby(["w1", "w2"], sort=False)["_c"].sum()
+                  .astype("int64").reset_index())
+            uni = df[df["w2"] == ""][["w1", "_c"]]
+            nu_l = float(uni["_c"].sum())
+            nb_l = float(df.loc[df["w2"] != "", "_c"].sum())
+            big = df[(df["w2"] != "") & (df["_c"] >= min_count)]
+            m = big.merge(uni.rename(columns={"_c": "_cx"}), on="w1")
+            m = m.merge(uni.rename(columns={"w1": "w2", "_c": "_cy"}),
+                        on="w2")
+            c = m["_c"].to_numpy(dtype=np.float64)
+            cx = m["_cx"].to_numpy(dtype=np.float64)
+            cy = m["_cy"].to_numpy(dtype=np.float64)
+            pmi = np.log((c * nu_l * nu_l) / (nb_l * cx * cy))
+            return pd.DataFrame({
+                "w1": m["w1"], "w2": m["w2"],
+                "n": m["_c"].astype("int64"),
+                "pmi_micro": np.floor(pmi * 1e6 + 0.5).astype(np.int64)})
+
+        return counts.repartition(1).map_batches(
+            local_pmi, batch_format="pandas", batch_size=None)
+
     # totals: O(blocks) partial rows to the driver
     totals = counts.map_batches(
         lambda df: pd.DataFrame({
