@@ -5592,6 +5592,43 @@ FROM m
 """
 
 
+def q_late_events(sf_dir: str):
+    """Watermark lateness audit under a simulated out-of-order ingest:
+    arrival order is the Knuth multiplicative scramble of event_id
+    (bijective on the 2^32 domain, so no ties), watermark = running
+    max event-time of earlier arrivals − 1 h.  Counts what a real
+    streaming engine with that allowed-lateness would have dropped."""
+    from markdown_lab_ray.stages.windows import late_event_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def scramble(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        arr = (eid * 2654435761) % (2 ** 32)
+        return b.append_column("arrival", pa.array(arr, pa.int64()))
+
+    out = late_event_stats(
+        ds.map_batches(scramble, batch_format="pyarrow"),
+        id_col="arrival", lateness_us=3_600_000_000).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_LATE_EVENTS = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY (event_id * 2654435761) % 4294967296
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN pm IS NOT NULL
+                AND tus < pm - 3600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late
+FROM w GROUP BY user_id HAVING n_late > 0 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5744,6 +5781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_screen": q_caption_screen,
         "corpus_summary": q_corpus_summary,
         "zipf_slope": q_zipf_slope,
+        "late_events": q_late_events,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5901,6 +5939,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_waste": SQL_PACKING_WASTE,
         "corpus_summary": SQL_CORPUS_SUMMARY,
         "zipf_slope": SQL_ZIPF_SLOPE,
+        "late_events": SQL_LATE_EVENTS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

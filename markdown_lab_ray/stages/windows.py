@@ -96,3 +96,54 @@ def debounce_keep_first(ds, key_col: str = "user_id", ts_col: str = "ts",
     kept = tagged.groupby("_b").map_groups(
         lambda g: first_per_cell(g)[cols], batch_format="pandas")
     return kept
+
+
+def late_event_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     lateness_us: int = 3_600_000_000,
+                     n_buckets: int = 64):
+    """Watermark lateness accounting — the streaming-ingest audit:
+    replay each key's events in ARRIVAL order (``id_col`` ascending,
+    the ingest sequence) and count events whose event-time lands
+    behind the key's watermark, ``max(ts of earlier arrivals) −
+    lateness_us``.  High late counts mean a real streaming job with
+    this allowed-lateness would have dropped data (Ray Data is batch;
+    this measures what a watermarking engine would have done).
+
+    Scale shape: lateness needs each key's full arrival sequence, so
+    it is ONE bucketed key shuffle + a vectorized in-group cummax —
+    exclusive-of-current via shift, exact integer µs compares, the
+    SQL window twin's ``MAX(ts) OVER (... ROWS ... 1 PRECEDING)``.
+    Output: (key, n_events, n_late) for keys with ≥ 1 late event.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key_col, id_col], kind="mergesort")
+        ts = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        key = g[key_col].to_numpy()
+        new_key = np.r_[True, key[1:] != key[:-1]]
+        # exclusive per-key running max: cummax within key segments,
+        # shifted one row, reset at key boundaries
+        seg = np.cumsum(new_key) - 1
+        cm = pd.Series(ts).groupby(seg).cummax().to_numpy()
+        prev = np.r_[np.iinfo(np.int64).min, cm[:-1]]
+        prev[new_key] = np.iinfo(np.int64).min
+        late = (prev != np.iinfo(np.int64).min) & (
+            ts < prev - lateness_us)
+        out = pd.DataFrame({key_col: key, "_l": late.astype(np.int64),
+                            "_n": np.int64(1)})
+        agg = (out.groupby(key_col, sort=False)
+               .agg(n_events=("_n", "sum"), n_late=("_l", "sum"))
+               .reset_index())
+        agg = agg[agg["n_late"] > 0]
+        return agg.astype({"n_events": "int64", "n_late": "int64"})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(fold, batch_format="pandas")

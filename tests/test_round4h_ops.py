@@ -542,3 +542,32 @@ def test_pmi_fast_path_equals_distributed(ray_session):
             .sort_values(["w1", "w2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         fast.astype({"n": "int64", "pmi_micro": "int64"}), want)
+
+
+def test_late_event_stats_watermark(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.windows import late_event_stats
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    hour = 3_600_000_000
+    rows = [
+        # user 1: arrival order 1..4; event 3 is 2h behind the running
+        # max (late at 1h tolerance); event 4 only 30min behind (ok)
+        (1, 1, base),
+        (2, 1, base + 3 * hour),
+        (3, 1, base + 1 * hour),            # 2h behind max → late
+        (4, 1, base + 3 * hour - hour // 2),  # within tolerance
+        # user 2: in-order, never late
+        (5, 2, base),
+        (6, 2, base + hour),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "tus"])
+    df["ts"] = pd.to_datetime(df["tus"], unit="us")
+    ds = rd.from_pandas(df[["event_id", "user_id", "ts"]])
+    got = (late_event_stats(ds, lateness_us=hour)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # only user 1 appears (user 2 has zero late events)
+    assert list(got["user_id"]) == [1]
+    assert int(got["n_events"].iloc[0]) == 4
+    assert int(got["n_late"].iloc[0]) == 1
