@@ -5629,6 +5629,50 @@ FROM w GROUP BY user_id HAVING n_late > 0 ORDER BY user_id
 """
 
 
+def q_lang_exemplars(sf_dir: str):
+    """Three deterministic exemplar docs per language (md5-of-id hash
+    rank — stable across runs, no RNG state)."""
+    from markdown_lab_ray.stages.trainprep import exemplars_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = exemplars_per_key(ds, key_col="lang", id_col="doc_id",
+                            k=3).to_pandas()
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+SQL_LANG_EXEMPLARS = """
+WITH h AS (SELECT lang, doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hh)
+                 AS rank
+      FROM h)
+SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 ORDER BY lang, rank
+"""
+
+
+def q_source_lang_fd(sf_dir: str):
+    """Functional-dependency audit: does source determine language?
+    Counts violating sources and the edit distance to a clean FD."""
+    from markdown_lab_ray.stages.trainprep import fd_violations
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return fd_violations(ds, "source", "lang").to_pandas()
+
+
+SQL_SOURCE_LANG_FD = """
+WITH d AS (SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd
+           FROM documents GROUP BY source)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(SUM(nd - 1) AS BIGINT) AS n_extra_pairs
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5782,6 +5826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary": q_corpus_summary,
         "zipf_slope": q_zipf_slope,
         "late_events": q_late_events,
+        "lang_exemplars": q_lang_exemplars,
+        "source_lang_fd": q_source_lang_fd,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5940,6 +5986,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_summary": SQL_CORPUS_SUMMARY,
         "zipf_slope": SQL_ZIPF_SLOPE,
         "late_events": SQL_LATE_EVENTS,
+        "lang_exemplars": SQL_LANG_EXEMPLARS,
+        "source_lang_fd": SQL_SOURCE_LANG_FD,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

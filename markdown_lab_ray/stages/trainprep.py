@@ -749,3 +749,93 @@ def packing_waste(ds, token_col: str = "n_tokens_ws",
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def exemplars_per_key(ds, key_col: str, id_col: str, k: int = 3,
+                      extra_cols: tuple = (), n_buckets: int = 64):
+    """Deterministic per-key exemplar sample: the ``k`` rows with the
+    smallest ``md5(str(id))`` per key — the "show me a few random
+    examples per language" panel every dataset card wants, stable
+    across runs/repartition/resume (hash rank, no RNG state).
+
+    Scale shape: per-batch top-k per key is a TRUE combiner (≤ k
+    survivors per key per block), so the single bucketed key shuffle
+    moves O(k × keys × blocks) rows; the in-bucket fold re-applies
+    the same rule.  Output: (key, id, rank, *extra_cols), rank 1..k
+    by hash order.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = [key_col, id_col, *extra_cols]
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in df[id_col]]
+        out = (df.assign(_h=h)
+               .sort_values([key_col, "_h"], kind="mergesort")
+               .groupby(key_col, sort=False).head(k))
+        return out[cols + ["_h"]]
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = topk(g)
+        g["rank"] = g.groupby(key_col, sort=False).cumcount() + 1
+        return g[cols + ["rank"]].astype({"rank": "int64"})
+
+    tagged = (ds.map_batches(topk, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+    return tagged.groupby("_b").map_groups(finish, batch_format="pandas")
+
+
+def fd_violations(ds, det_col: str, dep_col: str, n_buckets: int = 64):
+    """Functional-dependency audit ``det → dep``: per determinant
+    value, how many DISTINCT dependent values occur — a count > 1 is
+    a violation (the "does source imply language" data-quality check).
+
+    Scale shape: per-batch distinct (det, dep) pairs collapse each
+    block, one bucketed det-keyed fold counts distincts exactly, and
+    the summary is a single-row fold over O(determinants) rows.
+    Output: one row (n_keys, n_violating, n_extra_pairs) —
+    ``n_extra_pairs`` = Σ (distinct_deps − 1), the edit distance to a
+    clean FD.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df[[det_col, dep_col]].drop_duplicates()
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = (g.drop_duplicates([det_col, dep_col])
+             .groupby(det_col, sort=False)[dep_col].nunique()
+             .astype("int64"))
+        return pd.DataFrame({
+            "n_keys": [np.int64(len(d))],
+            "n_violating": [np.int64((d > 1).sum())],
+            "n_extra_pairs": [np.int64((d - 1).sum())]})
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "n_keys": pd.array([int(df["n_keys"].sum())], dtype="int64"),
+            "n_violating": pd.array([int(df["n_violating"].sum())],
+                                    dtype="int64"),
+            "n_extra_pairs": pd.array([int(df["n_extra_pairs"].sum())],
+                                      dtype="int64")})
+
+    tagged = (ds.map_batches(pairs, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[det_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+    folded = tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None)

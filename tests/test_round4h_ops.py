@@ -571,3 +571,43 @@ def test_late_event_stats_watermark(ray_session):
     assert list(got["user_id"]) == [1]
     assert int(got["n_events"].iloc[0]) == 4
     assert int(got["n_late"].iloc[0]) == 1
+
+
+def test_exemplars_per_key_deterministic_and_combinable(ray_session):
+    import hashlib
+
+    import pandas as pd
+
+    from markdown_lab_ray.stages.trainprep import exemplars_per_key
+
+    df = pd.DataFrame({"lang": ["en"] * 20 + ["de"] * 2,
+                       "doc_id": list(range(22))})
+    # run over 1 block and over many blocks: same result (combiner law)
+    a = (exemplars_per_key(rd.from_pandas(df), "lang", "doc_id", k=3)
+         .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+    b = (exemplars_per_key(
+        rd.from_pandas(df).repartition(8), "lang", "doc_id", k=3)
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # de has only 2 docs → 2 rows; en exactly 3
+    assert list(a.groupby("lang").size()) == [2, 3]
+    # hash order: rank 1 is the min-md5 doc of each lang
+    en = df[df["lang"] == "en"]["doc_id"]
+    want_first = min(en, key=lambda i: hashlib.md5(
+        str(i).encode()).hexdigest())
+    assert int(a[(a["lang"] == "en") & (a["rank"] == 1)]
+               ["doc_id"].iloc[0]) == want_first
+
+
+def test_fd_violations_counts(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.trainprep import fd_violations
+
+    df = pd.DataFrame({
+        "src": ["a", "a", "a", "b", "b", "c"],
+        "dep": ["x", "x", "y", "z", "z", "w"]})
+    got = fd_violations(rd.from_pandas(df), "src", "dep").to_pandas()
+    assert int(got["n_keys"].iloc[0]) == 3
+    assert int(got["n_violating"].iloc[0]) == 1   # only a → {x, y}
+    assert int(got["n_extra_pairs"].iloc[0]) == 1
