@@ -5673,6 +5673,73 @@ FROM d
 """
 
 
+def q_event_trigrams(sf_dir: str):
+    """Top-20 frequent 3-event sequences per user timeline."""
+    from markdown_lab_ray.stages.analytics import event_trigrams
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = event_trigrams(ds, top_k=20).to_pandas()
+    return out.sort_values(["n", "t1", "t2", "t3"],
+                           ascending=[False, True, True, True]
+                           ).reset_index(drop=True)
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+
+def q_upsert_docs(sf_dir: str):
+    """CDC MERGE: overlay a synthetic rev-2 update set (every 7th doc,
+    uppercased text) onto the documents table, latest version wins."""
+    import pyarrow.compute as _pc
+
+    from markdown_lab_ray.stages.analytics import upsert_merge
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_base(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ver", pa.array(np.ones(b.num_rows, np.int64)))
+
+    def as_update(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 7 == 0))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": _pc.utf8_upper(b.column("text")),
+            "ver": pa.array(np.full(b.num_rows, 2, np.int64))})
+
+    base = docs.map_batches(as_base, batch_format="pyarrow")
+    upd = docs.map_batches(as_update, batch_format="pyarrow")
+    out = upsert_merge(base, upd, key_col="doc_id",
+                       ver_col="ver").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_UPSERT_DOCS = """
+WITH base AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS ver,
+                     0 AS side FROM documents),
+upd AS (SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS ver,
+               1 AS side FROM documents WHERE doc_id % 7 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT doc_id, text, ver FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY ver DESC, side DESC) AS rn
+  FROM u)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5828,6 +5895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "lang_exemplars": q_lang_exemplars,
         "source_lang_fd": q_source_lang_fd,
+        "event_trigrams": q_event_trigrams,
+        "upsert_docs": q_upsert_docs,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -5988,6 +6057,8 @@ def oracle_sql() -> dict[str, str]:
         "late_events": SQL_LATE_EVENTS,
         "lang_exemplars": SQL_LANG_EXEMPLARS,
         "source_lang_fd": SQL_SOURCE_LANG_FD,
+        "event_trigrams": SQL_EVENT_TRIGRAMS,
+        "upsert_docs": SQL_UPSERT_DOCS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -2559,3 +2559,84 @@ def rfm_segments(ds, cust_col: str, date_col: str, price_col: str,
 
     return agg.repartition(1).map_batches(
         tile_all, batch_format="pandas", batch_size=None)
+
+
+def event_trigrams(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   type_col: str = "event_type", top_k: int = 20,
+                   n_buckets: int = 64):
+    """Frequent 3-event sequences (the sequence-mining step up from
+    ``event_transitions``' bigrams): per user ordered by (ts, id),
+    count global (a → b → c) adjacent triples and keep the top-k by
+    (count desc, a, b, c).
+
+    Scale shape: same one-raw-shuffle design as transitions — inside
+    a user bucket the two successors are vectorized ``shift`` calls
+    and the bucket collapses to per-triple partials, so the second
+    shuffle moves O(|alphabet|³ × buckets) int rows; the top-k cut
+    runs over that bounded aggregate.  Output: (t1, t2, t3, n).
+    """
+    from ray.data.aggregate import Sum
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(user_col, sort=False)[type_col]
+        n1 = grp.shift(-1)
+        n2 = grp.shift(-2)
+        keep = n2.notna()
+        part = (pd.DataFrame({"t1": g[type_col][keep],
+                              "t2": n1[keep], "t3": n2[keep]})
+                .groupby(["t1", "t2", "t3"], sort=False)
+                .size().rename("n").reset_index())
+        part["n"] = part["n"].astype("int64")
+        return part
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "t1", "t2", "t3"],
+                            ascending=[False, True, True, True],
+                            kind="mergesort").head(top_k)
+        return df.reset_index(drop=True).astype({"n": "int64"})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(triples, batch_format="pandas")
+    agg = part.groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("n", alias_name="n"))
+    return agg.repartition(1).map_batches(cut, batch_format="pandas",
+                                          batch_size=None)
+
+
+def upsert_merge(base_ds, updates_ds, key_col: str, ver_col: str,
+                 n_buckets: int = 64):
+    """Lakehouse-style MERGE / upsert: overlay ``updates`` onto
+    ``base``, latest ``ver_col`` wins per key (ties break to the
+    update side — the CDC apply rule).  Both inputs must share a
+    schema; the survivor row is kept whole.
+
+    Scale shape: union the two sides with a side tag, ONE bucketed
+    key shuffle, and a vectorized in-bucket keep-last under the total
+    order (key, ver, side) — base never materializes anywhere.
+    Output: merged rows, one per key.
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_side=np.int64(side))
+        return fn
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ver_col, "_side"], kind="mergesort")
+        out = g.drop_duplicates(key_col, keep="last")
+        return out.drop(columns=["_side", "_b"]).reset_index(drop=True)
+
+    union = (base_ds.map_batches(tag(0), batch_format="pandas")
+             .union(updates_ds.map_batches(tag(1), batch_format="pandas")))
+    tagged = union.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(keep_latest,
+                                           batch_format="pandas")

@@ -611,3 +611,47 @@ def test_fd_violations_counts(ray_session):
     assert int(got["n_keys"].iloc[0]) == 3
     assert int(got["n_violating"].iloc[0]) == 1   # only a → {x, y}
     assert int(got["n_extra_pairs"].iloc[0]) == 1
+
+
+def test_event_trigrams_counts(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import event_trigrams
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+            (2, 5, "a"), (2, 6, "b"), (2, 7, "c"),
+            (3, 8, "x"), (3, 9, "y")]  # user 3: too short, no triple
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type"])
+    df["ts"] = pd.to_datetime(df["event_id"], unit="s")
+    got = (event_trigrams(rd.from_pandas(df), top_k=10)
+           .to_pandas().sort_values(["n", "t1"],
+                                    ascending=[False, True])
+           .reset_index(drop=True))
+    # (a,b,c) appears twice (users 1 and 2); (b,c,a) once (user 1)
+    assert got.iloc[0][["t1", "t2", "t3"]].tolist() == ["a", "b", "c"]
+    assert int(got.iloc[0]["n"]) == 2
+    assert len(got) == 2
+
+
+def test_upsert_merge_latest_wins(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import upsert_merge
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"],
+                         "ver": [1, 1, 5]})
+    upd = pd.DataFrame({"k": [2, 3, 4], "v": ["B", "C_old", "D"],
+                        "ver": [2, 4, 1]})
+    got = (upsert_merge(rd.from_pandas(base), rd.from_pandas(upd),
+                        key_col="k", ver_col="ver")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=2: update wins (ver 2 > 1); k=3: BASE wins (ver 5 > 4);
+    # k=4: insert; k=1: untouched
+    assert list(got["k"]) == [1, 2, 3, 4]
+    assert list(got["v"]) == ["a", "B", "c", "D"]
+    # version tie breaks to the update side
+    base2 = pd.DataFrame({"k": [9], "v": ["old"], "ver": [3]})
+    upd2 = pd.DataFrame({"k": [9], "v": ["new"], "ver": [3]})
+    tie = (upsert_merge(rd.from_pandas(base2), rd.from_pandas(upd2),
+                        key_col="k", ver_col="ver").to_pandas())
+    assert list(tie["v"]) == ["new"]
