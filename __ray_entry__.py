@@ -5740,6 +5740,81 @@ WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_scd2_docs(sf_dir: str):
+    """SCD Type-2 validity intervals over the synthetic two-version
+    document history (rev 2 = every 7th doc)."""
+    from markdown_lab_ray.stages.analytics import scd2_intervals
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def as_base(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ver", pa.array(np.ones(b.num_rows, np.int64)))
+
+    def as_update(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 7 == 0))
+        return b.append_column(
+            "ver", pa.array(np.full(b.num_rows, 2, np.int64)))
+
+    versions = (docs.map_batches(as_base, batch_format="pyarrow")
+                .union(docs.map_batches(as_update,
+                                        batch_format="pyarrow")))
+    out = scd2_intervals(versions, key_col="doc_id",
+                         ver_col="ver").to_pandas()
+    return out.sort_values(["doc_id", "ver"]).reset_index(drop=True)
+
+
+SQL_SCD2_DOCS = """
+WITH base AS (SELECT doc_id, CAST(1 AS BIGINT) AS ver FROM documents),
+upd AS (SELECT doc_id, CAST(2 AS BIGINT) AS ver FROM documents
+        WHERE doc_id % 7 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT doc_id, ver, CAST(ver AS BIGINT) AS valid_from,
+       CAST(COALESCE(LEAD(ver) OVER (PARTITION BY doc_id ORDER BY ver),
+                     0) AS BIGINT) AS valid_to
+FROM u ORDER BY doc_id, ver
+"""
+
+
+def q_mixture_ess(sf_dir: str):
+    """Kish effective sample size of the sqrt-temperature language
+    mixture — how many unweighted docs the weighting is worth."""
+    from markdown_lab_ray.stages.analytics import effective_sample_size
+    from markdown_lab_ray.stages.trainprep import lang_temperature_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    w = lang_temperature_weights(docs).to_pandas()  # O(|langs|) rows
+    wmap = dict(zip(w["lang"], w["weight_micro"].astype(np.int64)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        return pa.table({"wm": pa.array(
+            [int(wmap[lang]) for lang in langs], pa.int64())})
+
+    return effective_sample_size(
+        docs.map_batches(attach, batch_format="pyarrow"),
+        weight_col="wm").to_pandas()
+
+
+SQL_MIXTURE_ESS = """
+WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+             FROM documents GROUP BY lang),
+tot AS (SELECT SUM(sqrt(n)) AS t FROM cnt),
+w AS (SELECT lang, CAST(floor(1e6 * (sqrt(n) / t) + 0.5) AS BIGINT)
+             AS wm FROM cnt, tot),
+rw AS (SELECT wm FROM documents JOIN w USING (lang)),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(wm) AS HUGEINT) AS sw,
+             CAST(SUM(wm * wm) AS HUGEINT) AS sw2 FROM rw)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN sw2 = 0 THEN 0
+            ELSE floor(1e6 * ((sw * sw) / sw2) + 0.5)
+            END AS BIGINT) AS ess_micro
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5897,6 +5972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_fd": q_source_lang_fd,
         "event_trigrams": q_event_trigrams,
         "upsert_docs": q_upsert_docs,
+        "scd2_docs": q_scd2_docs,
+        "mixture_ess": q_mixture_ess,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6059,6 +6136,8 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_fd": SQL_SOURCE_LANG_FD,
         "event_trigrams": SQL_EVENT_TRIGRAMS,
         "upsert_docs": SQL_UPSERT_DOCS,
+        "scd2_docs": SQL_SCD2_DOCS,
+        "mixture_ess": SQL_MIXTURE_ESS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -2640,3 +2640,67 @@ def upsert_merge(base_ds, updates_ds, key_col: str, ver_col: str,
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(keep_latest,
                                            batch_format="pandas")
+
+
+def scd2_intervals(ds, key_col: str, ver_col: str,
+                   open_sentinel: int = 0, n_buckets: int = 64):
+    """Slowly-changing-dimension Type-2 history build: given versioned
+    rows per key, emit each version's validity interval —
+    ``valid_from = ver``, ``valid_to = next higher ver`` (or
+    ``open_sentinel`` for the current row).  The warehouse pattern
+    that turns CDC streams into as-of-queryable history.
+
+    Scale shape: ONE bucketed key shuffle, vectorized per-key sort +
+    shift inside the bucket.  Duplicate (key, ver) rows are an input
+    error and collapse keep-first deterministically.  Output: input
+    columns + (valid_from, valid_to) int64.
+    """
+    import pandas as pd
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, ver_col], kind="mergesort")
+             .drop_duplicates([key_col, ver_col], keep="first"))
+        nxt = g.groupby(key_col, sort=False)[ver_col].shift(-1)
+        g = g.assign(
+            valid_from=g[ver_col].astype("int64"),
+            valid_to=nxt.fillna(open_sentinel).astype("int64"))
+        return g.drop(columns=["_b"]).reset_index(drop=True)
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+
+
+def effective_sample_size(ds, weight_col: str):
+    """Kish effective sample size of a weighted mixture,
+    ``ESS = (Σw)² / Σw²`` — how many "real" samples a weighting
+    scheme is worth (severe upweighting collapses ESS long before it
+    shows in loss curves).  Weights are integer micro-units (the
+    ``lang_temperature_weights`` contract); the two moments stay
+    exact int64 through a per-batch combiner and one single-row fold;
+    only the final division is float, same expression tree as SQL.
+    Output: one row (n_rows, ess_micro) — ESS in micro-rows.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"n": [np.int64(len(w))],
+                             "sw": [np.int64(w.sum())],
+                             "sw2": [np.int64((w * w).sum())]})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sw = int(df["sw"].sum())
+        sw2 = int(df["sw2"].sum())
+        ess = 0 if sw2 == 0 else int(
+            np.floor(1e6 * (float(sw * sw) / float(sw2)) + 0.5))
+        return pd.DataFrame({"n_rows": pd.array([n], dtype="int64"),
+                             "ess_micro": pd.array([ess],
+                                                   dtype="int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

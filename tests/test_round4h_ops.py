@@ -655,3 +655,36 @@ def test_upsert_merge_latest_wins(ray_session):
     tie = (upsert_merge(rd.from_pandas(base2), rd.from_pandas(upd2),
                         key_col="k", ver_col="ver").to_pandas())
     assert list(tie["v"]) == ["new"]
+
+
+def test_scd2_intervals_shapes(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import scd2_intervals
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "ver": [3, 1, 7, 5]})
+    got = (scd2_intervals(rd.from_pandas(df), key_col="k",
+                          ver_col="ver")
+           .to_pandas().sort_values(["k", "ver"]).reset_index(drop=True))
+    assert got[["k", "ver", "valid_from", "valid_to"]].values.tolist() \
+        == [[1, 1, 1, 3], [1, 3, 3, 7], [1, 7, 7, 0], [2, 5, 5, 0]]
+    # duplicate (key, ver) rows collapse deterministically
+    dup = pd.DataFrame({"k": [9, 9], "ver": [2, 2]})
+    got2 = scd2_intervals(rd.from_pandas(dup), key_col="k",
+                          ver_col="ver").to_pandas()
+    assert len(got2) == 1 and int(got2["valid_to"].iloc[0]) == 0
+
+
+def test_effective_sample_size_kish(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import effective_sample_size
+
+    # equal weights → ESS == n exactly (in micro-rows)
+    eq = pd.DataFrame({"w": [500] * 40})
+    got = effective_sample_size(rd.from_pandas(eq), "w").to_pandas()
+    assert int(got["ess_micro"].iloc[0]) == 40 * 1_000_000
+    # one dominant weight → ESS collapses toward 1
+    skew = pd.DataFrame({"w": [1_000_000] + [1] * 99})
+    got2 = effective_sample_size(rd.from_pandas(skew), "w").to_pandas()
+    assert int(got2["ess_micro"].iloc[0]) < 2_000_000
