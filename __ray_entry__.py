@@ -5815,6 +5815,66 @@ FROM m
 """
 
 
+def q_weighted_pagerank(sf_dir: str):
+    """Weighted integer PageRank over the part co-occurrence graph —
+    rank flows proportionally to how many orders a pair shares."""
+    from markdown_lab_ray.stages.graph import (
+        cooccurrence_counts,
+        weighted_pagerank_integer,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_counts(li, "l_orderkey", "l_partkey",
+                                min_support=1)
+
+    def both_ways(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        w = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]).astype(np.int64),
+                          pa.int64())})
+
+    edges = pairs.map_batches(both_ways, batch_format="pyarrow")
+    out = weighted_pagerank_integer(edges, n_iter=3,
+                                    scale=10 ** 6).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_WPR_ITER = """
+r{t} AS (SELECT n.node,
+                150000 + COALESCE(SUM((r.rank*85*e.w)//(100*o.d)), 0)
+                    AS rank
+         FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         LEFT JOIN r{p} r ON r.node = e.src
+         LEFT JOIN wsum o ON o.src = e.src
+         GROUP BY n.node)"""
+
+SQL_WEIGHTED_PAGERANK = ("""
+WITH pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM pairs
+  UNION ALL SELECT v, u, w FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+wsum AS (SELECT src, SUM(w) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+                         + ",".join(_WPR_ITER.format(t=t, p=t - 1)
+                                    for t in (1, 2, 3))
+                         + """
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+FROM r3 ORDER BY node
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5974,6 +6034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_docs": q_upsert_docs,
         "scd2_docs": q_scd2_docs,
         "mixture_ess": q_mixture_ess,
+        "weighted_pagerank": q_weighted_pagerank,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6138,6 +6199,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_docs": SQL_UPSERT_DOCS,
         "scd2_docs": SQL_SCD2_DOCS,
         "mixture_ess": SQL_MIXTURE_ESS,
+        "weighted_pagerank": SQL_WEIGHTED_PAGERANK,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -1205,3 +1205,114 @@ def degree_assortativity(edges_ds, n_buckets: int = 64,
     partials = with_both.map_batches(moments, batch_format="pandas")
     return partials.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
+                              scale: int = 10 ** 6,
+                              damping_pct: int = 85,
+                              n_buckets: int = 32,
+                              small_cutoff: int = 2_000_000):
+    """Integer PageRank over a WEIGHTED directed edge list
+    (src, dst, w int64): each iteration distributes a node's damped
+    rank proportionally to edge weight —
+    ``contrib = (rank · damping · w) // (100 · wsum(src))`` — the
+    natural rank for co-occurrence / click-count graphs where edge
+    multiplicity matters (same exact-integer oracle trick as
+    ``pagerank_integer``; same dangling-mass simplification).
+
+    int64 bound: ``n_nodes · scale · 100 · max_w < 2^63`` (the
+    contribution multiply) — enforced like the unweighted op.
+    Small-graph fast path under ``small_cutoff`` edges; scale path is
+    the same 2-shuffles-per-iteration Pregel loop with the weight sum
+    joined once up front.  Output: (node, rank int64).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    base = (scale * (100 - damping_pct)) // 100
+    edges_ds = edges_ds.materialize()
+
+    def _check_bound(n_nodes: int, max_w: int) -> None:
+        if n_nodes * scale * 100 * max(max_w, 1) >= 2 ** 63:
+            max_scale = (2 ** 63) // (100 * max(n_nodes, 1)
+                                      * max(max_w, 1))
+            raise ValueError(
+                f"weighted_pagerank_integer overflow risk: {n_nodes} "
+                f"nodes, max weight {max_w}, scale={scale}; pass "
+                f"scale <= {max_scale}")
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        # bound check on the DRIVER (same ValueError contract as the
+        # loop path — a RayTaskError wrapper would break callers)
+        _check_bound(distinct_nodes(edges_ds).count(),
+                     int(edges_ds.max("w")))
+
+        def local_wpr(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("w").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nodes_arr = np.unique(np.concatenate([src, dst]))
+            n = len(nodes_arr)
+            si = np.searchsorted(nodes_arr, src)
+            di = np.searchsorted(nodes_arr, dst)
+            wsum = np.zeros(n, np.int64)
+            np.add.at(wsum, si, w)
+            rank = np.full(n, scale, np.int64)
+            for _ in range(n_iter):
+                contrib = (rank[si] * damping_pct * w) // (100 * wsum[si])
+                inc = np.zeros(n, np.int64)
+                np.add.at(inc, di, contrib)
+                rank = base + inc
+            return pa.table({"node": pa.array(nodes_arr),
+                             "rank": pa.array(rank, pa.int64())})
+
+        return (edges_ds.repartition(1)
+                .map_batches(local_wpr, batch_format="pyarrow",
+                             batch_size=None).materialize())
+
+    wsum = edges_ds.groupby("src").aggregate(Sum("w", alias_name="wsum"))
+    edges_deg = bucketed_hash_join(
+        edges_ds, wsum, key="src",
+        n_buckets=n_buckets).repartition(n_buckets).materialize()
+
+    nodes = distinct_nodes(edges_ds).repartition(n_buckets).materialize()
+    max_w = int(edges_ds.max("w"))
+    _check_bound(nodes.count(), max_w)
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, scale, np.int64))),
+        batch_format="pyarrow").materialize()
+    node_zeros = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "contrib": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    def contrib(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        d = b.column("wsum").to_numpy(zero_copy_only=False)
+        c = (r * damping_pct * w) // (100 * d)
+        return pa.table({"node": b.column("dst"),
+                         "contrib": pa.array(c, pa.int64())})
+
+    for _ in range(n_iter):
+        joined = bucketed_hash_join(
+            edges_deg, _rename(ranks, {"node": "src"}), key="src",
+            n_buckets=n_buckets)
+        contribs = joined.map_batches(contrib, batch_format="pyarrow")
+        summed = (contribs.union(node_zeros)
+                  .groupby("node")
+                  .aggregate(Sum("contrib", alias_name="inc")))
+        ranks = summed.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "rank": pa.array(
+                    base + b.column("inc").to_numpy(
+                        zero_copy_only=False).astype(np.int64),
+                    pa.int64())}),
+            batch_format="pyarrow").repartition(n_buckets).materialize()
+    return ranks

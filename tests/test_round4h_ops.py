@@ -688,3 +688,64 @@ def test_effective_sample_size_kish(ray_session):
     skew = pd.DataFrame({"w": [1_000_000] + [1] * 99})
     got2 = effective_sample_size(rd.from_pandas(skew), "w").to_pandas()
     assert int(got2["ess_micro"].iloc[0]) < 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# weighted_pagerank_integer
+# ---------------------------------------------------------------------------
+
+def _wedges_ds(edges):
+    return rd.from_arrow(pa.table({
+        "src": pa.array([u for u, _, _ in edges], pa.int64()),
+        "dst": pa.array([v for _, v, _ in edges], pa.int64()),
+        "w": pa.array([w for _, _, w in edges], pa.int64())}))
+
+
+def _naive_wpr(edges, n_iter, scale, damp=85):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    wsum = {n: 0 for n in nodes}
+    for u, _, w in edges:
+        wsum[u] += w
+    base = (scale * (100 - damp)) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        inc = {n: 0 for n in nodes}
+        for u, v, w in edges:
+            inc[v] += (rank[u] * damp * w) // (100 * wsum[u])
+        rank = {n: base + inc[n] for n in nodes}
+    return rank
+
+
+_W_EDGES = [(0, 1, 5), (0, 2, 1), (1, 2, 3), (2, 0, 2), (3, 2, 10)]
+
+
+def test_weighted_pagerank_matches_naive_both_paths(ray_session):
+    from markdown_lab_ray.stages.graph import weighted_pagerank_integer
+
+    want = _naive_wpr(_W_EDGES, 3, 10 ** 6)
+    for cutoff in (2_000_000, 0):
+        got = (weighted_pagerank_integer(
+            _wedges_ds(_W_EDGES), n_iter=3, scale=10 ** 6,
+            small_cutoff=cutoff, n_buckets=4)
+            .to_pandas().set_index("node")["rank"].to_dict())
+        assert {int(k): int(v) for k, v in got.items()} == want, cutoff
+
+
+def test_weighted_pagerank_weight_matters(ray_session):
+    from markdown_lab_ray.stages.graph import weighted_pagerank_integer
+
+    # same topology, uniform weights vs skewed: ranks must differ
+    uni = [(u, v, 1) for u, v, _ in _W_EDGES]
+    r_uni = (weighted_pagerank_integer(_wedges_ds(uni), n_iter=2,
+                                       scale=10 ** 6).to_pandas())
+    r_sk = (weighted_pagerank_integer(_wedges_ds(_W_EDGES), n_iter=2,
+                                      scale=10 ** 6).to_pandas())
+    assert not r_uni.equals(r_sk)
+
+
+def test_weighted_pagerank_overflow_guard(ray_session):
+    from markdown_lab_ray.stages.graph import weighted_pagerank_integer
+
+    with pytest.raises(ValueError, match="overflow"):
+        weighted_pagerank_integer(_wedges_ds(_W_EDGES),
+                                  scale=2 ** 60)
