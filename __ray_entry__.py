@@ -2109,6 +2109,25 @@ def q_crawl_authority_order(sf_dir: str):
     return order[["round", "host", "fetch_order", "loc"]]
 
 
+def q_crawl_health(sf_dir: str):
+    """Per-host crawl health panel (sf-independent): fetched / failed /
+    deferred / rounds-active per host from the round checkpoints of a
+    small synthetic crawl."""
+    import tempfile
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import crawl_health, run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=6, pages_per_host=12, n_images=40)
+    cfg = EngineConfig(requests_per_second=0.1, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, seen_shards=4,
+                       fetch_concurrency=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        return crawl_health(tmp)
+
+
 def q_images_validate(sf_dir: str):
     """Image decode + PSNR/caption invariants over the synthetic
     image+caption table (input_hint schema)."""
@@ -5875,6 +5894,33 @@ FROM r3 ORDER BY node
 """)
 
 
+def q_decayed_spend(sf_dir: str):
+    """Per-customer recency-decayed spend (1-day half life, exact
+    power-of-two integer decay)."""
+    from markdown_lab_ray.stages.analytics import decayed_spend
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = decayed_spend(ds, "o_custkey", "o_orderdate",
+                        "o_totalprice").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_DECAYED_SPEND = """
+WITH d AS (SELECT o_custkey,
+                  CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                      AS day,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS cents
+           FROM orders),
+mx AS (SELECT MAX(day) AS mxd FROM d)
+SELECT o_custkey,
+       CAST(SUM(cents // CAST(pow(2, LEAST(mxd - day, 62)) AS BIGINT))
+            AS BIGINT) AS decayed_cents
+FROM d, mx GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6035,6 +6081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_docs": q_scd2_docs,
         "mixture_ess": q_mixture_ess,
         "weighted_pagerank": q_weighted_pagerank,
+        "decayed_spend": q_decayed_spend,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6064,6 +6111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_chunks": q_char_chunks,
         "crawl_order": q_crawl_order,
         "crawl_authority_order": q_crawl_authority_order,
+        "crawl_health": q_crawl_health,
         "crawl_image_validation": q_crawl_image_validation,
         "images_validate": q_images_validate,
         "minhash_pairs": q_minhash_pairs,
@@ -6200,6 +6248,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_docs": SQL_SCD2_DOCS,
         "mixture_ess": SQL_MIXTURE_ESS,
         "weighted_pagerank": SQL_WEIGHTED_PAGERANK,
+        "decayed_spend": SQL_DECAYED_SPEND,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -227,6 +227,19 @@ def cmd_status(args) -> int:
     state = "FINISHED" if os.path.exists(crawl_json) else "IN PROGRESS/KILLED"
     print(f"total {totals['scheduled']:>9} {totals['fetched']:>8} "
           f"{totals['failed']:>7} {totals['deferred']:>8}  [{state}]")
+
+    if getattr(args, "health", False):
+        # per-host panel needs a Ray session (distributed fold over
+        # the checkpoints); everything above is plain-file reads
+        _ensure_ray(getattr(args, "num_cpus", None))
+        from .pipelines.crawl import crawl_health
+        panel = crawl_health(out_dir)
+        print(f"\n{'host':<28} {'sched':>6} {'defer':>6} {'ok':>6} "
+              f"{'fail':>5} {'rounds':>6}")
+        for r in panel.itertuples(index=False):
+            print(f"{r.host:<28} {r.n_scheduled:>6} {r.n_deferred:>6} "
+                  f"{r.n_fetched:>6} {r.n_failed:>5} "
+                  f"{r.rounds_active:>6}")
     return 0
 
 
@@ -388,6 +401,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--timings", action="store_true",
                    help="show per-phase round timings")
+    p.add_argument("--health", action="store_true",
+                   help="per-host health panel (fetched/failed/"
+                        "deferred/rounds) from the checkpoints")
+    p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_status)
 
     p = sub.add_parser("sitemap", help="sitemap-only discovery export "

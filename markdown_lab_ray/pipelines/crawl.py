@@ -1236,3 +1236,105 @@ def read_host_edges(out_dir: str):
             .groupby(["src", "dst"]).aggregate(Count(alias_name="__c"))
             .map_batches(lambda b: b.select(["src", "dst"]),
                          batch_format="pyarrow"))
+
+
+def crawl_health(out_dir: str):
+    """Per-host crawl health panel from the round checkpoints: how
+    many fetches each host got, how many failed, how much of its
+    frontier sat deferred, and how many rounds it was active — the
+    ops view for "which hosts are starving / erroring / hogging".
+
+    Read-side audit over the column-pruned schedule and docs parquet
+    of every completed round: per-batch host partials → ONE bucketed
+    fold — the checkpoint rows never concatenate on the driver (only
+    the O(hosts) panel does).  Returns a pandas DataFrame (host,
+    n_scheduled, n_deferred, n_fetched, n_failed, rounds_active),
+    host-sorted.
+    """
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.bucketing import key_buckets
+
+    sched_dirs, docs_dirs = [], []
+    for rdir in sorted(glob.glob(os.path.join(out_dir, "rounds",
+                                              "round=*"))):
+        if not os.path.exists(os.path.join(rdir, "_MANIFEST.json")):
+            continue
+        s = os.path.join(rdir, "schedule")
+        d = os.path.join(rdir, "docs")
+        if os.path.isdir(s):
+            sched_dirs.extend(
+                sorted(glob.glob(os.path.join(s, "*.parquet"))))
+        if os.path.isdir(d) and glob.glob(os.path.join(d, "*.parquet")):
+            docs_dirs.append(
+                (int(rdir.rsplit("=", 1)[1]), d))
+
+    cols = ["host", "n_scheduled", "n_deferred", "n_fetched",
+            "n_failed", "rounds_active"]
+    if not sched_dirs:
+        return pd.DataFrame(columns=cols)
+
+    def sched_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.assign(_s=df["scheduled"].astype("int64"))
+             .groupby("host", sort=False)
+             .agg(n_scheduled=("_s", "sum"), n_rows=("_s", "size"))
+             .reset_index())
+        return pd.DataFrame({
+            "host": g["host"],
+            "n_scheduled": g["n_scheduled"].astype("int64"),
+            "n_deferred": (g["n_rows"]
+                           - g["n_scheduled"]).astype("int64"),
+            "n_fetched": np.int64(0), "n_failed": np.int64(0),
+            "_round": np.int64(-1)})
+
+    def docs_partial(df: "pd.DataFrame", round_no: int) -> "pd.DataFrame":
+        ok = (df["status"] == 200).astype("int64")
+        g = (df.assign(_ok=ok)
+             .groupby("host", sort=False)
+             .agg(n_ok=("_ok", "sum"), n=("_ok", "size")).reset_index())
+        return pd.DataFrame({
+            "host": g["host"], "n_scheduled": np.int64(0),
+            "n_deferred": np.int64(0),
+            "n_fetched": g["n_ok"].astype("int64"),
+            "n_failed": (g["n"] - g["n_ok"]).astype("int64"),
+            "_round": np.int64(round_no)})
+
+    parts = rd.read_parquet(
+        sched_dirs, columns=["host", "scheduled"]).map_batches(
+        sched_partial, batch_format="pandas")
+    # rounds_active = distinct rounds with a fetch: partials carry the
+    # round number and the fold counts distincts (a round's docs can
+    # arrive as many batches — a per-batch flag would over-count)
+    doc_parts = [rd.read_parquet(d, columns=["host", "status"])
+                 .map_batches(docs_partial, batch_format="pandas",
+                              fn_kwargs=dict(round_no=rn))
+                 for rn, d in docs_dirs]
+
+    union = parts
+    for dp in doc_parts:
+        union = union.union(dp)
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = (g.groupby("host", sort=False)
+               .agg({"n_scheduled": "sum", "n_deferred": "sum",
+                     "n_fetched": "sum", "n_failed": "sum"})
+               .reset_index())
+        docs = g[g["_round"] >= 0]
+        ra = (docs.groupby("host", sort=False)["_round"].nunique()
+              .rename("rounds_active").reset_index())
+        out = agg.merge(ra, on="host", how="left")
+        out["rounds_active"] = (out["rounds_active"].fillna(0)
+                                .astype("int64"))
+        return out.astype({c: "int64" for c in cols[1:]})
+
+    tagged = union.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["host"].to_numpy(), 32)),
+        batch_format="pandas")
+    panel = (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    return (panel[cols].sort_values("host", kind="mergesort")
+            .reset_index(drop=True))

@@ -2704,3 +2704,57 @@ def effective_sample_size(ds, weight_col: str):
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def decayed_spend(ds, key_col: str, ts_col: str, value_col: str,
+                  n_buckets: int = 64):
+    """Per-key recency-decayed activity score with a one-day half
+    life, in EXACT integer arithmetic: each row contributes
+    ``cents // 2^days_ago`` (days_ago relative to the corpus max
+    date, capped at 62 so the divisor fits int64).  Powers of two are
+    exactly representable doubles, so the SQL twin's
+    ``pow(2, LEAST(d, 62))`` divides identically — no float drift,
+    unlike an ``exp(-λt)`` score.
+
+    Scale shape: the corpus max day is ONE tiny aggregate; scoring is
+    then a pure per-batch map + one bucketed keyed Sum of int64
+    partials.  Output: (key, decayed_cents int64), rows with a zero
+    score included.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df[ts_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({"_d": [np.int64(day.max())]} if len(df)
+                            else {"_d": pd.Series([], dtype="int64")})
+
+    mx = int(ds.map_batches(day_partial, batch_format="pandas")
+             .max("_d"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df[ts_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        ago = np.clip(mx - day, 0, 62)
+        cents = _cents(df[value_col].to_numpy())
+        score = cents // (np.int64(1) << ago)
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(), "_s": score})
+        out = (g.groupby(key_col, sort=False)["_s"].sum()
+               .astype("int64").reset_index())
+        return out
+
+    tagged = (ds.map_batches(partial, batch_format="pandas")
+              .map_batches(
+                  lambda df: df.assign(_b=key_buckets(
+                      df[key_col].to_numpy(), n_buckets)),
+                  batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(key_col, sort=False)["_s"].sum()
+               .astype("int64").reset_index()
+               .rename(columns={"_s": "decayed_cents"}))
+        return out
+
+    return tagged.groupby("_b").map_groups(fold, batch_format="pandas")

@@ -749,3 +749,30 @@ def test_weighted_pagerank_overflow_guard(ray_session):
     with pytest.raises(ValueError, match="overflow"):
         weighted_pagerank_integer(_wedges_ds(_W_EDGES),
                                   scale=2 ** 60)
+
+
+def test_crawl_health_panel_consistency(ray_session, tmp_path):
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import crawl_health, run_crawl_ray
+    from markdown_lab_ray.pipelines.oracle import run_crawl_oracle
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(n_hosts=4, pages_per_host=8)
+    cfg = EngineConfig(requests_per_second=0.05, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, seen_shards=4)
+    out = str(tmp_path / "crawl")
+    run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), out, cfg)
+    panel = crawl_health(out)
+
+    oracle = run_crawl_oracle(SyntheticWeb(spec).resolve,
+                              spec.seed_urls(), cfg)
+    # panel totals must reconcile with the oracle-equal run totals
+    assert int(panel["n_fetched"].sum()) == oracle["fetched"]
+    assert int(panel["n_failed"].sum()) == oracle["failed"]
+    assert (panel["n_scheduled"]
+            == panel["n_fetched"] + panel["n_failed"]).all()
+    # every host that appears in the crawl order appears in the panel
+    hosts = set(oracle["order_detail"]["host"])
+    assert hosts <= set(panel["host"])
+    assert (panel["rounds_active"] >= 1).all()
+    assert (panel["rounds_active"] <= cfg.max_rounds).all()
