@@ -5921,6 +5921,58 @@ FROM d, mx GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_lang_top_terms(sf_dir: str):
+    """Top-5 terms per language (count desc, term asc)."""
+    from markdown_lab_ray.stages.text import top_terms_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = top_terms_per_group(ds, k=5).to_pandas()
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+SQL_LANG_TOP_TERMS = r"""
+WITH cnt AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text),
+                                           '[\p{L}\p{N}_]+')) AS term
+    FROM documents) GROUP BY lang, term),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term) AS rank
+      FROM cnt)
+SELECT lang, term, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
+def q_lang_fertility(sf_dir: str):
+    """Characters per whitespace token by language — the budgeting
+    constant behind per-language token costs."""
+    from markdown_lab_ray.stages.text import lang_fertility
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = lang_fertility(ds).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_FERTILITY = r"""
+WITH t AS (
+  SELECT lang, length(text) AS ch,
+         CASE WHEN trim(text) = '' THEN 0
+         ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS tk
+  FROM documents),
+a AS (SELECT lang, CAST(SUM(ch) AS BIGINT) AS n_chars,
+             CAST(SUM(tk) AS BIGINT) AS n_tokens
+      FROM t GROUP BY lang)
+SELECT lang, n_chars, n_tokens,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE floor(1e6 * n_chars / n_tokens + 0.5)
+            END AS BIGINT) AS chars_per_token_micro
+FROM a ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6082,6 +6134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_ess": q_mixture_ess,
         "weighted_pagerank": q_weighted_pagerank,
         "decayed_spend": q_decayed_spend,
+        "lang_top_terms": q_lang_top_terms,
+        "lang_fertility": q_lang_fertility,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6249,6 +6303,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_ess": SQL_MIXTURE_ESS,
         "weighted_pagerank": SQL_WEIGHTED_PAGERANK,
         "decayed_spend": SQL_DECAYED_SPEND,
+        "lang_top_terms": SQL_LANG_TOP_TERMS,
+        "lang_fertility": SQL_LANG_FERTILITY,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -947,3 +947,114 @@ def zipf_slope(ds, text_col: str = "text", top_n: int = 100):
               .groupby("term").aggregate(Sum("_n", alias_name="n")))
     return counts.repartition(1).map_batches(
         fit, batch_format="pandas", batch_size=None)
+
+
+def top_terms_per_group(ds, group_col: str = "lang",
+                        text_col: str = "text", k: int = 5,
+                        n_buckets: int = 64):
+    """Top-``k`` terms per group by (count desc, term asc) — the
+    per-language vocabulary panel (``top_terms`` is the global
+    variant; the tokenizer contract is shared).
+
+    Scale shape: per-batch (group, term) Counter partials → ONE
+    bucketed shuffle keyed on the (group, term) CELL (exact global
+    counts; a group's terms spread over buckets, which is fine
+    because the top-k cut needs global per-cell counts, not
+    co-located groups) → a second tiny shuffle of per-bucket
+    top-k candidates keyed on the group picks the true top-k (a
+    bucket's local top-k contains every global top-k member whose
+    cell hashed there).  Output: (group, term, n, rank 1..k).
+    """
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    pat = re.compile(r"\w+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: "Counter" = Counter()
+        for grp, text in zip(b.column(group_col).to_pylist(),
+                             b.column(text_col).to_pylist()):
+            for tok in pat.findall((text or "").lower()):
+                acc[(grp, tok)] += 1
+        keys = list(acc.keys())
+        return pa.table({
+            group_col: pa.array([g for g, _ in keys], pa.string()),
+            "term": pa.array([t for _, t in keys], pa.string()),
+            "_c": pa.array(list(acc.values()), pa.int64())})
+
+    def cell_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby([group_col, "term"], sort=False)["_c"].sum()
+               .astype("int64").reset_index())
+        # local candidate cut: global top-k per group is a subset of
+        # the union of per-bucket top-k (counts here are global-exact)
+        out = (out.sort_values([group_col, "_c", "term"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+               .groupby(group_col, sort=False).head(k))
+        return out.reset_index(drop=True)
+
+    def final_cut(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = (g.sort_values([group_col, "_c", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+             .groupby(group_col, sort=False).head(k)
+             .reset_index(drop=True))
+        g["rank"] = g.groupby(group_col, sort=False).cumcount() + 1
+        g = g.drop(columns=["_b", "_b2"], errors="ignore")
+        return (g.rename(columns={"_c": "n"})
+                .astype({"n": "int64", "rank": "int64"}))
+
+    cells = ds.map_batches(partial, batch_format="pyarrow")
+    tagged = cells.map_batches(
+        lambda df: df.assign(_b=key_buckets(
+            (df[group_col] + "\x00" + df["term"]).to_numpy(), n_buckets)),
+        batch_format="pandas")
+    cands = tagged.groupby("_b").map_groups(cell_fold,
+                                            batch_format="pandas")
+    by_grp = cands.map_batches(
+        lambda df: df.assign(_b2=key_buckets(df[group_col].to_numpy(),
+                                             n_buckets)),
+        batch_format="pandas")
+    return by_grp.groupby("_b2").map_groups(final_cut,
+                                            batch_format="pandas")
+
+
+def lang_fertility(ds, group_col: str = "lang", text_col: str = "text"):
+    """Tokenizer fertility per language: characters per whitespace
+    token, ``floor(1e6·Σchars/Σtokens + 0.5)`` — the budgeting number
+    behind "this language costs N× the tokens per byte".  Exact int64
+    sums through a per-batch combiner and one bounded keyed Sum; one
+    division at the end, same tree as SQL.  Output: (group, n_chars,
+    n_tokens, chars_per_token_micro)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        txt = df[text_col].fillna("").astype(str)
+        g = pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            "_ch": txt.str.len().to_numpy().astype(np.int64),
+            "_tk": txt.str.split().str.len().to_numpy().astype(np.int64)})
+        return (g.groupby(group_col, sort=False).sum().reset_index()
+                .astype({"_ch": "int64", "_tk": "int64"}))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        tk = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        f = np.floor(1e6 * ch / np.maximum(tk, 1) + 0.5).astype(np.int64)
+        f = np.where(tk == 0, 0, f)
+        return pa.table({group_col: b.column(group_col),
+                         "n_chars": pa.array(ch, pa.int64()),
+                         "n_tokens": pa.array(tk, pa.int64()),
+                         "chars_per_token_micro": pa.array(f, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .aggregate(Sum("_ch", alias_name="n_chars"),
+                       Sum("_tk", alias_name="n_tokens"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -776,3 +776,49 @@ def test_crawl_health_panel_consistency(ray_session, tmp_path):
     assert hosts <= set(panel["host"])
     assert (panel["rounds_active"] >= 1).all()
     assert (panel["rounds_active"] <= cfg.max_rounds).all()
+
+
+def test_top_terms_per_group_candidate_cut_is_sound(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.text import top_terms_per_group
+
+    rng = np.random.RandomState(37)
+    vocab = [f"w{i}" for i in range(40)]
+    docs, langs = [], []
+    for i in range(60):
+        lang = "en" if i % 2 else "de"
+        docs.append(" ".join(rng.choice(vocab, size=50)))
+        langs.append(lang)
+    df = pd.DataFrame({"lang": langs, "text": docs})
+    got = (top_terms_per_group(rd.from_pandas(df), k=4, n_buckets=8)
+           .to_pandas().sort_values(["lang", "rank"])
+           .reset_index(drop=True))
+
+    from collections import Counter
+    want_rows = []
+    for lang in ("de", "en"):
+        c = Counter()
+        for t in df[df["lang"] == lang]["text"]:
+            c.update(t.lower().split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        want_rows += [(lang, t, n, r + 1)
+                      for r, (t, n) in enumerate(top)]
+    want = pd.DataFrame(want_rows, columns=["lang", "term", "n", "rank"])
+    pd.testing.assert_frame_equal(
+        got[["lang", "term", "n", "rank"]],
+        want.astype({"n": "int64", "rank": "int64"}))
+
+
+def test_lang_fertility_exact(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.text import lang_fertility
+
+    df = pd.DataFrame({"lang": ["en", "en", "de"],
+                       "text": ["ab cd", "efg", ""]})
+    got = (lang_fertility(rd.from_pandas(df))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    assert got.values.tolist() == [
+        ["de", 0, 0, 0],
+        ["en", 8, 3, int(np.floor(1e6 * 8 / 3 + 0.5))]]
