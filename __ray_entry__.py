@@ -5973,6 +5973,51 @@ FROM a ORDER BY lang
 """
 
 
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index of event values, first half of the
+    day range vs second (decile bins from the first period)."""
+    from markdown_lab_ray.stages.analytics import psi_drift
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return psi_drift(ds).to_pandas()
+
+
+SQL_PSI_DRIFT = """
+WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+mm AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+e AS (SELECT round(unnest(quantile_cont(CAST(c AS DOUBLE),
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS edge
+      FROM d, mm WHERE day <= mid),
+b AS (SELECT (SELECT COUNT(*) FROM e
+              WHERE edge <= CAST(d.c AS DOUBLE)) AS bin,
+             CASE WHEN day > mid THEN 1 ELSE 0 END AS sec
+      FROM d, mm),
+cnt AS (SELECT bin, sec, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY bin, sec),
+grid AS (SELECT g.bin, s.sec
+         FROM (SELECT unnest(generate_series(0, 9)) AS bin) g,
+              (SELECT unnest([0, 1]) AS sec) s),
+sm AS (SELECT grid.bin, grid.sec, COALESCE(cnt.n, 0) + 1 AS n,
+              COALESCE(cnt.n, 0) AS raw
+       FROM grid LEFT JOIN cnt
+         ON grid.bin = cnt.bin AND grid.sec = cnt.sec),
+tot AS (SELECT sec, SUM(n) AS t FROM sm GROUP BY sec),
+p AS (SELECT sm.bin,
+             MAX(CASE WHEN sm.sec = 0 THEN sm.n * 1.0 / tot.t END) AS p1,
+             MAX(CASE WHEN sm.sec = 1 THEN sm.n * 1.0 / tot.t END) AS p2
+      FROM sm JOIN tot ON sm.sec = tot.sec GROUP BY sm.bin)
+SELECT (SELECT CAST(SUM(raw) AS BIGINT) FROM sm WHERE sec = 0)
+           AS n_first,
+       (SELECT CAST(SUM(raw) AS BIGINT) FROM sm WHERE sec = 1)
+           AS n_second,
+       CAST(floor(1e6 * SUM((p2 - p1) * ln(p2 / p1)) + 0.5) AS BIGINT)
+           AS psi_micro
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6136,6 +6181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_spend": q_decayed_spend,
         "lang_top_terms": q_lang_top_terms,
         "lang_fertility": q_lang_fertility,
+        "psi_drift": q_psi_drift,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6305,6 +6351,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_spend": SQL_DECAYED_SPEND,
         "lang_top_terms": SQL_LANG_TOP_TERMS,
         "lang_fertility": SQL_LANG_FERTILITY,
+        "psi_drift": SQL_PSI_DRIFT,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

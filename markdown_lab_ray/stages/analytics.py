@@ -2758,3 +2758,73 @@ def decayed_spend(ds, key_col: str, ts_col: str, value_col: str,
         return out
 
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+
+
+def psi_drift(ds, ts_col: str = "ts", value_col: str = "value",
+              n_bins: int = 10):
+    """Population Stability Index between the corpus' first and second
+    half (by median epoch-day split): decile bins fixed on the FIRST
+    period, add-1 smoothed counts, ``PSI = Σ (p2−p1)·ln(p2/p1)`` in
+    integer micro-nats — the industry drift gate (PSI > 0.2 = retrain).
+
+    Determinism contract: bin edges are the first period's exact
+    cents-percentiles (numpy 'linear', 6-dp rounded — the
+    events_percentile convention) computed in ONE task over that
+    period's O(rows) cents column pulled as a single block; at corpus
+    scale swap in ``histogram_quantiles``'s mergeable sketch for the
+    edges and keep the rest unchanged.  Counting + the final fold use
+    exact int64 and the SQL twin's expression tree.  Output: one row
+    (n_first, n_second, psi_micro).
+    """
+    import pandas as pd
+
+    def day_cents(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df[ts_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({"_day": day,
+                             "_c": _cents(df[value_col].to_numpy())})
+
+    rows = ds.map_batches(day_cents, batch_format="pandas").materialize()
+    lo = int(rows.min("_day"))
+    hi = int(rows.max("_day"))
+    mid = (lo + hi) // 2  # first period: day <= mid
+
+    first = rows.filter(expr=f"_day <= {mid}")
+    cents1 = first.select_columns(["_c"]).to_pandas()["_c"].to_numpy()
+    qs = np.arange(1, n_bins) / n_bins
+    edges = np.round(np.percentile(cents1, qs * 100), 6)
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["_c"].to_numpy(dtype=np.float64)
+        b = np.searchsorted(edges, c, side="right")
+        isec = (df["_day"].to_numpy() > mid).astype(np.int64)
+        g = pd.DataFrame({"_bin": b, "_sec": isec, "_n": np.int64(1)})
+        return (g.groupby(["_bin", "_sec"], sort=False)["_n"].sum()
+                .astype("int64").reset_index())
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["_bin", "_sec"], sort=False)["_n"].sum()
+             .reset_index())
+        c1 = np.zeros(n_bins, np.int64)
+        c2 = np.zeros(n_bins, np.int64)
+        bins = g["_bin"].to_numpy(dtype=np.int64)
+        secs = g["_sec"].to_numpy(dtype=np.int64)
+        ns = g["_n"].to_numpy(dtype=np.int64)
+        np.add.at(c1, bins[secs == 0], ns[secs == 0])
+        np.add.at(c2, bins[secs == 1], ns[secs == 1])
+        # add-1 smoothing keeps empty bins finite, pinned in the twin
+        s1 = (c1 + 1).astype(np.float64)
+        s2 = (c2 + 1).astype(np.float64)
+        n1f, n2f = s1.sum(), s2.sum()
+        p1 = s1 / n1f
+        p2 = s2 / n2f
+        psi = ((p2 - p1) * np.log(p2 / p1)).sum()
+        return pd.DataFrame({
+            "n_first": pd.array([int(c1.sum())], dtype="int64"),
+            "n_second": pd.array([int(c2.sum())], dtype="int64"),
+            "psi_micro": pd.array([int(np.floor(psi * 1e6 + 0.5))],
+                                  dtype="int64")})
+
+    counts = rows.map_batches(bin_counts, batch_format="pandas")
+    return counts.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

@@ -822,3 +822,35 @@ def test_lang_fertility_exact(ray_session):
     assert got.values.tolist() == [
         ["de", 0, 0, 0],
         ["en", 8, 3, int(np.floor(1e6 * 8 / 3 + 0.5))]]
+
+
+def test_psi_drift_stable_vs_shifted(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import psi_drift
+
+    rng = np.random.RandomState(41)
+    n = 2000
+    base = pd.Timestamp("2024-01-01")
+    days = np.r_[np.zeros(n // 2, int), np.full(n // 2, 10, int)]
+
+    # identical distributions in both halves → PSI ≈ 0
+    v_same = np.round(rng.uniform(1, 100, n), 2)
+    df1 = pd.DataFrame({"ts": base + pd.to_timedelta(days, unit="D"),
+                        "value": v_same})
+    psi0 = int(psi_drift(rd.from_pandas(df1))
+               .to_pandas()["psi_micro"].iloc[0])
+
+    # second half shifted up hard → large PSI
+    v_shift = np.r_[np.round(rng.uniform(1, 100, n // 2), 2),
+                    np.round(rng.uniform(200, 300, n // 2), 2)]
+    df2 = pd.DataFrame({"ts": base + pd.to_timedelta(days, unit="D"),
+                        "value": v_shift})
+    psi1 = int(psi_drift(rd.from_pandas(df2))
+               .to_pandas()["psi_micro"].iloc[0])
+
+    assert psi0 < 100_000        # < 0.1: stable
+    assert psi1 > 1_000_000      # > 1.0: severe drift
+    got = psi_drift(rd.from_pandas(df2)).to_pandas()
+    assert int(got["n_first"].iloc[0]) == n // 2
+    assert int(got["n_second"].iloc[0]) == n // 2
