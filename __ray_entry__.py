@@ -6018,6 +6018,65 @@ FROM p
 """
 
 
+def q_dup_cluster_stats(sf_dir: str):
+    """Per-duplicate-cluster provenance panel: copies, distinct
+    sources, id range — syndication vs scraper-loop diagnosis."""
+    from markdown_lab_ray.stages.dedup import dup_cluster_stats
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = dup_cluster_stats(ds).to_pandas()
+    if out.empty:  # a clean corpus loses the schema through to_pandas
+        out = pd.DataFrame(columns=["text_md5", "n_copies", "n_sources",
+                                    "min_doc", "max_doc"])
+    return out.sort_values("text_md5").reset_index(drop=True)
+
+
+SQL_DUP_CLUSTER_STATS = """
+WITH h AS (SELECT doc_id, source, md5(text) AS text_md5 FROM documents)
+SELECT text_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM h GROUP BY text_md5 HAVING COUNT(*) >= 2 ORDER BY text_md5
+"""
+
+
+def q_daily_bounce(sf_dir: str):
+    """Daily bounce rate: share of 30-min-gap sessions with exactly
+    one event, keyed by session-start day."""
+    from markdown_lab_ray.stages.windows import daily_bounce_rate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = daily_bounce_rate(ds).to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_DAILY_BOUNCE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+per AS (SELECT user_id, sid,
+               CAST(floor(epoch(MIN(ts)) / 86400) AS BIGINT) AS day,
+               COUNT(*) AS n
+        FROM s GROUP BY user_id, sid)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce,
+       CAST(floor(1e6 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS bounce_micro
+FROM per GROUP BY day ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6182,6 +6241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_terms": q_lang_top_terms,
         "lang_fertility": q_lang_fertility,
         "psi_drift": q_psi_drift,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "daily_bounce": q_daily_bounce,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6352,6 +6413,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_top_terms": SQL_LANG_TOP_TERMS,
         "lang_fertility": SQL_LANG_FERTILITY,
         "psi_drift": SQL_PSI_DRIFT,
+        "dup_cluster_stats": SQL_DUP_CLUSTER_STATS,
+        "daily_bounce": SQL_DAILY_BOUNCE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -1189,3 +1189,42 @@ def source_dedup_yield(ds, text_col: str = "text",
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_unique", alias_name="n_unique"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def dup_cluster_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source", n_buckets: int = 64):
+    """Per-duplicate-cluster panel: for every exact-text cluster with
+    ≥ 2 copies — copy count, distinct sources it spans, min/max doc id
+    (provenance spread: a cluster spanning many sources is syndicated
+    boilerplate; one source repeating itself is a scraper loop).
+
+    Shape: (md5, source, id) rows → ONE bucketed md5 fold (each
+    digest entirely in one bucket) emitting only multi-copy clusters.
+    Output: (text_md5, n_copies, n_sources, min_doc, max_doc).
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+    from .text import add_text_hash_batch
+
+    hashed = (ds.map_batches(add_text_hash_batch, batch_format="pyarrow",
+                             fn_kwargs=dict(text_col=text_col))
+              .select_columns(["text_md5", id_col, source_col]))
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        a = (g.groupby("text_md5", sort=False)
+             .agg(n_copies=(id_col, "size"),
+                  n_sources=(source_col, "nunique"),
+                  min_doc=(id_col, "min"), max_doc=(id_col, "max"))
+             .reset_index())
+        a = a[a["n_copies"] >= 2]
+        return a.astype({"n_copies": "int64", "n_sources": "int64",
+                         "min_doc": "int64", "max_doc": "int64"})
+
+    tagged = hashed.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["text_md5"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    return (tagged.groupby("_b")
+            .map_groups(lambda g: fold(g.drop(columns=["_b"])),
+                        batch_format="pandas"))

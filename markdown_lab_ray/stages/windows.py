@@ -147,3 +147,64 @@ def late_event_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
                                             n_buckets)),
         batch_format="pandas")
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
+
+
+def daily_bounce_rate(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      gap_us: int = 1_800_000_000, n_buckets: int = 64):
+    """Bounce rate per day: the fraction of sessions (30-min
+    inactivity gap, the ``sessionize`` rule) that contain exactly ONE
+    event, keyed by the day the session STARTED.
+
+    Shape: one bucketed user shuffle builds whole sessions inside the
+    bucket (all of a user's events co-locate), collapsing to per-day
+    (n_sessions, n_bounce) partials; a tiny keyed Sum over days
+    finishes.  Output: (day, n_sessions, n_bounce, bounce_micro).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .bucketing import key_buckets
+
+    def per_day(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        ts = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        user = g[user_col].to_numpy()
+        new_user = np.r_[True, user[1:] != user[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        new_s = new_user | gap
+        sid = np.cumsum(new_s)
+        d = pd.DataFrame({"_sid": sid, "_day": ts // 86_400_000_000})
+        per = (d.groupby("_sid", sort=False)
+               .agg(day=("_day", "min"), n=("_day", "size"))
+               .reset_index())
+        out = (per.assign(_bounce=(per["n"] == 1).astype("int64"),
+                          _one=np.int64(1))
+               .groupby("day", sort=False)
+               .agg(n_sessions=("_one", "sum"),
+                    n_bounce=("_bounce", "sum")).reset_index())
+        return out.astype({"day": "int64", "n_sessions": "int64",
+                           "n_bounce": "int64"})
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    partials = tagged.groupby("_b").map_groups(per_day,
+                                               batch_format="pandas")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns = b.column("n_sessions").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bounce").to_numpy(zero_copy_only=False)
+        r = np.floor(1e6 * nb / np.maximum(ns, 1) + 0.5).astype(np.int64)
+        return pa.table({"day": b.column("day"),
+                         "n_sessions": pa.array(ns, pa.int64()),
+                         "n_bounce": pa.array(nb, pa.int64()),
+                         "bounce_micro": pa.array(r, pa.int64())})
+
+    return (partials.groupby("day")
+            .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                       Sum("n_bounce", alias_name="n_bounce"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -854,3 +854,43 @@ def test_psi_drift_stable_vs_shifted(ray_session):
     got = psi_drift(rd.from_pandas(df2)).to_pandas()
     assert int(got["n_first"].iloc[0]) == n // 2
     assert int(got["n_second"].iloc[0]) == n // 2
+
+
+def test_dup_cluster_stats_panel(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.dedup import dup_cluster_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x", "x", "x", "y", "z"],
+        "source": ["a", "b", "a", "c", "c"]})
+    got = dup_cluster_stats(rd.from_pandas(df)).to_pandas()
+    assert len(got) == 1  # only "x" has >= 2 copies
+    r = got.iloc[0]
+    assert (int(r["n_copies"]), int(r["n_sources"]),
+            int(r["min_doc"]), int(r["max_doc"])) == (3, 2, 1, 3)
+
+
+def test_daily_bounce_rate(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.windows import daily_bounce_rate
+
+    base = pd.Timestamp("2024-03-01")
+    rows = [
+        (1, 1, base),                                 # u1 s1: 2 events
+        (2, 1, base + pd.Timedelta(minutes=10)),
+        (3, 1, base + pd.Timedelta(hours=5)),         # u1 s2: bounce
+        (4, 2, base + pd.Timedelta(minutes=1)),       # u2 s1: bounce
+        (5, 2, base + pd.Timedelta(days=1)),          # u2 s2 (day 2):
+        (6, 2, base + pd.Timedelta(days=1, minutes=5)),  # 2 events
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    got = (daily_bounce_rate(rd.from_pandas(df))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    d0 = int(base.value // 1000 // 86_400_000_000)
+    assert got["day"].tolist() == [d0, d0 + 1]
+    assert got["n_sessions"].tolist() == [3, 1]
+    assert got["n_bounce"].tolist() == [2, 0]
+    assert got["bounce_micro"].tolist() == [666667, 0]
