@@ -6077,6 +6077,52 @@ FROM per GROUP BY day ORDER BY day
 """
 
 
+def q_segment_ks(sf_dir: str):
+    """Exact two-sample KS statistic: BUILDING vs MACHINERY order
+    value distributions."""
+    from markdown_lab_ray.stages.analytics import ks_statistic
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = dict(zip(cust["c_custkey"],
+                   cust["c_mktsegment"]))  # O(customers) broadcast map
+
+    def tag(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_pylist()
+        sides, keep = [], []
+        for k in ck:
+            s = seg.get(k)
+            keep.append(s in ("BUILDING", "MACHINERY"))
+            sides.append(1 if s == "MACHINERY" else 0)
+        t = b.append_column("side", pa.array(sides, pa.int64()))
+        return t.filter(pa.array(keep))
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+    return ks_statistic(tagged, "side", "o_totalprice").to_pandas()
+
+
+SQL_SEGMENT_KS = """
+WITH t AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS side
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+g AS (SELECT c, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS a2
+      FROM t GROUP BY c),
+cum AS (SELECT c,
+               SUM(a1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS c1,
+               SUM(a2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS c2
+        FROM g),
+n AS (SELECT SUM(a1) AS n1, SUM(a2) AS n2 FROM g)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(floor(1e6 * (MAX(ABS(c1 * n2 - c2 * n1)) * 1.0 / (n1 * n2))
+                  + 0.5) AS BIGINT) AS d_micro
+FROM cum, n GROUP BY n1, n2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6243,6 +6289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": q_psi_drift,
         "dup_cluster_stats": q_dup_cluster_stats,
         "daily_bounce": q_daily_bounce,
+        "segment_ks": q_segment_ks,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6415,6 +6462,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": SQL_PSI_DRIFT,
         "dup_cluster_stats": SQL_DUP_CLUSTER_STATS,
         "daily_bounce": SQL_DAILY_BOUNCE,
+        "segment_ks": SQL_SEGMENT_KS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -2828,3 +2828,54 @@ def psi_drift(ds, ts_col: str = "ts", value_col: str = "value",
     counts = rows.map_batches(bin_counts, batch_format="pandas")
     return counts.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def ks_statistic(ds, side_col: str, value_col: str,
+                 n_buckets: int = 64):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the two
+    values of ``side_col`` (0/1): ``D = max |F1(v) − F2(v)|`` over
+    every observed value, computed in EXACT integers —
+    ``max |c1·n2 − c2·n1|`` over cumulative counts, divided once by
+    ``n1·n2`` at the end (micro-pinned).  The distribution-shift
+    gate that, unlike PSI, needs no binning choices.
+
+    Scale shape: per-batch (cents, side) counts → one keyed Sum whose
+    group count is bounded by DISTINCT VALUES (cents dedupe hard); the
+    sort + cummax fold runs in a single task over that aggregate —
+    for continuous data at web scale, quantize cents first (the
+    histogram family's trade).  Output: one row (n1, n2, d_micro).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df[value_col].to_numpy())
+        s = df[side_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"_c": c,
+                          "_n1": (s == 0).astype(np.int64),
+                          "_n2": (s == 1).astype(np.int64)})
+        return (g.groupby("_c", sort=False).sum().reset_index()
+                .astype({"_n1": "int64", "_n2": "int64"}))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_c", kind="mergesort")
+        c1 = df["_n1"].to_numpy(np.int64).cumsum()
+        c2 = df["_n2"].to_numpy(np.int64).cumsum()
+        n1 = int(c1[-1]) if len(c1) else 0
+        n2 = int(c2[-1]) if len(c2) else 0
+        if n1 == 0 or n2 == 0:
+            d = 0
+        else:
+            diff = np.abs(c1 * np.int64(n2) - c2 * np.int64(n1))
+            d = int(np.floor(1e6 * (float(diff.max())
+                                    / float(n1 * n2)) + 0.5))
+        return pd.DataFrame({"n1": pd.array([n1], dtype="int64"),
+                             "n2": pd.array([n2], dtype="int64"),
+                             "d_micro": pd.array([d], dtype="int64")})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("_c").aggregate(Sum("_n1", alias_name="_n1"),
+                                    Sum("_n2", alias_name="_n2")))
+    return agg.repartition(1).map_batches(fold, batch_format="pandas",
+                                          batch_size=None)

@@ -894,3 +894,30 @@ def test_daily_bounce_rate(ray_session):
     assert got["n_sessions"].tolist() == [3, 1]
     assert got["n_bounce"].tolist() == [2, 0]
     assert got["bounce_micro"].tolist() == [666667, 0]
+
+
+def test_ks_statistic_exact(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import ks_statistic
+
+    # identical samples → D = 0
+    same = pd.DataFrame({"side": [0] * 50 + [1] * 50,
+                         "v": list(np.arange(50) * 1.0) * 2})
+    got0 = ks_statistic(rd.from_pandas(same), "side", "v").to_pandas()
+    assert int(got0["d_micro"].iloc[0]) == 0
+
+    # disjoint supports → D = 1
+    dis = pd.DataFrame({"side": [0] * 30 + [1] * 20,
+                        "v": list(np.arange(30) * 1.0)
+                        + list(100.0 + np.arange(20))})
+    got1 = ks_statistic(rd.from_pandas(dis), "side", "v").to_pandas()
+    assert int(got1["d_micro"].iloc[0]) == 1_000_000
+    assert (int(got1["n1"].iloc[0]), int(got1["n2"].iloc[0])) == (30, 20)
+
+    # known small case vs scipy-free manual: F1 jumps at 1,2; F2 at 2,3
+    sm = pd.DataFrame({"side": [0, 0, 1, 1],
+                       "v": [1.0, 2.0, 2.0, 3.0]})
+    # at v=1: |1/2-0|=.5 ; v=2: |1-1/2|=.5 ; v=3: 0  → D=0.5
+    got2 = ks_statistic(rd.from_pandas(sm), "side", "v").to_pandas()
+    assert int(got2["d_micro"].iloc[0]) == 500_000
