@@ -921,3 +921,44 @@ def test_ks_statistic_exact(ray_session):
     # at v=1: |1/2-0|=.5 ; v=2: |1-1/2|=.5 ; v=3: 0  → D=0.5
     got2 = ks_statistic(rd.from_pandas(sm), "side", "v").to_pandas()
     assert int(got2["d_micro"].iloc[0]) == 500_000
+
+
+def test_graph_ops_distributed_paths_medium_scale(ray_session):
+    """50k-edge random graph: every distributed graph path equals its
+    single-task twin (the small tests can't catch block-boundary or
+    bucket-skew bugs)."""
+    from markdown_lab_ray.stages.graph import (
+        clustering_coefficient,
+        degree_assortativity,
+        kcore_peel,
+        triangle_count,
+    )
+
+    rng = np.random.RandomState(43)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 1200, size=(60_000, 2)) if a < b})
+    ds = _uv_ds(edges)
+
+    assert triangle_count(ds) == triangle_count(
+        _uv_ds(edges), small_cutoff=0, n_buckets=16)
+
+    fast_cc = (clustering_coefficient(_uv_ds(edges))
+               .to_pandas().sort_values("node").reset_index(drop=True))
+    dist_cc = (clustering_coefficient(_uv_ds(edges), small_cutoff=0,
+                                      n_buckets=16)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+    assert fast_cc.equals(dist_cc)
+
+    assert int(degree_assortativity(_uv_ds(edges))
+               .to_pandas()["assortativity_micro"].iloc[0]) == int(
+        degree_assortativity(_uv_ds(edges), small_cutoff=0,
+                             n_buckets=16)
+        .to_pandas()["assortativity_micro"].iloc[0])
+
+    assert _nodes(kcore_peel(_uv_ds(edges).map_batches(
+        lambda b: b.rename_columns(["src", "dst"]),
+        batch_format="pyarrow"), k=60, max_rounds=8)) == _nodes(
+        kcore_peel(_uv_ds(edges).map_batches(
+            lambda b: b.rename_columns(["src", "dst"]),
+            batch_format="pyarrow"), k=60, max_rounds=8,
+            small_cutoff=0, n_buckets=8))
