@@ -6123,6 +6123,29 @@ FROM cum, n GROUP BY n1, n2
 """
 
 
+def q_neardup_pr(sf_dir: str):
+    """LSH near-dup quality audit: precision/recall of the hyperplane
+    buckets against the exact all-pairs ground truth at the same
+    cosine threshold (rows-only — the LSH side isn't SQL)."""
+    from markdown_lab_ray.stages.similarity import neardup_precision_recall
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    return neardup_precision_recall(ds, dim=dim, cosine_threshold=0.35,
+                                    n_planes=6)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 scalar quantization of every embedding with per-row
+    reconstruction MSE (rows-only; codes are list<int8>)."""
+    from markdown_lab_ray.stages.similarity import quantize_embeddings_int8
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = quantize_embeddings_int8(ds).to_pandas()
+    out["codes"] = out["codes"].apply(lambda c: list(map(int, c)))
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6290,6 +6313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_stats": q_dup_cluster_stats,
         "daily_bounce": q_daily_bounce,
         "segment_ks": q_segment_ks,
+        "neardup_pr": q_neardup_pr,
+        "quantize_embeddings": q_quantize_embeddings,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,

@@ -606,3 +606,77 @@ def semantic_dedup(ds, centroids: np.ndarray, centroid_ids: np.ndarray,
 
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cell").map_groups(screen, batch_format="pandas"))
+
+
+def neardup_precision_recall(ds, dim: int, cosine_threshold: float = 0.35,
+                             n_planes: int = 6, seed: int = 42,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             n_blocks: int = 4):
+    """Quality audit of the hyperplane-LSH near-dup path against the
+    exact all-pairs ground truth AT THE SAME THRESHOLD: precision
+    (LSH pairs that are truly ≥ t — 1.0 by construction, the bucket
+    only prunes), recall (true pairs the buckets kept), and the pair
+    counts — the number every "recall < 1 documented" claim should
+    come with.
+
+    Both sides run distributed (the exact side is the block
+    nested-loop audit twin); only the two O(result) pair sets meet on
+    the driver.  Output: one row (n_true, n_lsh, n_hit, recall_micro,
+    precision_micro).
+    """
+    import pandas as pd
+
+    exact = allpairs_cosine_exact(ds, threshold=cosine_threshold,
+                                  n_blocks=n_blocks, id_col=id_col,
+                                  emb_col=emb_col)
+    true_pairs = {(int(r.a), int(r.b))
+                  for r in exact.to_pandas().itertuples(index=False)}
+    lsh = embedding_near_dup_pairs(ds, dim=dim,
+                                   cosine_threshold=cosine_threshold,
+                                   n_planes=n_planes, seed=seed,
+                                   id_col=id_col, emb_col=emb_col)
+    lsh_pairs = {(int(r.a), int(r.b))
+                 for r in lsh.itertuples(index=False)}
+    hit = len(true_pairs & lsh_pairs)
+    rec = 0 if not true_pairs else int(
+        np.floor(1e6 * hit / len(true_pairs) + 0.5))
+    prec = 0 if not lsh_pairs else int(
+        np.floor(1e6 * hit / len(lsh_pairs) + 0.5))
+    return pd.DataFrame({
+        "n_true": pd.array([len(true_pairs)], dtype="int64"),
+        "n_lsh": pd.array([len(lsh_pairs)], dtype="int64"),
+        "n_hit": pd.array([hit], dtype="int64"),
+        "recall_micro": pd.array([rec], dtype="int64"),
+        "precision_micro": pd.array([prec], dtype="int64")})
+
+
+def quantize_embeddings_int8(ds, id_col: str = "vec_id",
+                             emb_col: str = "embedding"):
+    """Scalar int8 quantization per embedding (symmetric, per-ROW
+    scale = max|x| / 127 — the row-local scheme needs no global pass
+    and is what ANN stores ship by default): emits the int8 codes, the
+    float scale, and the per-row reconstruction MSE in micro units —
+    the storage-4x-for-how-much-recall trade quantified.
+
+    Pure vectorized map, no shuffle; codes are list<int8> (4x smaller
+    than float32 on the wire and in the object store).  Output:
+    (id, codes list<int8>, scale float64, mse_micro int64).
+    """
+    def quant(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, emb_col)
+        absmax = np.abs(x).max(axis=1)
+        scale = np.where(absmax == 0.0, 1.0, absmax / 127.0)
+        q = np.clip(np.round(x / scale[:, None]), -127, 127)
+        recon = q * scale[:, None]
+        mse = ((x - recon) ** 2).mean(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "codes": pa.array(q.astype(np.int8).tolist(),
+                              pa.list_(pa.int8())),
+            "scale": pa.array(scale, pa.float64()),
+            "mse_micro": pa.array(
+                np.floor(mse * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")

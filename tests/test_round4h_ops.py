@@ -962,3 +962,47 @@ def test_graph_ops_distributed_paths_medium_scale(ray_session):
             lambda b: b.rename_columns(["src", "dst"]),
             batch_format="pyarrow"), k=60, max_rounds=8,
             small_cutoff=0, n_buckets=8))
+
+
+def test_neardup_pr_audit(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.similarity import neardup_precision_recall
+
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(120, 8)
+    # plant three tight near-dup pairs
+    for i in (0, 1, 2):
+        vecs[100 + i] = vecs[i] + 0.01 * rng.randn(8)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
+    got = neardup_precision_recall(ds, dim=8, cosine_threshold=0.95,
+                                   n_planes=4)
+    assert int(got["n_true"].iloc[0]) >= 3
+    # LSH never invents a pair: precision is 1.0 whenever it found any
+    if int(got["n_lsh"].iloc[0]):
+        assert int(got["precision_micro"].iloc[0]) == 1_000_000
+    assert 0 <= int(got["recall_micro"].iloc[0]) <= 1_000_000
+
+
+def test_quantize_embeddings_roundtrip_error(ray_session):
+    from markdown_lab_ray.stages.similarity import quantize_embeddings_int8
+
+    vecs = [[1.0, -1.0, 0.5, 0.0], [0.0, 0.0, 0.0, 0.0],
+            [127.0, 1.0, -127.0, 63.5]]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    got = (quantize_embeddings_int8(ds)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # exact representables: scale=1/127 → codes ±127, ±63/64...; the
+    # zero row quantizes losslessly with the pinned scale=1.0
+    assert got.loc[1, "scale"] == 1.0
+    assert int(got.loc[1, "mse_micro"]) == 0
+    assert list(got.loc[2, "codes"]) == [127, 1, -127, 64]
+    for codes in got["codes"]:
+        assert all(-127 <= int(c) <= 127 for c in codes)
+    # reconstruction error bounded by (scale/2)^2 per dim
+    for _, r in got.iterrows():
+        assert r["mse_micro"] <= 1e6 * (r["scale"] / 2) ** 2 + 1
