@@ -6146,6 +6146,27 @@ def q_quantize_embeddings(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_global_median_price(sf_dir: str):
+    """Exact global lower-median lineitem price by distributed
+    selection (two count passes, no global sort)."""
+    from markdown_lab_ray.stages.analytics import global_kth_smallest
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return global_kth_smallest(ds, "l_extendedprice")
+
+
+SQL_GLOBAL_MEDIAN_PRICE = """
+WITH t AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS c FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t)
+SELECT n_rows,
+       (SELECT c FROM t ORDER BY c
+        LIMIT 1 OFFSET (SELECT (n_rows + 1) // 2 - 1 FROM n))
+           AS kth_cents
+FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6315,6 +6336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_ks": q_segment_ks,
         "neardup_pr": q_neardup_pr,
         "quantize_embeddings": q_quantize_embeddings,
+        "global_median_price": q_global_median_price,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6488,6 +6510,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_stats": SQL_DUP_CLUSTER_STATS,
         "daily_bounce": SQL_DAILY_BOUNCE,
         "segment_ks": SQL_SEGMENT_KS,
+        "global_median_price": SQL_GLOBAL_MEDIAN_PRICE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -1006,3 +1006,26 @@ def test_quantize_embeddings_roundtrip_error(ray_session):
     # reconstruction error bounded by (scale/2)^2 per dim
     for _, r in got.iterrows():
         assert r["mse_micro"] <= 1e6 * (r["scale"] / 2) ** 2 + 1
+
+
+def test_global_kth_smallest_vs_numpy(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import global_kth_smallest
+
+    rng = np.random.RandomState(53)
+    vals = np.round(rng.uniform(0, 10_000, 5000), 2)
+    df = pd.DataFrame({"v": vals})
+    cents = np.sort(np.floor(vals * 100 + 0.5).astype(np.int64))
+    ds = rd.from_pandas(df).repartition(8)
+    # lower median default
+    got = global_kth_smallest(ds, "v")
+    assert int(got["kth_cents"].iloc[0]) == cents[(5000 + 1) // 2 - 1]
+    # arbitrary ranks incl. extremes, with a tiny bin count to force
+    # multi-value bins through the second pass
+    for k in (1, 2, 137, 4999, 5000):
+        got = global_kth_smallest(rd.from_pandas(df), "v", k=k,
+                                  n_bins=16)
+        assert int(got["kth_cents"].iloc[0]) == cents[k - 1], k
+    with pytest.raises(ValueError):
+        global_kth_smallest(rd.from_pandas(df), "v", k=0)
