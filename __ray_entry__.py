@@ -6167,6 +6167,93 @@ FROM n
 """
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: Reciprocal Rank Fusion of the dense top-20
+    (cosine kNN vs the vec_id=0 embedding) and the sparse top-20
+    (BM25 over the fixed query terms), fused as
+    ``1/(60+rank_dense) + 1/(60+rank_sparse)`` — the RAG-stack
+    ranking combiner (Cormack et al. 2009, public)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import knn_brute_force
+    from markdown_lab_ray.stages.text import bm25_scores
+
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))
+    query = np.asarray(emb0.column("embedding")[0].as_py(),
+                       dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dense = knn_brute_force(ds, query, k=20, exclude_ids=[0])
+    dense = dense.assign(rd=np.arange(1, len(dense) + 1))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sparse = (bm25_scores(docs, list(_BM25_TERMS)).to_pandas()
+              .sort_values(["bm25_micro", "doc_id"],
+                           ascending=[False, True], kind="mergesort")
+              .head(20).reset_index(drop=True))
+    sparse = sparse.assign(rs=np.arange(1, len(sparse) + 1))
+
+    m = (dense[["vec_id", "rd"]].rename(columns={"vec_id": "id"})
+         .merge(sparse[["doc_id", "rs"]].rename(columns={"doc_id": "id"}),
+                on="id", how="outer"))
+    d_term = np.where(m["rd"].notna(), 1.0 / (60 + m["rd"].fillna(0)),
+                      0.0)
+    s_term = np.where(m["rs"].notna(), 1.0 / (60 + m["rs"].fillna(0)),
+                      0.0)
+    m["rrf_micro"] = np.floor(1e6 * (d_term + s_term) + 0.5).astype(
+        np.int64)
+    out = (m.sort_values(["rrf_micro", "id"], ascending=[False, True],
+                         kind="mergesort").head(10)
+           [["id", "rrf_micro"]].reset_index(drop=True))
+    out["id"] = out["id"].astype("int64")
+    return out
+
+
+SQL_HYBRID_SEARCH = r"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0),
+dense AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rd FROM (
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT qe FROM q)), 6) AS score
+    FROM embeddings e WHERE e.vec_id <> 0
+    ORDER BY score DESC, id LIMIT 20)),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+       GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm AS (SELECT tf.doc_id AS id,
+              CAST(floor(SUM(
+                ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * tf.tf * (1.2 + 1.0)
+                / (tf.tf + 1.2 * (1.0 - 0.75
+                                  + (0.75 * dl.dl) / stats.avgdl))
+              ) * 1e6 + 0.5) AS BIGINT) AS s
+       FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+       JOIN df USING (term)
+       GROUP BY tf.doc_id),
+sparse AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rs FROM (
+    SELECT id, s FROM bm ORDER BY s DESC, id LIMIT 20)),
+f AS (SELECT COALESCE(dense.id, sparse.id) AS id,
+             COALESCE(1.0 / (60 + rd), 0)
+                 + COALESCE(1.0 / (60 + rs), 0) AS rrf
+      FROM dense FULL OUTER JOIN sparse ON dense.id = sparse.id)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(floor(1e6 * rrf + 0.5) AS BIGINT) AS rrf_micro
+FROM f ORDER BY rrf_micro DESC, id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6337,6 +6424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pr": q_neardup_pr,
         "quantize_embeddings": q_quantize_embeddings,
         "global_median_price": q_global_median_price,
+        "hybrid_search": q_hybrid_search,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6511,6 +6599,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_bounce": SQL_DAILY_BOUNCE,
         "segment_ks": SQL_SEGMENT_KS,
         "global_median_price": SQL_GLOBAL_MEDIAN_PRICE,
+        "hybrid_search": SQL_HYBRID_SEARCH,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

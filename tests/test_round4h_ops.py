@@ -1029,3 +1029,12 @@ def test_global_kth_smallest_vs_numpy(ray_session):
         assert int(got["kth_cents"].iloc[0]) == cents[k - 1], k
     with pytest.raises(ValueError):
         global_kth_smallest(rd.from_pandas(df), "v", k=0)
+
+
+def test_rrf_fusion_semantics():
+    """Pure RRF math: an id ranked 1 on one side and absent on the
+    other scores 1/61; present on both sides dominates."""
+    both = np.floor(1e6 * (1 / 61 + 1 / 62) + 0.5)
+    only_d = np.floor(1e6 * (1 / 61) + 0.5)
+    assert both > only_d
+    assert int(only_d) == int(np.floor(1e6 / 61 + 0.5))
