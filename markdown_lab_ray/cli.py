@@ -252,6 +252,69 @@ def cmd_tui(args) -> int:
     return run_tui(args.out, once=args.once, tab=args.tab)
 
 
+def cmd_report(args) -> int:
+    """Dataset-card report over a documents parquet: the corpus
+    summary header, per-language mixture panel (counts, sqrt
+    temperature weights, chars/token), per-source dedup yield and
+    duplicate-cluster provenance — the numbers a corpus release
+    publishes, as markdown on stdout (or --out FILE)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.dedup import dup_cluster_stats, source_dedup_yield
+    from .stages.text import corpus_summary, lang_fertility
+    from .stages.trainprep import lang_temperature_weights
+
+    ds = rd.read_parquet(args.docs,
+                         columns=["doc_id", "text", "lang", "source"])
+    head = corpus_summary(ds).to_pandas().iloc[0]
+    langs = (lang_temperature_weights(
+        rd.read_parquet(args.docs, columns=["doc_id", "lang"]))
+        .to_pandas().sort_values("lang"))
+    fert = (lang_fertility(
+        rd.read_parquet(args.docs, columns=["lang", "text"]))
+        .to_pandas().set_index("lang"))
+    srcs = (source_dedup_yield(ds).to_pandas().sort_values("source"))
+    clusters = dup_cluster_stats(ds).to_pandas()
+
+    lines = ["# Dataset card", ""]
+    lines.append(f"- documents: {head['n_docs']:,}")
+    lines.append(f"- whitespace tokens: {head['total_tokens']:,}")
+    lines.append(f"- languages: {head['n_langs']}, sources: "
+                 f"{head['n_sources']}")
+    lines.append(f"- exact-duplicate rate: "
+                 f"{head['dup_rate_micro'] / 1e4:.2f}% "
+                 f"({head['n_docs'] - head['n_unique_texts']:,} copies)")
+    lines += ["", "## Language mixture", "",
+              "| lang | docs | sqrt-temp weight | chars/token |",
+              "|---|---|---|---|"]
+    for r in langs.itertuples(index=False):
+        cpt = fert.loc[r.lang, "chars_per_token_micro"] / 1e6
+        lines.append(f"| {r.lang} | {r.n_docs:,} | "
+                     f"{r.weight_micro / 1e4:.2f}% | {cpt:.2f} |")
+    lines += ["", "## Source dedup yield", "",
+              "| source | docs | unique | yield |", "|---|---|---|---|"]
+    for r in srcs.itertuples(index=False):
+        lines.append(f"| {r.source} | {r.n_docs:,} | {r.n_unique:,} | "
+                     f"{r.yield_micro / 1e4:.2f}% |")
+    n_cl = len(clusters)
+    lines += ["", f"## Duplicate clusters (>= 2 copies): {n_cl}"]
+    if n_cl:
+        worst = clusters.sort_values("n_copies",
+                                     ascending=False).head(5)
+        for r in worst.itertuples(index=False):
+            lines.append(f"- {r.n_copies} copies across {r.n_sources} "
+                         f"source(s), doc ids {r.min_doc}..{r.max_doc}")
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"report: wrote {args.out}")
+    else:
+        print(text, end="")
+    return 0
+
+
 def cmd_mixture(args) -> int:
     """Training-mixture curation over a documents parquet: quality
     gate → exact dedup → decontamination against a benchmark parquet
@@ -433,6 +496,15 @@ def main(argv=None) -> int:
     p.add_argument("--tab", default="status",
                    choices=("status", "rounds", "config"))
     p.set_defaults(fn=cmd_tui)
+
+    p = sub.add_parser("report", help="dataset-card report over a "
+                       "documents parquet (summary, language mixture, "
+                       "source yield, dup clusters)")
+    p.add_argument("--docs", required=True,
+                   help="documents parquet (doc_id, text, lang, source)")
+    p.add_argument("--out", help="write markdown here instead of stdout")
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_report)
 
     p = sub.add_parser("mixture", help="training-mixture curation: "
                        "quality gate → dedup → decontaminate → pack")

@@ -1038,3 +1038,28 @@ def test_rrf_fusion_semantics():
     only_d = np.floor(1e6 * (1 / 61) + 0.5)
     assert both > only_d
     assert int(only_d) == int(np.floor(1e6 / 61 + 0.5))
+
+
+def test_report_cli_dataset_card(ray_session, tmp_path, capsys):
+    import pandas as pd
+
+    from markdown_lab_ray.cli import main
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["hello world"] * 2 + ["unique text here",
+                                       "another one", "mehr text",
+                                       "noch einer"],
+        "lang": ["en"] * 4 + ["de"] * 2,
+        "source": ["s1", "s2", "s1", "s1", "s3", "s3"]})
+    path = str(tmp_path / "docs.parquet")
+    docs.to_parquet(path)
+    out = str(tmp_path / "card.md")
+    assert main(["report", "--docs", path, "--out", out]) == 0
+    card = open(out).read()
+    assert "# Dataset card" in card
+    assert "documents: 6" in card
+    assert "## Language mixture" in card
+    assert "| en | 4 |" in card
+    assert "Duplicate clusters (>= 2 copies): 1" in card
+    assert "2 copies across 2 source(s)" in card
