@@ -6254,6 +6254,61 @@ FROM f ORDER BY rrf_micro DESC, id LIMIT 10
 """
 
 
+def q_mmr_rerank(sf_dir: str):
+    """MMR diversity rerank of the dense top-20 (λ=0.7, pick 5) —
+    the post-retrieval pass that keeps near-duplicate hits from
+    filling a RAG context."""
+    import pyarrow.parquet as pq
+
+    from markdown_lab_ray.stages.similarity import mmr_rerank
+
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))
+    query = np.asarray(emb0.column("embedding")[0].as_py(),
+                       dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mmr_rerank(ds, query, k_candidates=20, k_out=5, lam=0.7,
+                      exclude_ids=[0])
+
+
+_MMR_STEP = """
+s{t} AS (SELECT c.id, c.v,
+                0.7 * c.rel - 0.3 * (SELECT MAX(round(
+                    list_cosine_similarity(c.v, s.v), 6))
+                    FROM ({prev}) s) AS sc
+         FROM cand c WHERE c.id NOT IN ({ids})
+         ORDER BY sc DESC, c.id LIMIT 1)"""
+
+SQL_MMR_RERANK = ("""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0),
+cand AS (SELECT id, v, score AS rel FROM (
+  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      (SELECT qe FROM q)), 6) AS score
+  FROM embeddings e WHERE e.vec_id <> 0
+  ORDER BY score DESC, id LIMIT 20)),
+s1 AS (SELECT id, v, 0.7 * rel - 0.3 * 0.0 AS sc FROM cand
+       ORDER BY sc DESC, id LIMIT 1),"""
+                  + ",".join(_MMR_STEP.format(
+                      t=t,
+                      prev=" UNION ALL ".join(
+                          f"SELECT v FROM s{p}" for p in range(1, t)),
+                      ids=", ".join(f"(SELECT id FROM s{p})"
+                                    for p in range(1, t)))
+                      for t in (2, 3, 4, 5))
+                  + """
+SELECT CAST(rank AS BIGINT) AS rank, CAST(id AS BIGINT) AS id,
+       CAST(floor(1e6 * sc + 0.5) AS BIGINT) AS mmr_micro
+FROM (SELECT 1 AS rank, id, sc FROM s1
+      UNION ALL SELECT 2, id, sc FROM s2
+      UNION ALL SELECT 3, id, sc FROM s3
+      UNION ALL SELECT 4, id, sc FROM s4
+      UNION ALL SELECT 5, id, sc FROM s5)
+ORDER BY rank
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6425,6 +6480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "global_median_price": q_global_median_price,
         "hybrid_search": q_hybrid_search,
+        "mmr_rerank": q_mmr_rerank,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6600,6 +6656,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_ks": SQL_SEGMENT_KS,
         "global_median_price": SQL_GLOBAL_MEDIAN_PRICE,
         "hybrid_search": SQL_HYBRID_SEARCH,
+        "mmr_rerank": SQL_MMR_RERANK,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

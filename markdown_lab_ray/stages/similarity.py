@@ -680,3 +680,63 @@ def quantize_embeddings_int8(ds, id_col: str = "vec_id",
         })
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def mmr_rerank(ds, query_vec, k_candidates: int = 20, k_out: int = 5,
+               lam: float = 0.7, id_col: str = "vec_id",
+               emb_col: str = "embedding", exclude_ids=()):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    public): from the dense top-``k_candidates``, greedily pick
+    ``k_out`` results maximizing ``λ·rel − (1−λ)·max_sim_to_selected``
+    — the diversity pass RAG stacks run after retrieval so five
+    near-identical chunks don't fill the context.
+
+    Scale shape: the DISTRIBUTED part is the candidate retrieval
+    (``knn_brute_force``, no shuffle); the greedy loop runs on the
+    driver over k_candidates rows — O(k²) on a constant, never data-
+    sized.  rel and sims are 6-dp rounded before the score (the knn
+    contract) so the argmax matches the SQL twin's expression; ties
+    break on the smaller id.  Output: pandas (rank, id, mmr_micro).
+    """
+    import pandas as pd
+
+    dense = knn_brute_force(ds, query_vec, k=k_candidates,
+                            id_col=id_col, emb_col=emb_col,
+                            exclude_ids=exclude_ids)
+    ids = dense[id_col].to_numpy(dtype=np.int64)
+    rel = dense["score"].to_numpy(dtype=np.float64)  # 6-dp already
+
+    # candidate vectors: one filtered pull of k_candidates rows
+    id_set = set(int(i) for i in ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = [int(i) in id_set for i in b.column(id_col).to_pylist()]
+        return b.filter(pa.array(m))
+
+    cand = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    vecs = {int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64)
+            for _, r in cand.iterrows()}
+    mat = np.stack([vecs[int(i)] for i in ids])
+    norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mn = mat / norm
+    sims = np.round(mn @ mn.T, 6)
+
+    selected: list[int] = []
+    out_rows = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k_out, len(ids)) + 1):
+        best_pos, best_score = None, None
+        for pos in remaining:
+            ms = max((sims[pos][s] for s in selected), default=0.0)
+            score = lam * rel[pos] - (1.0 - lam) * ms
+            if (best_score is None or score > best_score
+                    or (score == best_score
+                        and ids[pos] < ids[best_pos])):
+                best_pos, best_score = pos, score
+        selected.append(best_pos)
+        remaining.remove(best_pos)
+        out_rows.append((rank, int(ids[best_pos]),
+                         int(np.floor(1e6 * best_score + 0.5))))
+    return pd.DataFrame(out_rows, columns=["rank", "id", "mmr_micro"]
+                        ).astype({"rank": "int64", "id": "int64",
+                                  "mmr_micro": "int64"})

@@ -1063,3 +1063,49 @@ def test_report_cli_dataset_card(ray_session, tmp_path, capsys):
     assert "| en | 4 |" in card
     assert "Duplicate clusters (>= 2 copies): 1" in card
     assert "2 copies across 2 source(s)" in card
+
+
+def test_mmr_rerank_matches_local_twin(ray_session):
+    from markdown_lab_ray.stages.similarity import mmr_rerank
+
+    rng = np.random.RandomState(59)
+    vecs = rng.randn(30, 6)
+    q = rng.randn(6)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(1, 31), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
+
+    def local_mmr(lam, k_cand, k_out):
+        v32 = vecs.astype(np.float32).astype(np.float64)
+        vn = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        rel_all = np.round(vn @ qn, 6)
+        ids = np.arange(1, 31)
+        order = np.lexsort((ids, -rel_all))[:k_cand]
+        ids, rel = ids[order], rel_all[order]
+        sims = np.round(vn[order] @ vn[order].T, 6)
+        sel, rows = [], []
+        rem = list(range(len(ids)))
+        for rank in range(1, k_out + 1):
+            best, bs = None, None
+            for p in rem:
+                ms = max((sims[p][s] for s in sel), default=0.0)
+                sc = lam * rel[p] - (1 - lam) * ms
+                if bs is None or sc > bs or (sc == bs
+                                             and ids[p] < ids[best]):
+                    best, bs = p, sc
+            sel.append(best)
+            rem.remove(best)
+            rows.append((rank, int(ids[best]),
+                         int(np.floor(1e6 * bs + 0.5))))
+        return rows
+
+    for lam in (0.3, 0.7, 1.0):
+        got = mmr_rerank(ds, q, k_candidates=12, k_out=5, lam=lam)
+        want = local_mmr(lam, 12, 5)
+        assert [tuple(r) for r in got.itertuples(index=False)] \
+            == want, lam
+    # lambda=1.0 degenerates to pure relevance order
+    pure = mmr_rerank(ds, q, k_candidates=12, k_out=5, lam=1.0)
+    rel_order = local_mmr(1.0, 12, 12)
+    assert pure["id"].tolist() == [r[1] for r in rel_order[:5]]
