@@ -5807,9 +5807,10 @@ def q_mixture_ess(sf_dir: str):
     wmap = dict(zip(w["lang"], w["weight_micro"].astype(np.int64)))
 
     def attach(b: pa.Table) -> pa.Table:
-        langs = b.column("lang").to_pylist()
-        return pa.table({"wm": pa.array(
-            [int(wmap[lang]) for lang in langs], pa.int64())})
+        import pandas as pd
+        wm = pd.Series(b.column("lang").to_pylist()).map(wmap)
+        return pa.table({"wm": pa.array(wm.to_numpy(np.int64),
+                                        pa.int64())})
 
     return effective_sample_size(
         docs.map_batches(attach, batch_format="pyarrow"),
@@ -6089,12 +6090,10 @@ def q_segment_ks(sf_dir: str):
                    cust["c_mktsegment"]))  # O(customers) broadcast map
 
     def tag(b: pa.Table) -> pa.Table:
-        ck = b.column("o_custkey").to_pylist()
-        sides, keep = [], []
-        for k in ck:
-            s = seg.get(k)
-            keep.append(s in ("BUILDING", "MACHINERY"))
-            sides.append(1 if s == "MACHINERY" else 0)
+        import pandas as pd
+        segs = pd.Series(b.column("o_custkey").to_pylist()).map(seg)
+        keep = segs.isin(["BUILDING", "MACHINERY"]).to_numpy()
+        sides = (segs == "MACHINERY").to_numpy().astype(np.int64)
         t = b.append_column("side", pa.array(sides, pa.int64()))
         return t.filter(pa.array(keep))
 

@@ -714,8 +714,8 @@ def mmr_rerank(ds, query_vec, k_candidates: int = 20, k_out: int = 5,
         return b.filter(pa.array(m))
 
     cand = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    vecs = {int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64)
-            for _, r in cand.iterrows()}
+    vecs = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(cand[id_col], cand[emb_col])}
     mat = np.stack([vecs[int(i)] for i in ids])
     norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mn = mat / norm
