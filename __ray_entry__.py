@@ -6308,6 +6308,53 @@ ORDER BY rank
 """)
 
 
+def q_retention_survival(sf_dir: str):
+    """Kaplan–Meier repurchase-gap survival curve (tail gaps
+    right-censored at the corpus max date)."""
+    from markdown_lab_ray.stages.analytics import retention_survival
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = retention_survival(ds, "o_custkey", "o_orderdate").to_pandas()
+    return out.sort_values("gap_days").reset_index(drop=True)
+
+
+SQL_RETENTION_SURVIVAL = """
+WITH o AS (SELECT o_custkey AS ck,
+                  CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                      AS day
+           FROM orders),
+cm AS (SELECT MAX(day) AS cmax FROM o),
+g AS (SELECT ck, day - lag(day) OVER (PARTITION BY ck ORDER BY day)
+             AS gap FROM o),
+ev AS (SELECT gap, 0 AS cens FROM g WHERE gap IS NOT NULL),
+tl AS (SELECT cmax - MAX(day) AS gap, 1 AS cens
+       FROM o, cm GROUP BY ck, cmax),
+al AS (SELECT * FROM ev UNION ALL SELECT * FROM tl),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM al),
+per AS (SELECT gap, CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN cens = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d_ev
+        FROM al GROUP BY gap),
+risk AS (SELECT gap, d_ev,
+                total - COALESCE(SUM(n_all) OVER (
+                    ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS n_at_risk
+         FROM per, tot),
+s AS (SELECT gap, n_at_risk, d_ev,
+             SUM(CASE WHEN d_ev = n_at_risk THEN NULL
+                 ELSE ln(1.0 - d_ev * 1.0 / n_at_risk) END) OVER (
+                 ORDER BY gap ROWS UNBOUNDED PRECEDING) AS lnsum
+      FROM risk WHERE d_ev > 0)
+SELECT CAST(gap AS BIGINT) AS gap_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d_ev AS BIGINT) AS n_events,
+       CAST(CASE WHEN d_ev = n_at_risk THEN 0
+            ELSE floor(exp(lnsum) * 1e6 + 0.5) END AS BIGINT)
+           AS s_micro
+FROM s ORDER BY gap_days
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6480,6 +6527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_median_price": q_global_median_price,
         "hybrid_search": q_hybrid_search,
         "mmr_rerank": q_mmr_rerank,
+        "retention_survival": q_retention_survival,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6656,6 +6704,7 @@ def oracle_sql() -> dict[str, str]:
         "global_median_price": SQL_GLOBAL_MEDIAN_PRICE,
         "hybrid_search": SQL_HYBRID_SEARCH,
         "mmr_rerank": SQL_MMR_RERANK,
+        "retention_survival": SQL_RETENTION_SURVIVAL,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -2937,3 +2937,92 @@ def global_kth_smallest(ds, value_col: str, k: int | None = None,
                                            need)])
     return pd.DataFrame({"n_rows": pd.array([n], dtype="int64"),
                          "kth_cents": pd.array([kth], dtype="int64")})
+
+
+def retention_survival(ds, cust_col: str, date_col: str,
+                       n_buckets: int = 64):
+    """Kaplan–Meier survival curve of repurchase gaps (Kaplan & Meier
+    1958, public): every consecutive same-customer order gap in days
+    is an EVENT; each customer's tail gap (corpus max day − last
+    order) is CENSORED.  ``S(k) = Π_{j≤k} (1 − d_j/n_j)`` with d =
+    events at gap j, n = gaps (either kind) still ≥ j — the retention
+    curve that raw histogram gaps get wrong by ignoring censoring.
+
+    Determinism: both engines fold ``exp(cumsum(ln(1 − d/n)))`` in
+    ASCENDING gap order (the SQL running-window order), so the float
+    op order matches before the micro pin.  Shape: per-customer gaps
+    from one bucketed key fold → (gap, censored) partial counts → one
+    keyed Sum bounded by DISTINCT GAP VALUES → a single ordered fold.
+    Output: (gap_days, n_at_risk, n_events, s_micro) per event time.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def day_rows(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df[date_col].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({cust_col: df[cust_col].to_numpy(),
+                             "_day": day})
+
+    rows = ds.map_batches(day_rows, batch_format="pandas").materialize()
+    cmax = int(rows.max("_day"))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([cust_col, "_day"], kind="mergesort")
+        day = g["_day"].to_numpy(np.int64)
+        cust = g[cust_col].to_numpy()
+        new = np.r_[True, cust[1:] != cust[:-1]]
+        gap = day - np.r_[0, day[:-1]]
+        ev = pd.DataFrame({"gap": gap[~new], "cens": np.int64(0)})
+        last = np.r_[new[1:], True]
+        tail = pd.DataFrame({"gap": cmax - day[last],
+                             "cens": np.int64(1)})
+        out = pd.concat([ev, tail], ignore_index=True)
+        return (out.groupby(["gap", "cens"], sort=False).size()
+                .rename("_n").astype("int64").reset_index())
+
+    tagged = rows.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[cust_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    parts = tagged.groupby("_b").map_groups(
+        lambda g: gaps(g.drop(columns=["_b"])), batch_format="pandas")
+    agg = parts.groupby(["gap", "cens"]).aggregate(
+        Sum("_n", alias_name="_n"))
+
+    def km(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["gap", "cens"], kind="mergesort")
+        gap = df["gap"].to_numpy(np.int64)
+        cens = df["cens"].to_numpy(np.int64)
+        n = df["_n"].to_numpy(np.int64)
+        total = int(n.sum())
+        # at-risk at time g: all gaps >= g (suffix sums over the
+        # ascending distinct-gap axis)
+        order = np.argsort(gap, kind="mergesort")
+        gs, cs, ns = gap[order], cens[order], n[order]
+        uniq = np.unique(gs)
+        per_gap = np.zeros(len(uniq), np.int64)
+        d_ev = np.zeros(len(uniq), np.int64)
+        idx = np.searchsorted(uniq, gs)
+        np.add.at(per_gap, idx, ns)
+        np.add.at(d_ev, idx[cs == 0], ns[cs == 0])
+        at_risk = total - np.r_[0, np.cumsum(per_gap)[:-1]]
+        keep = d_ev > 0
+        dk, nk = d_ev[keep], at_risk[keep]
+        # a time where EVERY at-risk gap converts is terminal: pin its
+        # S to exactly 0 (ln(0) errors in the SQL twin; its term is
+        # excluded from the running sum, mirroring SUM-skips-NULL)
+        dead = dk == nk
+        ln_terms = np.where(dead, 0.0, np.log(1.0 - dk / nk))
+        s = np.exp(np.cumsum(ln_terms))
+        s_micro = np.where(dead, 0,
+                           np.floor(s * 1e6 + 0.5)).astype(np.int64)
+        return pd.DataFrame({
+            "gap_days": uniq[keep],
+            "n_at_risk": nk,
+            "n_events": dk,
+            "s_micro": s_micro})
+
+    return agg.repartition(1).map_batches(km, batch_format="pandas",
+                                          batch_size=None)

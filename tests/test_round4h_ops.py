@@ -1109,3 +1109,44 @@ def test_mmr_rerank_matches_local_twin(ray_session):
     pure = mmr_rerank(ds, q, k_candidates=12, k_out=5, lam=1.0)
     rel_order = local_mmr(1.0, 12, 12)
     assert pure["id"].tolist() == [r[1] for r in rel_order[:5]]
+
+
+def test_retention_survival_km(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import retention_survival
+
+    base = pd.Timestamp("2024-01-01")
+    # cust 1: orders day 0, 2, 5 → gaps 2, 3; tail censored 5
+    # cust 2: orders day 0, 2 → gap 2; tail censored 8
+    # cust 3: order day 10 → censored 0  (corpus max day = 10)
+    rows = [(1, 0), (1, 2), (1, 5), (2, 0), (2, 2), (3, 10)]
+    df = pd.DataFrame(rows, columns=["ck", "d"])
+    df["od"] = base + pd.to_timedelta(df["d"], unit="D")
+    got = (retention_survival(rd.from_pandas(df), "ck", "od")
+           .to_pandas().sort_values("gap_days").reset_index(drop=True))
+    # gaps: events {2:2, 3:1}; censored {5, 8, 0}; total 6
+    # t=2: at-risk = gaps>=2 → {2,2,3,5,8} = 5; d=2 → S=0.6
+    # t=3: at-risk = {3,5,8} = 3; d=1 → S=0.6*(2/3)=0.4
+    assert got["gap_days"].tolist() == [2, 3]
+    assert got["n_at_risk"].tolist() == [5, 3]
+    assert got["n_events"].tolist() == [2, 1]
+    s2 = np.exp(np.log(1 - 2 / 5))
+    s3 = np.exp(np.log(1 - 2 / 5) + np.log(1 - 1 / 3))
+    assert got["s_micro"].tolist() == [
+        int(np.floor(s2 * 1e6 + 0.5)), int(np.floor(s3 * 1e6 + 0.5))]
+
+
+def test_retention_survival_terminal_row_is_zero(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import retention_survival
+
+    # one customer, two orders: the single gap IS the max gap and the
+    # tail censor is 0 → at the event time every at-risk gap converts
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({"ck": [1, 1],
+                       "od": [base, base + pd.Timedelta(days=4)]})
+    got = retention_survival(rd.from_pandas(df), "ck", "od").to_pandas()
+    assert got["gap_days"].tolist() == [4]
+    assert got["s_micro"].tolist() == [0]
