@@ -6355,6 +6355,28 @@ FROM s ORDER BY gap_days
 """
 
 
+def q_brand_mode(sf_dir: str):
+    """Most frequent brand per part type (exact grouped mode,
+    count-desc/brand-asc tie-break)."""
+    from markdown_lab_ray.stages.analytics import mode_per_group
+
+    ds = _read(sf_dir, "part", ["p_type", "p_brand"])
+    out = mode_per_group(ds, "p_type", "p_brand").to_pandas()
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+SQL_BRAND_MODE = """
+WITH cnt AS (SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS n
+             FROM part GROUP BY 1, 2),
+r AS (SELECT p_type, p_brand, n,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY n DESC, p_brand) AS rk
+      FROM cnt)
+SELECT p_type, p_brand AS mode_value, n
+FROM r WHERE rk = 1 ORDER BY p_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6528,6 +6550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": q_hybrid_search,
         "mmr_rerank": q_mmr_rerank,
         "retention_survival": q_retention_survival,
+        "brand_mode": q_brand_mode,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6705,6 +6728,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": SQL_HYBRID_SEARCH,
         "mmr_rerank": SQL_MMR_RERANK,
         "retention_survival": SQL_RETENTION_SURVIVAL,
+        "brand_mode": SQL_BRAND_MODE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

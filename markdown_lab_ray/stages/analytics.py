@@ -3026,3 +3026,53 @@ def retention_survival(ds, cust_col: str, date_col: str,
 
     return agg.repartition(1).map_batches(km, batch_format="pandas",
                                           batch_size=None)
+
+
+def mode_per_group(ds, group_col: str, value_col: str,
+                   n_buckets: int = 64):
+    """Exact mode per group — the most frequent value with a
+    (count desc, value asc) tie-break.  Per-batch (group, value)
+    partial counts collapse every block; ONE bucketed shuffle keyed
+    on the (group, value) CELL folds exact counts and cuts per-bucket
+    argmax candidates; a tiny second fold keyed on the group picks
+    the true mode.  Output: (group, mode_value, n).
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, value_col], sort=False)
+                .size().rename("_c").astype("int64").reset_index())
+
+    def cell_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([group_col, value_col], sort=False)["_c"].sum()
+               .astype("int64").reset_index())
+        out = (out.sort_values([group_col, "_c", value_col],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+               .groupby(group_col, sort=False).head(1))
+        return out.reset_index(drop=True)
+
+    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([group_col, "_c", value_col],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+             .groupby(group_col, sort=False).head(1)
+             .reset_index(drop=True))
+        g = g.drop(columns=["_b", "_b2"], errors="ignore")
+        return (g.rename(columns={value_col: "mode_value", "_c": "n"})
+                .astype({"n": "int64"}))
+
+    cells = ds.map_batches(partial, batch_format="pandas")
+    tagged = cells.map_batches(
+        lambda df: df.assign(_b=key_buckets(
+            (df[group_col].astype(str) + "\x00"
+             + df[value_col].astype(str)).to_numpy(), n_buckets)),
+        batch_format="pandas")
+    cands = tagged.groupby("_b").map_groups(cell_fold,
+                                            batch_format="pandas")
+    by_grp = cands.map_batches(
+        lambda df: df.assign(_b2=key_buckets(
+            df[group_col].astype(str).to_numpy(), n_buckets)),
+        batch_format="pandas")
+    return by_grp.groupby("_b2").map_groups(final_cut,
+                                            batch_format="pandas")

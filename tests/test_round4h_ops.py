@@ -1150,3 +1150,22 @@ def test_retention_survival_terminal_row_is_zero(ray_session):
     got = retention_survival(rd.from_pandas(df), "ck", "od").to_pandas()
     assert got["gap_days"].tolist() == [4]
     assert got["s_micro"].tolist() == [0]
+
+
+def test_mode_per_group_tiebreak_and_blocks(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import mode_per_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 4,
+        "v": ["x", "x", "y", "y", "z", "q", "p", "q", "p"]})
+    # group a: x and y tie at 2 → x (asc); group b: p/q tie → p
+    got = (mode_per_group(rd.from_pandas(df), "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got["mode_value"].tolist() == ["x", "p"]
+    assert got["n"].tolist() == [2, 2]
+    # block layout independence (combiner law)
+    got8 = (mode_per_group(rd.from_pandas(df).repartition(8), "g", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got.equals(got8)
