@@ -6377,6 +6377,235 @@ FROM r WHERE rk = 1 ORDER BY p_type
 """
 
 
+def q_auc_purchase(sf_dir: str):
+    """Exact tie-aware ROC AUC of event value (cents) as a score
+    predicting the purchase label — the rank-sum identity, one keyed
+    Sum bounded by distinct values."""
+    from markdown_lab_ray.stages.analytics import roc_auc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        pos = pc.cast(pc.equal(b["event_type"], "purchase"), pa.int64())
+        return pa.table({"pos": pos, "value": b["value"]})
+
+    return roc_auc(ds.map_batches(tag, batch_format="pyarrow"),
+                   "pos", "value").to_pandas()
+
+
+SQL_AUC_PURCHASE = """
+WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+g AS (SELECT c, SUM(pos) AS p, COUNT(*) AS cnt FROM base GROUP BY c),
+cum AS (SELECT p, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS bef
+        FROM g),
+s AS (SELECT SUM(p * (2 * bef + cnt + 1)) AS r2, SUM(p) AS np,
+             SUM(cnt) - SUM(p) AS nn
+      FROM cum)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(floor(1e6 * ((CAST(r2 - np * (np + 1) AS DOUBLE))
+                         / (2.0 * np * nn)) + 0.5) AS BIGINT) AS auc_micro
+FROM s
+"""
+
+
+def q_segment_welch(sf_dir: str):
+    """Welch two-sample t (and Welch–Satterthwaite df) between
+    BUILDING and MACHINERY order totals, integer-dollar moments."""
+    from markdown_lab_ray.stages.analytics import welch_t
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        segs = pd.Series(b.column("o_custkey").to_pylist()).map(seg)
+        keep = segs.isin(["BUILDING", "MACHINERY"]).to_numpy()
+        sides = (segs == "MACHINERY").to_numpy().astype(np.int64)
+        t = b.append_column("side", pa.array(sides, pa.int64()))
+        return t.filter(pa.array(keep))
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+    return welch_t(tagged, "side", "o_totalprice").to_pandas()
+
+
+SQL_SEGMENT_WELCH = """
+WITH base AS (
+  SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d,
+         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS side
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+m AS (SELECT side, COUNT(*) AS n, SUM(d) AS s, SUM(d * d) AS q
+      FROM base GROUP BY side),
+w AS (SELECT
+  MAX(CASE WHEN side = 0 THEN n END) AS n1,
+  MAX(CASE WHEN side = 0 THEN s END) AS s1,
+  MAX(CASE WHEN side = 0 THEN q END) AS q1,
+  MAX(CASE WHEN side = 1 THEN n END) AS n2,
+  MAX(CASE WHEN side = 1 THEN s END) AS s2,
+  MAX(CASE WHEN side = 1 THEN q END) AS q2
+  FROM m),
+v AS (SELECT n1, n2, s1, s2,
+  (CAST(q1 AS DOUBLE) - s1 * (s1 * 1.0 / n1)) / (n1 - 1) AS v1,
+  (CAST(q2 AS DOUBLE) - s2 * (s2 * 1.0 / n2)) / (n2 - 1) AS v2
+  FROM w),
+e AS (SELECT n1, n2, s1, s2, v1 / n1 AS se1, v2 / n2 AS se2 FROM v)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(floor(1e6 * ((s1 * 1.0 / n1 - s2 * 1.0 / n2)
+                    / sqrt(se1 + se2)) + 0.5) AS BIGINT) AS t_micro,
+  CAST(floor(1e6 * (((se1 + se2) * (se1 + se2))
+                    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)))
+       + 0.5) AS BIGINT) AS df_micro
+FROM e
+"""
+
+
+def q_pair_rules(sf_dir: str):
+    """Association rules over frequent part pairs (support ≥ 3):
+    confidence both ways and lift, exact half-up integer micro-units."""
+    from markdown_lab_ray.stages.graph import association_rules
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = association_rules(li, "l_orderkey", "l_partkey",
+                            min_support=3).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+SQL_PAIR_RULES = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM d),
+it AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+       FROM d GROUP BY 1),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_uv
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.u, p.v, p.n_uv, iu.n AS n_u, iv.n AS n_v,
+  (2000000 * p.n_uv + iu.n) // (2 * iu.n) AS conf_uv_micro,
+  (2000000 * p.n_uv + iv.n) // (2 * iv.n) AS conf_vu_micro,
+  (2000000 * nb.nb * p.n_uv + iu.n * iv.n)
+    // (2 * iu.n * iv.n) AS lift_micro
+FROM p JOIN it iu ON p.u = iu.k JOIN it iv ON p.v = iv.k CROSS JOIN nb
+ORDER BY u, v
+"""
+
+
+def q_nearest_order(sf_dir: str):
+    """Nearest-timestamp join: each event picks its user's order
+    CLOSEST in time, either direction, ties backward (the
+    ``direction="nearest"`` member of the as-of family; same
+    pre-compacted right side as ``asof_join``)."""
+    from ray.data.aggregate import Max
+
+    from markdown_lab_ray.stages.joins import bucketed_asof_join
+
+    left = _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "user_id": b["user_id"],
+                            "ts_us": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    right = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+             .map_batches(
+        lambda b: pa.table({"user_id": b["o_custkey"],
+                            "odate_us": pc.cast(b["o_orderdate"],
+                                                pa.int64()),
+                            "price": b["o_totalprice"]}),
+        batch_format="pyarrow")
+        .groupby(["user_id", "odate_us"])
+        .aggregate(Max("price", alias_name="max_price")))
+    out = bucketed_asof_join(left, right, key="user_id",
+                             left_on="ts_us", right_on="odate_us",
+                             n_buckets=16, direction="nearest")
+
+    def proj(b: pa.Table) -> pa.Table:
+        p = b["max_price"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "near_date_us": b["odate_us"].combine_chunks().cast(pa.int64()),
+            "near_price": pa.array(np.floor(p * 100 + 0.5) / 100,
+                                   pa.float64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_NEAREST_ORDER = """
+WITH r AS (
+  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS odate_us,
+         max(o_totalprice) AS max_price
+  FROM orders GROUP BY 1, 2),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+bk AS (SELECT e.event_id, e.user_id, e.ts_us,
+              r.odate_us AS bd, r.max_price AS bp
+       FROM e ASOF LEFT JOIN r
+         ON e.user_id = r.user_id AND e.ts_us >= r.odate_us),
+fw AS (SELECT e.event_id AS eid2, r.odate_us AS fd, r.max_price AS fp
+       FROM e ASOF LEFT JOIN r
+         ON e.user_id = r.user_id AND e.ts_us <= r.odate_us),
+pick AS (SELECT event_id, user_id,
+  CASE WHEN bd IS NULL THEN fd WHEN fd IS NULL THEN bd
+       WHEN (ts_us - bd) <= (fd - ts_us) THEN bd ELSE fd
+  END AS near_date_us,
+  CASE WHEN bd IS NULL THEN fp WHEN fd IS NULL THEN bp
+       WHEN (ts_us - bd) <= (fd - ts_us) THEN bp ELSE fp
+  END AS near_price_raw
+  FROM bk JOIN fw ON event_id = eid2)
+SELECT event_id, user_id, near_date_us,
+       round(near_price_raw, 2) AS near_price
+FROM pick WHERE near_date_us IS NOT NULL
+"""
+
+
+def q_cluster_silhouette(sf_dir: str):
+    """Per-cell simplified silhouette over the k-means cells of
+    ``kmeans_assign`` (same 8 deterministic centroids): the O(n·k)
+    clustering-quality audit, per-row micro-pinned so the cell fold
+    sums exact int64."""
+    from markdown_lab_ray.stages.similarity import cluster_silhouette
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_rows = ds.sort("vec_id").limit(8).take_all()
+    cents = np.asarray([r["embedding"] for r in seed_rows],
+                       dtype=np.float64)
+    cids = np.asarray([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    out = cluster_silhouette(ds, cents, cids).to_pandas()
+    return out.sort_values("centroid").reset_index(drop=True)
+
+
+SQL_CLUSTER_SILHOUETTE = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+d AS (SELECT e.vec_id, c.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn FROM d),
+s AS (SELECT a.vec_id, a.cid AS centroid,
+             CAST(floor(1e6 * ((b.dist - a.dist)
+                               / greatest(a.dist, b.dist)) + 0.5)
+                  AS BIGINT) AS s_micro
+      FROM r a JOIN r b ON a.vec_id = b.vec_id
+                       AND a.rn = 1 AND b.rn = 2)
+SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s_micro) AS BIGINT) AS sum_s_micro,
+       CAST(floor(1e6 * ((CAST(SUM(s_micro) AS DOUBLE) / 1e6)
+                         / COUNT(*)) + 0.5) AS BIGINT) AS mean_s_micro
+FROM s GROUP BY centroid ORDER BY centroid
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6551,6 +6780,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": q_mmr_rerank,
         "retention_survival": q_retention_survival,
         "brand_mode": q_brand_mode,
+        "auc_purchase": q_auc_purchase,
+        "segment_welch": q_segment_welch,
+        "pair_rules": q_pair_rules,
+        "nearest_order": q_nearest_order,
+        "cluster_silhouette": q_cluster_silhouette,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6729,6 +6963,11 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": SQL_MMR_RERANK,
         "retention_survival": SQL_RETENTION_SURVIVAL,
         "brand_mode": SQL_BRAND_MODE,
+        "auc_purchase": SQL_AUC_PURCHASE,
+        "segment_welch": SQL_SEGMENT_WELCH,
+        "pair_rules": SQL_PAIR_RULES,
+        "nearest_order": SQL_NEAREST_ORDER,
+        "cluster_silhouette": SQL_CLUSTER_SILHOUETTE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -3076,3 +3076,122 @@ def mode_per_group(ds, group_col: str, value_col: str,
         batch_format="pandas")
     return by_grp.groupby("_b2").map_groups(final_cut,
                                             batch_format="pandas")
+
+
+def roc_auc(ds, pos_col: str, value_col: str, n_buckets: int = 64):
+    """Exact ROC AUC of ``value_col`` as a score predicting the 0/1
+    ``pos_col`` label, via the tie-aware Mann–Whitney rank-sum
+    identity ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with average ranks
+    on ties — computed in EXACT integers (``2·R⁺`` is integral) and
+    micro-pinned only at the final division.
+
+    Scale shape (the ``ks_statistic`` family): per-batch
+    (cents, n_pos, n_tot) partials → one keyed Sum bounded by DISTINCT
+    score values → a single sorted fold over that aggregate.  For
+    continuous scores at web scale, quantize first (same trade as the
+    histogram family).  Doubles stay exact while
+    ``2·R⁺ < 2^53`` (≈ n⁺·N < 4.5e15) — the documented bound, far past
+    any per-slice audit this gate runs on.  Output: one row
+    (n_pos, n_neg, auc_micro)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df[value_col].to_numpy())
+        p = df[pos_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"_c": c, "_p": p,
+                          "_t": np.ones(len(c), dtype=np.int64)})
+        return (g.groupby("_c", sort=False).sum().reset_index()
+                .astype({"_p": "int64", "_t": "int64"}))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_c", kind="mergesort")
+        p = df["_p"].to_numpy(np.int64)
+        t = df["_t"].to_numpy(np.int64)
+        before = np.concatenate(([0], t.cumsum()[:-1]))
+        r2 = int((p * (2 * before + t + 1)).sum())  # 2·R⁺, integral
+        n_pos = int(p.sum())
+        n_neg = int(t.sum()) - n_pos
+        if n_pos == 0 or n_neg == 0:
+            auc = 0
+        else:
+            num = float(r2 - n_pos * (n_pos + 1))
+            den = 2.0 * float(n_pos) * float(n_neg)
+            auc = int(np.floor(1e6 * (num / den) + 0.5))
+        return pd.DataFrame({"n_pos": pd.array([n_pos], dtype="int64"),
+                             "n_neg": pd.array([n_neg], dtype="int64"),
+                             "auc_micro": pd.array([auc], dtype="int64")})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("_c").aggregate(Sum("_p", alias_name="_p"),
+                                    Sum("_t", alias_name="_t")))
+    return agg.repartition(1).map_batches(fold, batch_format="pandas",
+                                          batch_size=None)
+
+
+def welch_t(ds, side_col: str, value_col: str):
+    """Welch's two-sample t statistic (and its Welch–Satterthwaite
+    degrees of freedom) between the two values of ``side_col`` (0/1),
+    in integer micro-units.
+
+    Values are half-up-rounded to integer DOLLARS first: t is
+    scale-invariant, so the unit choice only bounds the exact int64
+    moments (Σx² < 2^63 holds to ~10^9 rows of 10^6-dollar values,
+    where cents would overflow at millions of rows); the SQL twin
+    rounds identically, and the statistic differs from the unrounded
+    t by O(0.5/σ) — noise at any real spread.
+
+    Scale shape: per-batch (side, n, Σx, Σx²) partials → one tiny
+    keyed Sum (two groups) → single-row fold whose float expression
+    tree — explicit parentheses, no unordered float summation —
+    matches the SQL twin token for token.  Output: one row
+    (n1, n2, t_micro, df_micro)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(np.asarray(df[value_col], dtype=np.float64)
+                     + 0.5).astype(np.int64)
+        s = df[side_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"_s": s, "_n": np.ones(len(v), np.int64),
+                          "_x": v, "_q": v * v})
+        return (g.groupby("_s", sort=False).sum().reset_index()
+                .astype({"_n": "int64", "_x": "int64", "_q": "int64"}))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_s", kind="mergesort")
+        row = {s: (int(n), int(x), int(q)) for s, n, x, q in
+               zip(df["_s"], df["_n"], df["_x"], df["_q"])}
+        n1, x1, q1 = row.get(0, (0, 0, 0))
+        n2, x2, q2 = row.get(1, (0, 0, 0))
+        if n1 < 2 or n2 < 2:
+            t_micro = df_micro = 0
+        else:
+            # the SQL twin's exact tree: s*(s*1.0/n) keeps s² out of
+            # int64; every paren below appears verbatim in the SQL
+            v1 = (float(q1) - float(x1) * (float(x1) / float(n1))) \
+                / float(n1 - 1)
+            v2 = (float(q2) - float(x2) * (float(x2) / float(n2))) \
+                / float(n2 - 1)
+            se1 = v1 / float(n1)
+            se2 = v2 / float(n2)
+            t = (float(x1) / float(n1) - float(x2) / float(n2)) \
+                / np.sqrt(se1 + se2)
+            dof = ((se1 + se2) * (se1 + se2)) \
+                / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
+            t_micro = int(np.floor(1e6 * t + 0.5))
+            df_micro = int(np.floor(1e6 * dof + 0.5))
+        return pd.DataFrame({
+            "n1": pd.array([n1], dtype="int64"),
+            "n2": pd.array([n2], dtype="int64"),
+            "t_micro": pd.array([t_micro], dtype="int64"),
+            "df_micro": pd.array([df_micro], dtype="int64")})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("_s").aggregate(Sum("_n", alias_name="_n"),
+                                    Sum("_x", alias_name="_x"),
+                                    Sum("_q", alias_name="_q")))
+    return agg.repartition(1).map_batches(fold, batch_format="pandas",
+                                          batch_size=None)

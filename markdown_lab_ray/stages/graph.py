@@ -1316,3 +1316,123 @@ def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
                     pa.int64())}),
             batch_format="pyarrow").repartition(n_buckets).materialize()
     return ranks
+
+
+def association_rules(ds, group_col: str, item_col: str,
+                      min_support: int = 2, n_buckets: int = 64):
+    """Association rules over frequent item PAIRS (the metrics step of
+    market-basket analysis on top of ``cooccurrence_counts``):
+    for every unordered pair with support ≥ ``min_support``, emit
+    support, both directed confidences and lift — all divisions EXACT
+    half-up integer micro-units (``(2e6·a + b) // (2·b)``), no floats
+    anywhere.
+
+    Scale shape: ONE basket-keyed bucketed shuffle computes, per
+    bucket, exact pair partials AND per-item distinct-basket partials
+    AND a basket-count partial (a basket lives wholly in its bucket);
+    one item-keyed fold then sums pairs and items together — n_u
+    attaches IN that fold (item row and its pairs co-locate) — and a
+    final v-keyed union-merge pass attaches n_v.  The total basket
+    count is one row, broadcast as a scalar.  Only frequent pairs
+    leave the fold.  Output: (u, v, n_uv, n_u, n_v, conf_uv_micro,
+    conf_vu_micro, lift_micro), items int64.
+    """
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+
+    def partials(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[[group_col, item_col]].drop_duplicates()
+        m = g.merge(g, on=group_col)
+        m = m[m[f"{item_col}_x"] < m[f"{item_col}_y"]]
+        pairs = (m.groupby([f"{item_col}_x", f"{item_col}_y"], sort=False)
+                 .size().rename("n").reset_index()
+                 .rename(columns={f"{item_col}_x": "u",
+                                  f"{item_col}_y": "v"}))
+        items = (g.groupby(item_col, sort=False).size().rename("n")
+                 .reset_index().rename(columns={item_col: "u"}))
+        items["v"] = -1
+        total = pd.DataFrame({"u": [-1], "v": [-1],
+                              "n": [g[group_col].nunique()]})
+        out = pd.concat([pairs, items, total], ignore_index=True)
+        return out.astype({"u": "int64", "v": "int64", "n": "int64"})
+
+    def fold_u(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = (g.groupby(["u", "v"], sort=False)["n"].sum()
+             .astype("int64").reset_index())
+        items = c[(c["v"] == -1) & (c["u"] != -1)][["u", "n"]]
+        total = c[c["u"] == -1]
+        pairs = c[c["v"] >= 0]
+        pairs = pairs[pairs["n"] >= min_support].rename(
+            columns={"n": "n_uv"})
+        pairs = pairs.merge(items.rename(columns={"n": "n_u"}), on="u")
+        # re-emit item rows keyed by their OWN id so the v-pass can
+        # pick them up (n_v attach); total rides along (u = v = -1)
+        items = items.assign(v=np.int64(-1), n_uv=np.int64(-1),
+                             n_u=items["n"].astype("int64"))
+        # the total row carries the exact basket count in n_u
+        total = total.assign(n_uv=np.int64(-1),
+                             n_u=total["n"].astype("int64"))
+        cols = ["u", "v", "n_uv", "n_u"]
+        return (pd.concat([pairs[cols], items[cols], total[cols]],
+                          ignore_index=True)
+                .astype({c: "int64" for c in cols}))
+
+    def fold_v(g: "pd.DataFrame", n_baskets: int) -> "pd.DataFrame":
+        items = g[(g["v"] == -1) & (g["u"] != -1)][["u", "n_u"]].rename(
+            columns={"u": "v", "n_u": "n_v"})
+        pairs = g[g["v"] >= 0]
+        m = pairs.merge(items, on="v")
+        if m.empty:
+            return pd.DataFrame({c: pd.array([], dtype="int64") for c in
+                                 ["u", "v", "n_uv", "n_u", "n_v",
+                                  "conf_uv_micro", "conf_vu_micro",
+                                  "lift_micro"]})
+        nuv = m["n_uv"].to_numpy(np.int64)
+        nu = m["n_u"].to_numpy(np.int64)
+        nv = m["n_v"].to_numpy(np.int64)
+        mm = np.int64(2_000_000)
+        m["conf_uv_micro"] = (mm * nuv + nu) // (2 * nu)
+        m["conf_vu_micro"] = (mm * nuv + nv) // (2 * nv)
+        m["lift_micro"] = ((mm * np.int64(n_baskets) * nuv + nu * nv)
+                           // (2 * nu * nv))
+        cols = ["u", "v", "n_uv", "n_u", "n_v",
+                "conf_uv_micro", "conf_vu_micro", "lift_micro"]
+        return m[cols].astype({c: "int64" for c in cols})
+
+    slim = ds.map_batches(
+        lambda df: df[[group_col, item_col]].drop_duplicates(),
+        batch_format="pandas")
+    tagged = slim.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(partials,
+                                           batch_format="pandas")
+    by_u = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    folded = by_u.groupby("_b").map_groups(
+        fold_u, batch_format="pandas").materialize()
+    # the u = v = −1 total row is a single exact scalar — the one
+    # value that crosses to the driver (same O(1) read as a .min()
+    # seed); everything else stays distributed
+    n_baskets = int(folded.map_batches(
+        lambda df: df[(df["u"] == -1) & (df["v"] == -1)][["n_u"]],
+        batch_format="pandas").sum("n_u") or 0)
+    by_v = folded.map_batches(
+        lambda df: df[df["u"] != -1].assign(
+            _b=key_buckets(np.where(df.loc[df["u"] != -1, "v"]
+                                    .to_numpy(np.int64) >= 0,
+                                    df.loc[df["u"] != -1, "v"]
+                                    .to_numpy(np.int64),
+                                    df.loc[df["u"] != -1, "u"]
+                                    .to_numpy(np.int64)), n_buckets)),
+        batch_format="pandas")
+    return by_v.groupby("_b").map_groups(
+        fold_v, batch_format="pandas",
+        fn_kwargs=dict(n_baskets=n_baskets))

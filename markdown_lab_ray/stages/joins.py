@@ -346,8 +346,12 @@ def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
     greatest ``right_on`` ≤ its ``left_on`` (the "latest state as of
     this timestamp" lookup), or — ``direction="forward"`` — the
     smallest ``right_on`` ≥ its ``left_on`` (the "next scheduled
-    event after this instant" lookup).  ``how="inner"`` drops
-    unmatched left rows; ``"left"`` keeps them with nulls.
+    event after this instant" lookup), or — ``direction="nearest"`` —
+    the right row minimizing ``|right_on − left_on|``, ties resolving
+    BACKWARD (the earlier right row wins, pandas ``merge_asof``
+    semantics — the SQL twin must encode ``back_diff <= fwd_diff``).
+    ``how="inner"`` drops unmatched left rows; ``"left"`` keeps them
+    with nulls.
 
     Shape: same ONE-shuffle bucketed pattern as ``bucketed_hash_join``
     (bucket by key hash, union, ``groupby(bucket)``), with the per-
@@ -367,9 +371,9 @@ def bucketed_asof_join(left_ds, right_ds, key: str, left_on: str,
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    if direction not in ("backward", "forward"):
-        raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or "
+                         f"'nearest', got {direction!r}")
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -740,3 +741,77 @@ def mmr_rerank(ds, query_vec, k_candidates: int = 20, k_out: int = 5,
     return pd.DataFrame(out_rows, columns=["rank", "id", "mmr_micro"]
                         ).astype({"rank": "int64", "id": "int64",
                                   "mmr_micro": "int64"})
+
+
+def cluster_silhouette(ds, centroids: np.ndarray, centroid_ids: np.ndarray,
+                       vec_col: str = "embedding"):
+    """Simplified (medoid-free) silhouette per k-means cell: for each
+    row, ``a`` = distance to its own centroid, ``b`` = distance to the
+    nearest OTHER centroid, ``s = (b−a)/max(a,b)`` — the O(n·k)
+    clustering-quality audit that replaces the O(n²) classic
+    silhouette at corpus scale (Hartigan-style simplification, public).
+
+    Scale shape: same broadcast-matrix pattern as ``kmeans_assign``
+    (centroids ship once via ``ray.put``; one vectorized distance pass
+    per batch, no shuffle), then ONE tiny keyed Sum over k cells.
+    Per-row s is micro-pinned BEFORE aggregation so the cell fold sums
+    exact int64 — no order-dependent float summation anywhere; the
+    cell mean divides once at the end through the SQL twin's exact
+    expression tree.  Ranking ties and the recomputed exact distances
+    follow ``kmeans_assign`` (ascending-cid argmin, direct
+    ``(x−c)²`` sums).  Output: (centroid, n, sum_s_micro,
+    mean_s_micro), one row per cell.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cids = np.asarray(centroid_ids, dtype=np.int64)
+    if len(cents) < 2:
+        raise ValueError("cluster_silhouette needs >= 2 centroids")
+    cref = ray.put((cents, cids))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cs, ids = ray.get(cref)
+        x = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        diff_all = x[:, None, :] - cs[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff_all, diff_all)
+        order = np.argsort(ids, kind="stable")
+        d2o = d2[:, order]
+        first = np.argmin(d2o, axis=1)
+        # runner-up: mask the winner, argmin again (same tie rule)
+        masked = d2o.copy()
+        masked[np.arange(len(x)), first] = np.inf
+        second = np.argmin(masked, axis=1)
+        own = order[first]
+        other = order[second]
+        da = x - cs[own]
+        db = x - cs[other]
+        a = np.sqrt((da * da).sum(1))
+        b = np.sqrt((db * db).sum(1))
+        mx = np.maximum(a, b)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        return pa.table({
+            "centroid": pa.array(ids[own], pa.int64()),
+            "s_micro": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64),
+                                pa.int64()),
+        })
+
+    agg = (ds.map_batches(score, batch_format="pyarrow")
+           .groupby("centroid")
+           .aggregate(Count(alias_name="n"),
+                      Sum("s_micro", alias_name="sum_s_micro")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ssum = b.column("sum_s_micro").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.floor(1e6 * ((ssum.astype(np.float64) / 1e6) / n) + 0.5)
+        return pa.table({
+            "centroid": b.column("centroid"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "sum_s_micro": pc.cast(b.column("sum_s_micro"), pa.int64()),
+            "mean_s_micro": pa.array(mean.astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
