@@ -1,0 +1,152 @@
+"""Round-4i operators: roc_auc, welch_t, association_rules,
+as-of nearest direction, cluster_silhouette."""
+
+import numpy as np
+import ray.data as rd
+
+
+def test_roc_auc_tie_aware_hand_case(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import roc_auc
+
+    # scores: pos {3, 2, 2}, neg {2, 1}; tie-aware Mann-Whitney:
+    # ranks of sorted [1,2,2,2,3] = [1, 3, 3, 3, 5] (average ranks)
+    # R+ = 5 + 3 + 3 = 11; AUC = (11 - 3*4/2) / (3*2) = 5/6
+    df = pd.DataFrame({"pos": [1, 1, 1, 0, 0],
+                       "value": [3.0, 2.0, 2.0, 2.0, 1.0]})
+    got = roc_auc(rd.from_pandas(df), "pos", "value").to_pandas()
+    assert got["n_pos"].tolist() == [3]
+    assert got["n_neg"].tolist() == [2]
+    assert got["auc_micro"].tolist() == [
+        int(np.floor(1e6 * (5 / 6) + 0.5))]
+    # block layout independence (per-batch partials are a combiner)
+    got8 = roc_auc(rd.from_pandas(df).repartition(5),
+                   "pos", "value").to_pandas()
+    assert got.equals(got8)
+
+
+def test_roc_auc_perfect_and_degenerate(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import roc_auc
+
+    sep = pd.DataFrame({"pos": [0, 0, 1, 1],
+                        "value": [1.0, 2.0, 3.0, 4.0]})
+    assert roc_auc(rd.from_pandas(sep), "pos",
+                   "value").to_pandas()["auc_micro"].tolist() == [1000000]
+    one = pd.DataFrame({"pos": [1, 1], "value": [1.0, 2.0]})
+    got = roc_auc(rd.from_pandas(one), "pos", "value").to_pandas()
+    assert got["n_neg"].tolist() == [0]
+    assert got["auc_micro"].tolist() == [0]
+
+
+def test_welch_t_matches_direct_formula(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import welch_t
+
+    # integer values so the dollar rounding is the identity
+    a = np.array([10, 12, 9, 11, 13], dtype=np.float64)   # side 0
+    b = np.array([20, 18, 22, 19], dtype=np.float64)      # side 1
+    df = pd.DataFrame({"side": [0] * len(a) + [1] * len(b),
+                       "value": np.concatenate([a, b])})
+    got = welch_t(rd.from_pandas(df), "side", "value").to_pandas()
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se1, se2 = v1 / len(a), v2 / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se1 + se2)
+    dof = (se1 + se2) ** 2 / (se1 ** 2 / (len(a) - 1)
+                              + se2 ** 2 / (len(b) - 1))
+    assert got["n1"].tolist() == [5] and got["n2"].tolist() == [4]
+    assert abs(got["t_micro"].iloc[0] - np.floor(1e6 * t + 0.5)) <= 1
+    assert abs(got["df_micro"].iloc[0] - np.floor(1e6 * dof + 0.5)) <= 1
+    got3 = welch_t(rd.from_pandas(df).repartition(4),
+                   "side", "value").to_pandas()
+    assert got.equals(got3)
+
+
+def test_welch_t_undersized_group_yields_zero(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import welch_t
+
+    df = pd.DataFrame({"side": [0, 0, 1], "value": [1.0, 2.0, 3.0]})
+    got = welch_t(rd.from_pandas(df), "side", "value").to_pandas()
+    assert got["t_micro"].tolist() == [0]
+    assert got["df_micro"].tolist() == [0]
+
+
+def test_association_rules_hand_case(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.graph import association_rules
+
+    # baskets: 1:{a,b} 2:{a,b,c} 3:{a,c} 4:{b} 5:{a,b} (items as ints
+    # a=1 b=2 c=3); duplicate (1,a) row must not double-count
+    rows = [(1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (2, 3),
+            (3, 1), (3, 3), (4, 2), (5, 1), (5, 2)]
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+    got = (association_rules(rd.from_pandas(df), "basket", "item",
+                             min_support=2)
+           .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+    # pair counts: (1,2)=3, (1,3)=2, (2,3)=1 → min_support=2 keeps 2
+    # items: n(1)=4, n(2)=4, n(3)=2; baskets=5
+    assert got[["u", "v", "n_uv", "n_u", "n_v"]].values.tolist() == [
+        [1, 2, 3, 4, 4], [1, 3, 2, 4, 2]]
+    # conf(1→2)=3/4, conf(2→1)=3/4, lift=5*3/(4*4)
+    assert got["conf_uv_micro"].tolist() == [750000, 500000]
+    assert got["conf_vu_micro"].tolist() == [750000, 1000000]
+    assert got["lift_micro"].tolist() == [
+        (2_000_000 * 5 * 3 + 16) // 32, (2_000_000 * 5 * 2 + 8) // 16]
+    # block / bucket layout independence
+    got2 = (association_rules(rd.from_pandas(df).repartition(6),
+                              "basket", "item", min_support=2,
+                              n_buckets=3)
+            .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+    assert got.equals(got2)
+
+
+def test_asof_nearest_matches_pandas_and_ties_backward(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.joins import bucketed_asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2], "lt": [5, 10, 14, 7],
+                         "lid": [0, 1, 2, 3]})
+    right = pd.DataFrame({"k": [1, 1, 2], "rt": [4, 16, 100],
+                          "rv": [40, 160, 1000]})
+    got = (bucketed_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), key="k",
+        left_on="lt", right_on="rt", n_buckets=2, direction="nearest")
+        .to_pandas().sort_values("lid").reset_index(drop=True))
+    exp = pd.merge_asof(left.sort_values("lt"), right.sort_values("rt"),
+                        left_on="lt", right_on="rt", by="k",
+                        direction="nearest").sort_values("lid")
+    assert got["rv"].tolist() == exp["rv"].tolist()
+    # lt=10 is equidistant from rt=4 (back 6) and rt=16 (fwd 6):
+    # ties resolve backward → rv=40
+    assert got.loc[got["lid"] == 1, "rv"].tolist() == [40]
+
+
+def test_cluster_silhouette_hand_case(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.similarity import cluster_silhouette
+
+    cents = np.array([[0.0, 0.0], [10.0, 0.0]])
+    cids = np.array([7, 3])
+    pts = np.array([[1.0, 0.0], [2.0, 0.0], [9.0, 0.0]])
+    df = pd.DataFrame({"vec_id": [0, 1, 2],
+                       "embedding": [list(p) for p in pts]})
+    got = (cluster_silhouette(rd.from_pandas(df), cents, cids)
+           .to_pandas().sort_values("centroid").reset_index(drop=True))
+    # pt0: a=1 b=9 s=8/9; pt1: a=2 b=8 s=6/8; pt2: a=1 b=9 s=8/9
+    s0 = int(np.floor(1e6 * (8 / 9) + 0.5))
+    s1 = int(np.floor(1e6 * (6 / 8) + 0.5))
+    assert got["centroid"].tolist() == [3, 7]
+    assert got["n"].tolist() == [1, 2]
+    assert got["sum_s_micro"].tolist() == [s0, s0 + s1]
+    got4 = (cluster_silhouette(rd.from_pandas(df).repartition(3),
+                               cents, cids)
+            .to_pandas().sort_values("centroid").reset_index(drop=True))
+    assert got.equals(got4)
