@@ -6606,6 +6606,36 @@ FROM s GROUP BY centroid ORDER BY centroid
 """
 
 
+def q_setsim_pairs(sf_dir: str):
+    """Exact all-pairs word-set Jaccard ≥ 0.9 self-join over the
+    corpus (AllPairs prefix filtering, rarest-first order; recall-1.0
+    complement of the minhash path).  ASCII ``[a-z0-9]+`` tokens so
+    the SQL twin tokenizes identically."""
+    from markdown_lab_ray.stages.dedup import setsim_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_join(ds, tau_micro=900000, n_buckets=16)
+
+
+SQL_SETSIM_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)),
+n AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+i AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter_n
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT i.a, i.b, inter_n,
+             CAST(na.n + nb.n - inter_n AS BIGINT) AS union_n
+      FROM i JOIN n na ON i.a = na.doc_id JOIN n nb ON i.b = nb.doc_id)
+SELECT a, b, inter_n, union_n,
+       (2000000 * inter_n + union_n) // (2 * union_n) AS jac_micro
+FROM j WHERE 1000000 * inter_n >= 900000 * union_n
+ORDER BY a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6785,6 +6815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_rules": q_pair_rules,
         "nearest_order": q_nearest_order,
         "cluster_silhouette": q_cluster_silhouette,
+        "setsim_pairs": q_setsim_pairs,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -6968,6 +6999,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_rules": SQL_PAIR_RULES,
         "nearest_order": SQL_NEAREST_ORDER,
         "cluster_silhouette": SQL_CLUSTER_SILHOUETTE,
+        "setsim_pairs": SQL_SETSIM_PAIRS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -42,7 +42,7 @@ def test_asof_direction_validated(ray_session):
                                  "t": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError, match="direction"):
         bucketed_asof_join(ds, ds, key="k", left_on="t", right_on="t",
-                           direction="nearest")
+                           direction="sideways")
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,54 @@ def test_cluster_silhouette_hand_case(ray_session):
                                cents, cids)
             .to_pandas().sort_values("centroid").reset_index(drop=True))
     assert got.equals(got4)
+
+
+def test_setsim_join_hand_case_and_paths(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.dedup import setsim_join
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat",        # {the,cat,sat,on,mat}
+                 "the cat sat on a mat",          # {the,cat,sat,on,a,mat}
+                 "dogs bark loudly",              # disjoint
+                 "THE CAT SAT ON THE MAT!"]})     # == doc 1 tokens
+    import ray.data as rd
+    got = setsim_join(rd.from_pandas(docs), tau_micro=700000)
+    # (1,2): inter=5 union=6 jac=5/6; (1,4): identical sets jac=1;
+    # (2,4): 5/6; doc 3 matches nothing
+    assert got[["a", "b"]].values.tolist() == [[1, 2], [1, 4], [2, 4]]
+    assert got["inter_n"].tolist() == [5, 5, 5]
+    assert got["union_n"].tolist() == [6, 5, 6]
+    jac56 = (2_000_000 * 5 + 6) // 12
+    assert got["jac_micro"].tolist() == [jac56, 1_000_000, jac56]
+    # distributed path (small_cutoff=0) must match the fast path
+    dist = setsim_join(rd.from_pandas(docs).repartition(3),
+                       tau_micro=700000, n_buckets=4,
+                       n_pair_buckets=4, small_cutoff=0)
+    assert got.equals(dist)
+    # threshold strictness: tau just above 5/6 drops the 5/6 pairs
+    hi = setsim_join(rd.from_pandas(docs), tau_micro=833334)
+    assert hi[["a", "b"]].values.tolist() == [[1, 4]]
+    with pytest.raises(ValueError, match="tau_micro"):
+        setsim_join(rd.from_pandas(docs), tau_micro=0)
+
+
+def test_setsim_join_empty_and_no_matches(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import setsim_join
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["alpha beta", "gamma delta", ""]})
+    got = setsim_join(rd.from_pandas(docs), tau_micro=500000)
+    assert len(got) == 0
+    assert list(got.columns) == ["a", "b", "inter_n", "union_n",
+                                 "jac_micro"]
+    # distributed path agrees on the empty result
+    dist = setsim_join(rd.from_pandas(docs), tau_micro=500000,
+                       n_buckets=2, small_cutoff=0)
+    assert len(dist) == 0
