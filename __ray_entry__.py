@@ -6636,6 +6636,63 @@ ORDER BY a, b
 """
 
 
+def q_sssp_parts(sf_dir: str):
+    """Bounded-hop shortest paths (4 Bellman-Ford rounds, exact int64)
+    from the smallest part over the part co-occurrence graph, edge
+    length 1e6 // shared-order-count (more co-orders = shorter)."""
+    from markdown_lab_ray.stages.graph import cooccurrence_counts, sssp_bounded
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_counts(li, "l_orderkey", "l_partkey",
+                                min_support=1)
+
+    def both_ways(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        w = 1_000_000 // b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]).astype(np.int64),
+                          pa.int64())})
+
+    edges = pairs.map_batches(both_ways,
+                              batch_format="pyarrow").materialize()
+    source = int(edges.min("src"))
+    out = sssp_bounded(edges, source, rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_SSSP_ITER = """
+d{t} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d{p}.d + e.w AS d
+    FROM d{p} JOIN e ON d{p}.node = e.src)
+  GROUP BY node)"""
+
+SQL_SSSP_PARTS = ("""
+WITH pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         1000000 // CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM pairs
+  UNION ALL SELECT v, u, w FROM pairs),
+d0 AS MATERIALIZED (
+  SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS d FROM e),"""
+                  + ",".join(_SSSP_ITER.format(t=t, p=t - 1)
+                             for t in (1, 2, 3, 4))
+                  + """
+SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+FROM d4 ORDER BY node
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6816,6 +6873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_order": q_nearest_order,
         "cluster_silhouette": q_cluster_silhouette,
         "setsim_pairs": q_setsim_pairs,
+        "sssp_parts": q_sssp_parts,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7000,6 +7058,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_order": SQL_NEAREST_ORDER,
         "cluster_silhouette": SQL_CLUSTER_SILHOUETTE,
         "setsim_pairs": SQL_SETSIM_PAIRS,
+        "sssp_parts": SQL_SSSP_PARTS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

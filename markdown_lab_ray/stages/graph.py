@@ -1436,3 +1436,83 @@ def association_rules(ds, group_col: str, item_col: str,
     return by_v.groupby("_b").map_groups(
         fold_v, batch_format="pandas",
         fn_kwargs=dict(n_baskets=n_baskets))
+
+
+def sssp_bounded(edges_ds, source: int, rounds: int = 4,
+                 n_buckets: int = 64, small_cutoff: int = 2_000_000):
+    """Bounded-hop single-source shortest paths (Bellman–Ford rounds)
+    over a weighted edge Dataset (src, dst, w — int64, w ≥ 0): after
+    ``rounds`` relaxations each reached node carries the EXACT minimum
+    path cost over all paths of ≤ ``rounds`` edges — a well-defined
+    deterministic contract on cyclic graphs (full SSSP = rounds ≥
+    longest shortest path's hop count), all integer arithmetic so the
+    SQL twin (one MATERIALIZED CTE level per round) matches bit-exact.
+
+    Scale shape: the frontier table (node, d) lives as a Dataset; each
+    round is ONE ``bucketed_hash_join`` of dist onto edges by src plus
+    ONE keyed Min over (old dist ∪ relaxed candidates) — 2 keyed
+    shuffles per round, the ``pagerank_integer`` budget; per-round
+    materialize pins the frontier so round k+1 never re-executes round
+    k.  Graphs of ≤ ``small_cutoff`` edges run all rounds in ONE
+    off-driver numpy task (per-group-overhead rule), path-equality
+    pinned.  Output: (node, dist) for reached nodes, int64.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .joins import bucketed_hash_join
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    edges_ds = edges_ds.materialize()
+
+    if 0 < edges_ds.count() <= small_cutoff:
+        def local_sssp(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            nodes = np.unique(np.concatenate([src, dst]))
+            si = np.searchsorted(nodes, src)
+            di = np.searchsorted(nodes, dst)
+            INF = np.iinfo(np.int64).max
+            d = np.full(len(nodes), INF, np.int64)
+            s = np.searchsorted(nodes, source)
+            if s >= len(nodes) or nodes[s] != source:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            d[s] = 0
+            for _ in range(rounds):
+                live = d[si] != INF
+                cand = d[si[live]] + w[live]
+                np.minimum.at(d, di[live], cand)
+            keep = d != INF
+            return pa.table({"node": pa.array(nodes[keep], pa.int64()),
+                             "dist": pa.array(d[keep], pa.int64())})
+
+        return (edges_ds.repartition(1)
+                .map_batches(local_sssp, batch_format="pyarrow",
+                             batch_size=None).materialize())
+
+    import ray.data as rd
+    dist = rd.from_arrow(pa.table({"node": pa.array([source], pa.int64()),
+                                   "dist": pa.array([0], pa.int64())}))
+    for _ in range(rounds):
+        as_src = dist.map_batches(
+            lambda b: pa.table({"src": b["node"], "d0": b["dist"]}),
+            batch_format="pyarrow")
+        relaxed = (bucketed_hash_join(as_src, edges_ds, key="src",
+                                      n_buckets=n_buckets)
+                   .map_batches(
+            lambda b: pa.table({
+                "node": b["dst"],
+                "dist": pa.array(
+                    b["d0"].to_numpy(zero_copy_only=False)
+                    + b["w"].to_numpy(zero_copy_only=False), pa.int64())}),
+            batch_format="pyarrow"))
+        dist = (dist.union(relaxed).groupby("node")
+                .aggregate(Min("dist", alias_name="dist"))
+                .map_batches(lambda b: b.select(["node", "dist"]),
+                             batch_format="pyarrow")
+                .repartition(n_buckets).materialize())
+    return dist

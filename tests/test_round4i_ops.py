@@ -201,3 +201,44 @@ def test_setsim_join_empty_and_no_matches(ray_session):
     dist = setsim_join(rd.from_pandas(docs), tau_micro=500000,
                        n_buckets=2, small_cutoff=0)
     assert len(dist) == 0
+
+
+def test_sssp_bounded_hand_case_and_paths(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.graph import sssp_bounded
+
+    # 1→2 (w=10), 2→3 (w=1), 1→3 (w=100), 3→1 (w=1, cycle),
+    # 4→5 (w=7, disconnected from source 1)
+    edges = pd.DataFrame({"src": [1, 2, 1, 3, 4],
+                          "dst": [2, 3, 3, 1, 5],
+                          "w": [10, 1, 100, 1, 7]})
+    ds = rd.from_pandas(edges)
+    got = (sssp_bounded(ds, source=1, rounds=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    # shortest: d(1)=0, d(2)=10, d(3)=11 (via 2, 2 hops); 4/5 unreached
+    assert got["node"].tolist() == [1, 2, 3]
+    assert got["dist"].tolist() == [0, 10, 11]
+    # hop bound: 1 round only reaches direct edges (3 costs 100)
+    one = (sssp_bounded(ds, source=1, rounds=1).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert one["dist"].tolist() == [0, 10, 100]
+    # distributed path equals the fast path
+    dist = (sssp_bounded(ds.repartition(3), source=1, rounds=4,
+                         n_buckets=2, small_cutoff=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert got.equals(dist)
+    with pytest.raises(ValueError, match="rounds"):
+        sssp_bounded(ds, source=1, rounds=0)
+
+
+def test_sssp_bounded_missing_source_empty(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.graph import sssp_bounded
+
+    edges = pd.DataFrame({"src": [1], "dst": [2], "w": [5]})
+    got = sssp_bounded(rd.from_pandas(edges), source=99,
+                       rounds=2).to_pandas()
+    assert len(got) == 0
