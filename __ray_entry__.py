@@ -6693,6 +6693,38 @@ FROM d4 ORDER BY node
 """)
 
 
+def q_last_touch(sf_dir: str):
+    """Last-touch revenue attribution: each purchase's exact cents
+    credit the user's latest strictly-earlier non-purchase event type
+    ((ts, event_id) order; '(none)' when no prior touch)."""
+    from markdown_lab_ray.stages.analytics import last_touch_attribution
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return last_touch_attribution(ds)
+
+
+SQL_LAST_TOUCH = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+m AS (
+  SELECT event_type, c,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM e)
+SELECT COALESCE(touch, '(none)') AS touch_type,
+       CAST(SUM(c) AS BIGINT) AS attr_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_conv
+FROM m WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6874,6 +6906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_silhouette": q_cluster_silhouette,
         "setsim_pairs": q_setsim_pairs,
         "sssp_parts": q_sssp_parts,
+        "last_touch": q_last_touch,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7059,6 +7092,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_silhouette": SQL_CLUSTER_SILHOUETTE,
         "setsim_pairs": SQL_SETSIM_PAIRS,
         "sssp_parts": SQL_SSSP_PARTS,
+        "last_touch": SQL_LAST_TOUCH,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

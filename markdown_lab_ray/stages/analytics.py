@@ -3195,3 +3195,64 @@ def welch_t(ds, side_col: str, value_col: str):
                                     Sum("_q", alias_name="_q")))
     return agg.repartition(1).map_batches(fold, batch_format="pandas",
                                           batch_size=None)
+
+
+def last_touch_attribution(ds, user_col: str = "user_id",
+                           ts_col: str = "ts", type_col: str = "event_type",
+                           value_col: str = "value",
+                           conv_type: str = "purchase",
+                           id_col: str = "event_id",
+                           n_buckets: int = 64):
+    """Last-touch revenue attribution: every ``conv_type`` event's
+    value (exact cents) is credited to the LATEST strictly-earlier
+    non-conversion event's type for the same user — order
+    (``ts_col``, ``id_col``) so timestamp ties are deterministic;
+    conversions with no prior touch credit ``'(none)'``.
+
+    Scale shape: ONE user-bucketed shuffle (a user's history lives
+    wholly in its bucket); the in-bucket sweep is a vectorized
+    ffill-by-cummax over the sorted rows (no per-row loop, no
+    per-user group objects); per-bucket (touch, cents, n) partials
+    then fold through one tiny keyed Sum over the type vocabulary.
+    Output: (touch_type, attr_cents, n_conv) sorted by touch_type.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .bucketing import key_buckets
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        types = g[type_col].to_numpy(dtype=object)
+        users = g[user_col].to_numpy()
+        cents = _cents(g[value_col].to_numpy())
+        n = len(g)
+        idx = np.arange(n)
+        nonp = types != conv_type
+        last_np = np.maximum.accumulate(np.where(nonp, idx, -1))
+        last_before = np.concatenate(([-1], last_np[:-1]))
+        # rows before the user's first row don't count
+        new_user = np.concatenate(([True], users[1:] != users[:-1]))
+        user_start = idx[new_user][np.cumsum(new_user) - 1]
+        conv = ~nonp
+        ok = conv & (last_before >= user_start)
+        touch = np.where(ok, types[np.maximum(last_before, 0)], "(none)")
+        out = pd.DataFrame({
+            "touch_type": touch[conv],
+            "attr_cents": cents[conv],
+            "n_conv": np.ones(int(conv.sum()), np.int64)})
+        return (out.groupby("touch_type", sort=False).sum().reset_index()
+                .astype({"attr_cents": "int64", "n_conv": "int64"}))
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(
+        lambda g: sweep(g.drop(columns=["_b"])), batch_format="pandas")
+    agg = (part.groupby("touch_type")
+           .aggregate(Sum("attr_cents", alias_name="attr_cents"),
+                      Sum("n_conv", alias_name="n_conv")))
+    return agg.map_batches(
+        lambda b: b.select(["touch_type", "attr_cents", "n_conv"]),
+        batch_format="pyarrow").sort("touch_type")

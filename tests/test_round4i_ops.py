@@ -242,3 +242,34 @@ def test_sssp_bounded_missing_source_empty(ray_session):
     got = sssp_bounded(rd.from_pandas(edges), source=99,
                        rounds=2).to_pandas()
     assert len(got) == 0
+
+
+def test_last_touch_attribution_hand_case(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import last_touch_attribution
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: view, click, purchase(10) → click; purchase(5) with only
+    #   purchases before it in between → still click (ffill skips conv)
+    # user 2: purchase(7) with no prior touch → (none)
+    # user 3: ts tie between view(id 8) and click(id 9) then purchase
+    #   → id order breaks the tie, click is later → click
+    rows = [
+        (1, 0, 1, "view", 0.0), (2, 1, 1, "click", 0.0),
+        (3, 2, 1, "purchase", 10.0), (4, 3, 1, "purchase", 5.0),
+        (5, 0, 2, "purchase", 7.0),
+        (8, 0, 3, "view", 0.0), (9, 0, 3, "click", 0.0),
+        (10, 1, 3, "purchase", 2.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "d", "user_id",
+                                     "event_type", "value"])
+    df["ts"] = base + pd.to_timedelta(df["d"], unit="h")
+    got = last_touch_attribution(rd.from_pandas(df)).to_pandas()
+    assert got["touch_type"].tolist() == ["(none)", "click"]
+    assert got["attr_cents"].tolist() == [700, 1700]
+    assert got["n_conv"].tolist() == [1, 3]
+    # layout independence
+    got2 = last_touch_attribution(rd.from_pandas(df).repartition(5),
+                                  n_buckets=3).to_pandas()
+    assert got.equals(got2)
