@@ -6725,6 +6725,83 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_gains_deciles(sf_dir: str):
+    """Decile gains table over event value as a purchase-score:
+    per descending-score decile the positive rate and cumulative
+    captured-positive share, exact integer micro-units."""
+    from markdown_lab_ray.stages.analytics import gains_table
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "pos": pc.cast(pc.equal(b["event_type"], "purchase"),
+                           pa.int64()),
+            "value": b["value"]})
+
+    return gains_table(ds.map_batches(tag, batch_format="pyarrow"),
+                       "pos", "value", "event_id").to_pandas()
+
+
+SQL_GAINS_DECILES = """
+WITH b AS (
+  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+r AS (SELECT pos, row_number() OVER (ORDER BY c DESC, event_id) AS rn,
+             COUNT(*) OVER () AS nt
+      FROM b),
+t AS (SELECT (rn - 1) * 10 // nt AS tile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM r GROUP BY 1),
+tp AS (SELECT SUM(n_pos) AS tp FROM t)
+SELECT tile, n, n_pos,
+       (2000000 * n_pos + n) // (2 * n) AS pos_rate_micro,
+       CAST((2000000 * SUM(n_pos) OVER (ORDER BY tile) + tp)
+            // (2 * tp) AS BIGINT) AS cum_capture_micro
+FROM t CROSS JOIN tp ORDER BY tile
+"""
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 corpus collocations by PMI (adjacent ASCII-word bigrams,
+    count ≥ 5): exact int64 counts, one ln through the SQL twin's
+    expression tree, (pmi desc, w1, w2) order."""
+    from markdown_lab_ray.stages.text import pmi_bigrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pmi_bigrams(ds, min_count=5, top_k=20)
+
+
+SQL_PMI_BIGRAMS = """
+WITH tk AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+u AS MATERIALIZED (
+  SELECT t.w AS w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tk, unnest(ws) AS t(w) GROUP BY 1),
+bgr AS MATERIALIZED (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(ws) - 1)) AS s(i)),
+bg AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM bgr GROUP BY 1, 2),
+tot AS (SELECT (SELECT SUM(n) FROM u) AS n1,
+               (SELECT SUM(n_xy) FROM bg) AS n2)
+SELECT bg.w1, bg.w2, bg.n_xy, ux.n AS n_x, uy.n AS n_y,
+  CAST(floor(1e6 * ln((CAST(n_xy AS DOUBLE) / n2)
+                      / ((CAST(ux.n AS DOUBLE) / n1)
+                         * (CAST(uy.n AS DOUBLE) / n1))) + 0.5)
+       AS BIGINT) AS pmi_micro
+FROM bg JOIN u ux ON bg.w1 = ux.w JOIN u uy ON bg.w2 = uy.w
+CROSS JOIN tot
+WHERE n_xy >= 5
+ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6907,6 +6984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_pairs": q_setsim_pairs,
         "sssp_parts": q_sssp_parts,
         "last_touch": q_last_touch,
+        "gains_deciles": q_gains_deciles,
+        "pmi_bigrams": q_pmi_bigrams,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7093,6 +7172,8 @@ def oracle_sql() -> dict[str, str]:
         "setsim_pairs": SQL_SETSIM_PAIRS,
         "sssp_parts": SQL_SSSP_PARTS,
         "last_touch": SQL_LAST_TOUCH,
+        "gains_deciles": SQL_GAINS_DECILES,
+        "pmi_bigrams": SQL_PMI_BIGRAMS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

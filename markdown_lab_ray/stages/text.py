@@ -1058,3 +1058,100 @@ def lang_fertility(ds, group_col: str = "lang", text_col: str = "text"):
             .aggregate(Sum("_ch", alias_name="n_chars"),
                        Sum("_tk", alias_name="n_tokens"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+_PMI_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def pmi_bigrams(ds, text_col: str = "text", min_count: int = 5,
+                top_k: int = 20, n_buckets: int = 32):
+    """Top-k adjacent-word bigrams by pointwise mutual information
+    ``ln((c_xy/N2) / ((c_x/N1)·(c_y/N1)))`` — the collocation-mining
+    audit of a corpus (Church & Hanks 1990, public).  ASCII
+    ``[a-z0-9]+`` tokens (the SQL-twin-identical tokenizer contract);
+    counts stay exact int64 end-to-end; the single ``ln`` happens once
+    per surviving bigram through the SQL twin's exact expression tree,
+    micro-pinned half-up.
+
+    Scale shape: per-batch (bigram, n) and (word, n) partials → two
+    keyed Sums (vocab-scale rows, never corpus-scale); the two scalar
+    totals (N1 tokens, N2 bigrams) are O(1) driver reads; c_x / c_y
+    attach via two ``bucketed_hash_join``s on the word key; the
+    ``min_count`` gate cuts the tail BEFORE the global
+    sort-by-(pmi desc, w1, w2) top-k.  Output: (w1, w2, n_xy, n_x,
+    n_y, pmi_micro), ``top_k`` rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .joins import bucketed_hash_join
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        big: dict = {}
+        uni: dict = {}
+        for t in batch.column(text_col).to_pylist():
+            ws = _PMI_WORD_RE.findall((t or "").lower())
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        w1 = [k[0] for k in big] + list(uni)
+        w2 = [k[1] for k in big] + [""] * len(uni)
+        n = list(big.values()) + list(uni.values())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+              .map_batches(lambda b: b.select(["w1", "w2", "n"]),
+                           batch_format="pyarrow")
+              .materialize())
+    uni = counts.filter(expr="w2 == ''")
+    n1 = int(uni.sum("n") or 0)
+    bg = (counts.filter(expr="w2 != ''")
+          .map_batches(lambda b: pa.table({
+              "w1": b["w1"], "w2": b["w2"],
+              "n_xy": pc.cast(b["n"], pa.int64())}),
+              batch_format="pyarrow"))
+    n2 = int(bg.sum("n_xy") or 0)
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in
+                             [("w1", "object"), ("w2", "object"),
+                              ("n_xy", "int64"), ("n_x", "int64"),
+                              ("n_y", "int64"), ("pmi_micro", "int64")]})
+    bg = bg.filter(expr=f"n_xy >= {min_count}")
+    ux = uni.map_batches(lambda b: pa.table(
+        {"w1": b["w1"], "n_x": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+    uy = uni.map_batches(lambda b: pa.table(
+        {"w2": b["w1"], "n_y": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+    j = bucketed_hash_join(bg, ux, key="w1", n_buckets=n_buckets)
+    j = bucketed_hash_join(j, uy, key="w2", n_buckets=n_buckets)
+
+    def score(b: pa.Table) -> pa.Table:
+        nxy = b.column("n_xy").to_numpy(zero_copy_only=False)
+        nx = b.column("n_x").to_numpy(zero_copy_only=False)
+        ny = b.column("n_y").to_numpy(zero_copy_only=False)
+        # the SQL twin's exact tree, parenthesis for parenthesis
+        pmi = np.log((nxy.astype(np.float64) / float(n2))
+                     / ((nx.astype(np.float64) / float(n1))
+                        * (ny.astype(np.float64) / float(n1))))
+        return pa.table({
+            "w1": b["w1"], "w2": b["w2"],
+            "n_xy": pc.cast(b["n_xy"], pa.int64()),
+            "n_x": pc.cast(b["n_x"], pa.int64()),
+            "n_y": pc.cast(b["n_y"], pa.int64()),
+            "pmi_micro": pa.array(
+                np.floor(1e6 * pmi + 0.5).astype(np.int64), pa.int64()),
+            "_neg": pa.array(
+                -np.floor(1e6 * pmi + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    out = (j.map_batches(score, batch_format="pyarrow")
+           .sort(["_neg", "w1", "w2"]).limit(top_k).to_pandas()
+           .drop(columns="_neg"))
+    return out.reset_index(drop=True)

@@ -273,3 +273,61 @@ def test_last_touch_attribution_hand_case(ray_session):
     got2 = last_touch_attribution(rd.from_pandas(df).repartition(5),
                                   n_buckets=3).to_pandas()
     assert got.equals(got2)
+
+
+def test_gains_table_hand_case(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import gains_table
+
+    # scores 10..1 (ids 1..10), positives at scores 10, 9, 2
+    df = pd.DataFrame({"event_id": range(1, 11),
+                       "pos": [1, 1, 0, 0, 0, 0, 0, 0, 1, 0],
+                       "value": [10.0, 9.0, 8.0, 7.0, 6.0,
+                                 5.0, 4.0, 3.0, 2.0, 1.0]})
+    got = gains_table(rd.from_pandas(df), "pos", "value", "event_id",
+                      n_tiles=5).to_pandas()
+    assert got["tile"].tolist() == [0, 1, 2, 3, 4]
+    assert got["n"].tolist() == [2] * 5
+    assert got["n_pos"].tolist() == [2, 0, 0, 0, 1]
+    assert got["pos_rate_micro"].tolist() == [1000000, 0, 0, 0, 500000]
+    # cumulative capture of the 3 positives: 2/3, 2/3, 2/3, 2/3, 3/3
+    c23 = (2_000_000 * 2 + 3) // 6
+    assert got["cum_capture_micro"].tolist() == [c23] * 4 + [1000000]
+    got2 = gains_table(rd.from_pandas(df).repartition(4), "pos",
+                       "value", "event_id", n_tiles=5).to_pandas()
+    assert got.equals(got2)
+
+
+def test_pmi_bigrams_hand_case(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.text import pmi_bigrams
+
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["big data big data", "big apple"]})
+    # tokens: N1=6; bigrams: (big,data)x2 (data,big)x1 (big,apple)x1 N2=4
+    # counts: big=3 data=2 apple=1
+    got = pmi_bigrams(rd.from_pandas(docs), min_count=1, top_k=10)
+    assert len(got) == 3
+    import numpy as np
+
+    def pmi(nxy, nx, ny, n1=6, n2=4):
+        return int(np.floor(1e6 * np.log((nxy / n2)
+                                         / ((nx / n1) * (ny / n1))) + 0.5))
+    exp = {("big", "apple"): pmi(1, 3, 1),
+           ("big", "data"): pmi(2, 3, 2),
+           ("data", "big"): pmi(1, 2, 3)}
+    for _, r in got.iterrows():
+        assert exp[(r["w1"], r["w2"])] == r["pmi_micro"]
+        # (pmi desc, w1, w2) order
+    assert got["pmi_micro"].is_monotonic_decreasing
+    # min_count gate drops singletons
+    only2 = pmi_bigrams(rd.from_pandas(docs), min_count=2, top_k=10)
+    assert only2[["w1", "w2"]].values.tolist() == [["big", "data"]]
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_bigrams(rd.from_pandas(docs), min_count=0)
+    # empty corpus
+    empty = pd.DataFrame({"doc_id": [1], "text": [""]})
+    assert len(pmi_bigrams(rd.from_pandas(empty), min_count=1)) == 0
