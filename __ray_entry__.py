@@ -6802,6 +6802,51 @@ ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
 """
 
 
+def q_kmeans_lloyd(sf_dir: str):
+    """Two full distributed Lloyd k-means rounds over the embedding
+    corpus (k=8, id-seeded): the exact int64 (cell, dim) micro-sum
+    state after round 2 — the IVF coarse-quantizer training loop at
+    corpus scale."""
+    from markdown_lab_ray.stages.similarity import kmeans_lloyd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_lloyd(ds, k=8, iters=2)
+
+
+_KML_ITER = """
+a{t} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c{p}.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c{p}.cv),
+                                       c{p}.cell) AS rn
+    FROM e CROSS JOIN c{p}) WHERE rn = 1),
+s{t} AS MATERIALIZED (
+  SELECT cell, g.i AS dim,
+         CAST(SUM(CAST(floor(v[g.i] * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{t}, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY 1, 2)"""
+
+SQL_KMEANS_LLOYD = ("""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8),"""
+                    + _KML_ITER.format(t=1, p=0) + """,
+c1 AS MATERIALIZED (
+  SELECT c0.cell, COALESCE(m.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cell, list(CAST(s AS DOUBLE) / (1e6 * n) ORDER BY dim) AS cv
+    FROM s1 GROUP BY cell) m ON c0.cell = m.cell),"""
+                    + _KML_ITER.format(t=2, p=1) + """
+SELECT cell, dim, s AS s_micro, n FROM s2 ORDER BY cell, dim
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6986,6 +7031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": q_last_touch,
         "gains_deciles": q_gains_deciles,
         "pmi_bigrams": q_pmi_bigrams,
+        "kmeans_lloyd": q_kmeans_lloyd,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7174,6 +7220,7 @@ def oracle_sql() -> dict[str, str]:
         "last_touch": SQL_LAST_TOUCH,
         "gains_deciles": SQL_GAINS_DECILES,
         "pmi_bigrams": SQL_PMI_BIGRAMS,
+        "kmeans_lloyd": SQL_KMEANS_LLOYD,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

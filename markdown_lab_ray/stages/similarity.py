@@ -815,3 +815,99 @@ def cluster_silhouette(ds, centroids: np.ndarray, centroid_ids: np.ndarray,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_lloyd(ds, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd k-means: ``iters`` full E/M rounds over the
+    corpus — the SCALE path for training the IVF coarse quantizer
+    (``knn_ivf`` trains ``_kmeans_lite`` on a driver sample; this
+    trains on everything).  Deterministic end-to-end: init centroids
+    are the embeddings of the ``k`` smallest ids; assignment ties
+    break on the smaller cell id (``kmeans_assign`` rule); the M-step
+    state is EXACT int64 — per (cell, dim) sums of micro-quantized
+    coordinates (``floor(x·1e6 + 0.5)``) — so the returned table is
+    integer-hashable and the float centroids ``s/(1e6·n)`` are a
+    derived view both engines compute identically.
+
+    Scale shape: per iteration the (k × d) float centroid matrix
+    ships once via ``ray.put``; every batch does one vectorized
+    distance pass + a LOCAL (cell, dim) partial-sum combiner (k·d
+    int64 cells, ``np.add.at``); ONE keyed Sum reduces k·(d+1) rows;
+    the driver touches only that k·(d+1)-row state to rebroadcast —
+    no shuffle of the corpus, ever.  Output (after ``iters`` rounds):
+    (cell, dim, s_micro, n) — dim is 1-based to match the SQL twin's
+    ``generate_series`` subscripts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if k < 1 or iters < 1:
+        raise ValueError(f"need k >= 1 and iters >= 1, got {k}, {iters}")
+
+    seed_rows = ds.sort(id_col).limit(k).take_all()
+    cents = np.asarray([r[vec_col] for r in seed_rows], np.float64)
+    cells = np.arange(len(cents), dtype=np.int64)
+    d = cents.shape[1]
+
+    def partials(batch: pa.Table, cref) -> pa.Table:
+        cs = ray.get(cref)
+        x = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+        # direct (x−c)² like kmeans_assign (cancellation-safe argmin)
+        diff_all = x[:, None, :] - cs[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff_all, diff_all)
+        assign = np.argmin(d2, axis=1)  # cells are already 0..k-1 asc
+        xm = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        s = np.zeros((len(cs), x.shape[1]), np.int64)
+        np.add.at(s, assign, xm)
+        n = np.bincount(assign, minlength=len(cs)).astype(np.int64)
+        cell = np.repeat(np.arange(len(cs), dtype=np.int64),
+                         x.shape[1] + 1)
+        dim = np.tile(np.arange(0, x.shape[1] + 1, dtype=np.int64),
+                      len(cs))
+        val = np.concatenate(
+            [np.concatenate(([n[j]], s[j])) for j in range(len(cs))])
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "dim": pa.array(dim, pa.int64()),
+                         "v": pa.array(val, pa.int64())})
+
+    state = None
+    for _ in range(iters):
+        cref = ray.put(cents)
+        state = (ds.map_batches(partials, batch_format="pyarrow",
+                                fn_kwargs=dict(cref=cref))
+                 .groupby(["cell", "dim"])
+                 .aggregate(Sum("v", alias_name="v"))
+                 .materialize())
+        # k·(d+1) int rows — the one per-iteration driver read
+        rows = state.to_pandas().sort_values(["cell", "dim"])
+        n = rows[rows["dim"] == 0].set_index("cell")["v"]
+        new = np.array(cents, copy=True)
+        for j in cells:
+            nj = int(n.get(j, 0))
+            if nj > 0:
+                sj = rows[(rows["cell"] == j) & (rows["dim"] > 0)][
+                    "v"].to_numpy(np.int64)
+                new[j] = sj.astype(np.float64) / (1e6 * nj)
+        cents = new
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        keep = _pc.greater(b["dim"], 0)
+        t = b.filter(keep)
+        return pa.table({"cell": t["cell"], "dim": t["dim"],
+                         "s_micro": _pc.cast(t["v"], pa.int64())})
+
+    sums = state.map_batches(finish, batch_format="pyarrow")
+    counts = state.map_batches(
+        lambda b: pa.table({
+            "cell": b.filter(pc.equal(b["dim"], 0))["cell"],
+            "n": pc.cast(b.filter(pc.equal(b["dim"], 0))["v"],
+                         pa.int64())}),
+        batch_format="pyarrow")
+    from .joins import bucketed_hash_join
+    out = bucketed_hash_join(sums, counts, key="cell", n_buckets=4)
+    pdf = out.to_pandas()[["cell", "dim", "s_micro", "n"]]
+    pdf = pdf[pdf["n"] > 0]  # empty cells drop, like SQL's GROUP BY
+    return (pdf.sort_values(["cell", "dim"]).reset_index(drop=True)
+            .astype({c: "int64" for c in
+                     ["cell", "dim", "s_micro", "n"]}))

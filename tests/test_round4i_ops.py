@@ -331,3 +331,45 @@ def test_pmi_bigrams_hand_case(ray_session):
     # empty corpus
     empty = pd.DataFrame({"doc_id": [1], "text": [""]})
     assert len(pmi_bigrams(rd.from_pandas(empty), min_count=1)) == 0
+
+
+def test_kmeans_lloyd_hand_case(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.similarity import kmeans_lloyd
+
+    # seeds (two smallest ids): c0 = [0,0], c1 = [10,0].
+    # points: [0,0],[10,0],[1,0],[2,0],[9,0],[6,0]
+    # iter1 assigns {0,1,2} (closer to 0) vs {10,9,6}:
+    #   c0' = mean(0,1,2)=1, c1' = mean(10,9,6)=25/3
+    # iter2: point 6 is nearer 25/3? |6-1|=5 > |6-25/3|=2.33 → stays;
+    #   point 2: |2-1|=1 < |2-25/3| → stays. Same partition.
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5, 6],
+        "embedding": [[0.0, 0.0], [10.0, 0.0], [1.0, 0.0],
+                      [2.0, 0.0], [9.0, 0.0], [6.0, 0.0]]})
+    got = kmeans_lloyd(rd.from_pandas(df), k=2, iters=2)
+    # final sums: cell0 = {0,1,2}: dim1 s=3e6, dim2 0, n=3
+    #             cell1 = {10,9,6}: dim1 s=25e6, n=3
+    assert got.values.tolist() == [
+        [0, 1, 3_000_000, 3], [0, 2, 0, 3],
+        [1, 1, 25_000_000, 3], [1, 2, 0, 3]]
+    got2 = kmeans_lloyd(rd.from_pandas(df).repartition(4), k=2, iters=2)
+    assert got.equals(got2)
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_lloyd(rd.from_pandas(df), k=0)
+
+
+def test_kmeans_lloyd_empty_cell_drops_and_seed_survives(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.similarity import kmeans_lloyd
+
+    # both non-seed points sit on seed 1; seed 2's cell keeps only
+    # itself (never empties since the seed is in the corpus)
+    df = pd.DataFrame({"vec_id": [1, 2, 3],
+                       "embedding": [[0.0], [100.0], [1.0]]})
+    got = kmeans_lloyd(rd.from_pandas(df), k=2, iters=1)
+    assert got.values.tolist() == [[0, 1, 1_000_000, 2],
+                                   [1, 1, 100_000_000, 1]]
