@@ -6847,6 +6847,71 @@ SELECT cell, dim, s AS s_micro, n FROM s2 ORDER BY cell, dim
 """)
 
 
+def q_logistic_purchase(sf_dir: str):
+    """Three exact-gradient GD rounds of logistic regression
+    (purchase ~ value/100 + hour/24): per-row micro-quantized
+    gradients, int64 Sums, fixed float update tree."""
+    from markdown_lab_ray.stages.analytics import logistic_gd
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = pd.Series(b.column("ts").to_pandas())
+        return pa.table({
+            "y": pc.cast(pc.equal(b["event_type"], "purchase"),
+                         pa.int64()),
+            "x1": pa.array(
+                b.column("value").to_numpy(zero_copy_only=False)
+                / 100.0, pa.float64()),
+            "x2": pa.array(ts.dt.hour.to_numpy(np.int64) / 24.0,
+                           pa.float64()),
+        })
+
+    return logistic_gd(ds.map_batches(feats, batch_format="pyarrow"),
+                       ["x1", "x2"], "y", iters=3, lr=0.1)
+
+
+_LGD_ITER = """
+g{t} AS MATERIALIZED (
+  SELECT
+    CAST(SUM(CAST(floor(((1 / (1 + exp(-((w0 + w1 * x1) + w2 * x2)))
+                          - y) * 1.0) * 1e6 + 0.5) AS BIGINT))
+         AS BIGINT) AS g0,
+    CAST(SUM(CAST(floor(((1 / (1 + exp(-((w0 + w1 * x1) + w2 * x2)))
+                          - y) * x1) * 1e6 + 0.5) AS BIGINT))
+         AS BIGINT) AS g1,
+    CAST(SUM(CAST(floor(((1 / (1 + exp(-((w0 + w1 * x1) + w2 * x2)))
+                          - y) * x2) * 1e6 + 0.5) AS BIGINT))
+         AS BIGINT) AS g2
+  FROM b CROSS JOIN w{p}),
+w{t} AS MATERIALIZED (
+  SELECT w0 - 0.1 * ((CAST(g0 AS DOUBLE) / 1e6) / nt) AS w0,
+         w1 - 0.1 * ((CAST(g1 AS DOUBLE) / 1e6) / nt) AS w1,
+         w2 - 0.1 * ((CAST(g2 AS DOUBLE) / 1e6) / nt) AS w2
+  FROM g{t} CROSS JOIN w{p} CROSS JOIN nn)"""
+
+SQL_LOGISTIC_PURCHASE = ("""
+WITH b AS MATERIALIZED (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         value / 100.0 AS x1,
+         CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
+  FROM events),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM b),
+w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+              CAST(0 AS DOUBLE) AS w2),"""
+                         + ",".join(_LGD_ITER.format(t=t, p=t - 1)
+                                    for t in (1, 2, 3))
+                         + """
+SELECT d.dim,
+  CAST(floor(CASE d.dim WHEN 0 THEN w0 WHEN 1 THEN w1 ELSE w2 END
+             * 1e6 + 0.5) AS BIGINT) AS w_micro,
+  CASE d.dim WHEN 0 THEN g0 WHEN 1 THEN g1 ELSE g2 END AS grad_micro
+FROM (SELECT unnest(generate_series(0, 2)) AS dim) d
+CROSS JOIN w3 CROSS JOIN g3 ORDER BY d.dim
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7032,6 +7097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gains_deciles": q_gains_deciles,
         "pmi_bigrams": q_pmi_bigrams,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "logistic_purchase": q_logistic_purchase,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7221,6 +7287,7 @@ def oracle_sql() -> dict[str, str]:
         "gains_deciles": SQL_GAINS_DECILES,
         "pmi_bigrams": SQL_PMI_BIGRAMS,
         "kmeans_lloyd": SQL_KMEANS_LLOYD,
+        "logistic_purchase": SQL_LOGISTIC_PURCHASE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

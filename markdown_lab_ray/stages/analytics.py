@@ -3313,3 +3313,69 @@ def gains_table(ds, pos_col: str, value_col: str, id_col: str,
 
     return tiles.repartition(1).map_batches(fold, batch_format="pandas",
                                             batch_size=None)
+
+
+def logistic_gd(ds, feat_cols, label_col: str, iters: int = 3,
+                lr: float = 0.1):
+    """Distributed logistic regression by ``iters`` full-batch
+    gradient-descent rounds — deterministic by construction: each
+    row's per-dimension gradient contribution ``(σ(w·x) − y)·x_j``
+    is micro-quantized (``floor(g·1e6 + 0.5)``) BEFORE summation, so
+    the reduce is an exact int64 keyed Sum (no order-dependent float
+    accumulation) and the weight update
+    ``w_j ← w_j − lr·(G_j/1e6)/n`` is a fixed float expression tree
+    the SQL twin (one unrolled CTE level per iteration) replicates
+    token for token.  Intercept is dimension 0 (x_0 ≡ 1).
+
+    Scale shape: weights (d+1 floats) broadcast per iteration in the
+    task closure; every batch is one vectorized sigmoid + quantize +
+    local per-dim int sum; ONE keyed Sum over d+1 rows per round; the
+    driver touches only that (d+1)-int state.  Not a convergence
+    claim — a fixed-round training-loop contract, like
+    ``kmeans_lloyd``.  Output: (dim, w_micro, grad_micro) — final
+    weights (micro-pinned) and the last round's exact gradient sums.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    feat_cols = list(feat_cols)
+    d = len(feat_cols) + 1
+    w = np.zeros(d, np.float64)
+    n_total = ds.count()
+    if n_total == 0:
+        raise ValueError("logistic_gd needs a non-empty dataset")
+
+    def grad_partials(df: pd.DataFrame, w_now) -> pd.DataFrame:
+        x = np.column_stack(
+            [np.ones(len(df), np.float64)]
+            + [np.asarray(df[c], np.float64) for c in feat_cols])
+        y = np.asarray(df[label_col], np.float64)
+        # explicit left-to-right sum — the SQL twin's left-assoc
+        # (w0 + w1*x1) + w2*x2 tree; a BLAS dot could re-associate
+        z = np.full(len(df), w_now[0], np.float64)
+        for j in range(1, d):
+            z = z + w_now[j] * x[:, j]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = (p - y)[:, None] * x
+        gm = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                             "g": gm.sum(axis=0)})
+
+    last = None
+    for _ in range(iters):
+        w_now = tuple(float(v) for v in w)
+        agg = (ds.map_batches(grad_partials, batch_format="pandas",
+                              fn_kwargs=dict(w_now=w_now))
+               .groupby("dim").aggregate(Sum("g", alias_name="g")))
+        rows = agg.to_pandas().sort_values("dim")  # d+1 ints
+        g = rows["g"].to_numpy(np.int64)
+        last = g
+        w = w - lr * ((g.astype(np.float64) / 1e6) / float(n_total))
+
+    return pd.DataFrame({
+        "dim": pd.array(np.arange(d, dtype=np.int64), dtype="int64"),
+        "w_micro": pd.array(np.floor(w * 1e6 + 0.5).astype(np.int64),
+                            dtype="int64"),
+        "grad_micro": pd.array(last, dtype="int64")})

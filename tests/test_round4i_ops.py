@@ -373,3 +373,41 @@ def test_kmeans_lloyd_empty_cell_drops_and_seed_survives(ray_session):
     got = kmeans_lloyd(rd.from_pandas(df), k=2, iters=1)
     assert got.values.tolist() == [[0, 1, 1_000_000, 2],
                                    [1, 1, 100_000_000, 1]]
+
+
+def test_logistic_gd_matches_local_reference(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.analytics import logistic_gd
+
+    rng = np.random.RandomState(7)
+    x1 = rng.uniform(-2, 2, 40)
+    y = (x1 > 0.3).astype(np.int64)
+    df = pd.DataFrame({"x1": x1, "y": y})
+    got = logistic_gd(rd.from_pandas(df), ["x1"], "y",
+                      iters=3, lr=0.1)
+    # local replica of the exact contract
+    w = np.zeros(2)
+    n = len(df)
+    for _ in range(3):
+        z = np.full(n, w[0]) + w[1] * x1
+        p = 1.0 / (1.0 + np.exp(-z))
+        g0 = int(np.floor(((p - y) * 1.0) * 1e6 + 0.5).astype(
+            np.int64).sum())
+        g1 = int(np.floor(((p - y) * x1) * 1e6 + 0.5).astype(
+            np.int64).sum())
+        last = [g0, g1]
+        w = w - 0.1 * ((np.array([g0, g1], np.float64) / 1e6) / n)
+    assert got["dim"].tolist() == [0, 1]
+    assert got["w_micro"].tolist() == [
+        int(np.floor(w[0] * 1e6 + 0.5)), int(np.floor(w[1] * 1e6 + 0.5))]
+    assert got["grad_micro"].tolist() == last
+    # separable data: positive slope after descent
+    assert got["w_micro"].iloc[1] > 0
+    # layout independence (per-row quantization makes sums exact)
+    got2 = logistic_gd(rd.from_pandas(df).repartition(8), ["x1"], "y",
+                       iters=3, lr=0.1)
+    assert got.equals(got2)
+    with pytest.raises(ValueError, match="iters"):
+        logistic_gd(rd.from_pandas(df), ["x1"], "y", iters=0)
