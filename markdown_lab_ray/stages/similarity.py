@@ -190,7 +190,8 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8,
 
 def knn_ivf(ds, query_vec, k: int = 10, n_lists: int = 16, n_probe: int = 4,
             sample_size: int = 2048, seed: int = 42,
-            id_col: str = "vec_id", emb_col: str = "embedding"):
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            centroids: "np.ndarray | None" = None):
     """IVF-style approximate top-k: train a coarse quantizer on a seeded
     sample (driver-side k-means — at real scale this is a one-off
     training job), assign every row to its nearest centroid inside
@@ -205,20 +206,32 @@ def knn_ivf(ds, query_vec, k: int = 10, n_lists: int = 16, n_probe: int = 4,
     sampled SET is a pure function of ids (layout-independent), and the
     driver frame is sorted by id before truncation + k-means init, so
     block order / parallelism can never shift the centroids (the
-    row-order nondeterminism VERDICT r4's sampler fix surfaced)."""
+    row-order nondeterminism VERDICT r4's sampler fix surfaced).
+
+    Pass ``centroids`` (an (n_lists × d) float array — e.g. the
+    ``kmeans_lloyd`` corpus-trained quantizer, reconstructed per cell
+    as ``s_micro / (1e6·n)``) to skip sample training entirely; the
+    assign/probe/scan path is identical either way."""
     from .sample import random_sample
 
-    n_rows = ds.count()
-    # 3x oversample so the id-sorted head() almost surely fills
-    # sample_size; the oversampled driver pull stays O(sample_size)
-    frac = min(1.0, (3.0 * sample_size) / max(n_rows, 1))
-    sample = random_sample(ds, frac, seed=seed, id_col=id_col).to_pandas()
-    if sample.empty:  # degenerate tiny input
-        sample = ds.limit(sample_size).to_pandas()
-    sample = (sample.sort_values(id_col, kind="mergesort")
-              .head(sample_size).reset_index(drop=True))
-    mat = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
-    centroids = _kmeans_lite(mat, n_lists, seed=seed)
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        if len(centroids) < n_probe:
+            raise ValueError(
+                f"{len(centroids)} centroids < n_probe={n_probe}")
+    else:
+        n_rows = ds.count()
+        # 3x oversample so the id-sorted head() almost surely fills
+        # sample_size; the oversampled driver pull stays O(sample_size)
+        frac = min(1.0, (3.0 * sample_size) / max(n_rows, 1))
+        sample = random_sample(ds, frac, seed=seed,
+                               id_col=id_col).to_pandas()
+        if sample.empty:  # degenerate tiny input
+            sample = ds.limit(sample_size).to_pandas()
+        sample = (sample.sort_values(id_col, kind="mergesort")
+                  .head(sample_size).reset_index(drop=True))
+        mat = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+        centroids = _kmeans_lite(mat, n_lists, seed=seed)
 
     query = np.asarray(query_vec, dtype=np.float64)
     probe = np.argsort(((centroids - query) ** 2).sum(axis=1))[:n_probe]

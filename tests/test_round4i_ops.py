@@ -411,3 +411,28 @@ def test_logistic_gd_matches_local_reference(ray_session):
     assert got.equals(got2)
     with pytest.raises(ValueError, match="iters"):
         logistic_gd(rd.from_pandas(df), ["x1"], "y", iters=0)
+
+
+def test_knn_ivf_accepts_lloyd_trained_centroids(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.similarity import kmeans_lloyd, knn_ivf
+
+    rng = np.random.RandomState(0)
+    # two tight clusters around +e1 and -e1
+    a = rng.normal(0, 0.05, (30, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.05, (30, 4)) + np.array([-1, 0, 0, 0])
+    vecs = np.vstack([a, b])
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df)
+    state = kmeans_lloyd(ds, k=2, iters=2)
+    cents = np.stack([
+        (state[state["cell"] == c].sort_values("dim")["s_micro"]
+         .to_numpy(np.int64).astype(np.float64)
+         / (1e6 * state[state["cell"] == c]["n"].iloc[0]))
+        for c in sorted(state["cell"].unique())])
+    got = knn_ivf(ds, [1.0, 0.0, 0.0, 0.0], k=5, n_lists=2, n_probe=1,
+                  centroids=cents)
+    # probing the +e1 list only: all hits from the first cluster
+    assert (got["vec_id"] < 30).all() and len(got) == 5
