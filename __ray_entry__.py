@@ -6912,6 +6912,57 @@ CROSS JOIN w3 CROSS JOIN g3 ORDER BY d.dim
 """)
 
 
+def q_setsim_clusters(sf_dir: str):
+    """EXACT near-dup clustering end-to-end: AllPairs Jaccard ≥ 0.9
+    pairs → distributed connected components → (doc_id, cluster_id)
+    for every document — the fully-oracled twin of the approximate
+    ``minhash_clusters`` pipeline (the pair set is SQL-computable, so
+    the whole composition is, via a recursive transitive closure)."""
+    from markdown_lab_ray.stages.dedup import (
+        connected_components_distributed,
+        setsim_join,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = setsim_join(docs, tau_micro=900000, n_buckets=16,
+                        as_dataset=True)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"u": b["a"].combine_chunks().cast(pa.int64()),
+                            "v": b["b"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    labels = connected_components_distributed(edges, ids_ds=ids)
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"],
+                            "cluster_id": b["label"]}),
+        batch_format="pyarrow").sort("doc_id")
+
+
+SQL_SETSIM_CLUSTERS = """
+WITH RECURSIVE tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)),
+n AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+i AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter_n
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT i.a, i.b
+  FROM i JOIN n na ON i.a = na.doc_id JOIN n nb ON i.b = nb.doc_id
+  WHERE 1000000 * inter_n >= 900000 * (na.n + nb.n - inter_n)),
+e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)
+SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+FROM r GROUP BY node ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7098,6 +7149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "kmeans_lloyd": q_kmeans_lloyd,
         "logistic_purchase": q_logistic_purchase,
+        "setsim_clusters": q_setsim_clusters,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7288,6 +7340,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": SQL_PMI_BIGRAMS,
         "kmeans_lloyd": SQL_KMEANS_LLOYD,
         "logistic_purchase": SQL_LOGISTIC_PURCHASE,
+        "setsim_clusters": SQL_SETSIM_CLUSTERS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

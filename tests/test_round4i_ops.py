@@ -436,3 +436,31 @@ def test_knn_ivf_accepts_lloyd_trained_centroids(ray_session):
                   centroids=cents)
     # probing the +e1 list only: all hits from the first cluster
     assert (got["vec_id"] < 30).all() and len(got) == 5
+
+
+def test_setsim_clusters_transitive(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.dedup import (
+        connected_components_distributed,
+        setsim_join,
+    )
+
+    # A~B (9/10), B~C (9/10), but A vs C = 8/11 < 0.8 — transitivity
+    # through B must still merge all three; D is a singleton
+    w = [f"w{i}" for i in range(12)]
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [" ".join(w[0:10]),          # A: w0..w9
+                 " ".join(w[1:10] + [w[10]]),  # B: w1..w10
+                 " ".join(w[2:10] + [w[10], w[11]]),  # C: w2..w11
+                 "zebra yak"]})
+    pairs = setsim_join(rd.from_pandas(docs), tau_micro=800000,
+                        as_dataset=True)
+    edges = pairs.map_batches(
+        lambda b: b.select(["a", "b"]).rename_columns(["u", "v"]),
+        batch_format="pyarrow")
+    ids = rd.from_pandas(docs[["doc_id"]])
+    labels = (connected_components_distributed(edges, ids_ds=ids)
+              .to_pandas().sort_values("node").reset_index(drop=True))
+    assert labels["label"].tolist() == [1, 1, 1, 4]
