@@ -6963,6 +6963,67 @@ FROM r GROUP BY node ORDER BY doc_id
 """
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak simultaneous 30-minute activity windows per user (+1/−1
+    boundary sweep, half-open intervals, ends-first tie rule)."""
+    from markdown_lab_ray.stages.analytics import peak_concurrency
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return (peak_concurrency(ds, dur_us=30 * 60 * 1_000_000)
+            .sort("user_id"))
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts) + 1800000000, -1 FROM events),
+o AS (SELECT user_id,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM s)
+SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak
+FROM o GROUP BY 1 ORDER BY user_id
+"""
+
+
+def q_als_factors(sf_dir: str):
+    """One exact rank-1 ALS alternation over the (user, event_type,
+    count) implicit rating matrix: int64 factor state end-to-end."""
+    from markdown_lab_ray.stages.analytics import als_rank1
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return als_rank1(ds)
+
+
+SQL_ALS_FACTORS = """
+WITH r AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS item,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM events GROUP BY 1, 2),
+us AS MATERIALIZED (
+  SELECT u, CAST(SUM(r) AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS b
+  FROM r GROUP BY 1),
+q AS (
+  SELECT r.item,
+         CAST(floor((r.r * (CAST(us.a AS DOUBLE) / us.b)) * 1e6 + 0.5)
+              AS BIGINT) AS num,
+         CAST(floor(((CAST(us.a AS DOUBLE) / us.b)
+                     * (CAST(us.a AS DOUBLE) / us.b)) * 1e6 + 0.5)
+              AS BIGINT) AS den
+  FROM r JOIN us ON r.u = us.u),
+s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_raters,
+             CAST(SUM(num) AS BIGINT) AS num_micro,
+             CAST(SUM(den) AS BIGINT) AS den_micro
+      FROM q GROUP BY item)
+SELECT item, n_raters, num_micro, den_micro,
+       CASE WHEN den_micro > 0
+            THEN (2000000 * num_micro + den_micro) // (2 * den_micro)
+            ELSE 0 END AS v_micro
+FROM s ORDER BY item
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7150,6 +7211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_lloyd": q_kmeans_lloyd,
         "logistic_purchase": q_logistic_purchase,
         "setsim_clusters": q_setsim_clusters,
+        "peak_concurrency": q_peak_concurrency,
+        "als_factors": q_als_factors,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7341,6 +7404,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_lloyd": SQL_KMEANS_LLOYD,
         "logistic_purchase": SQL_LOGISTIC_PURCHASE,
         "setsim_clusters": SQL_SETSIM_CLUSTERS,
+        "peak_concurrency": SQL_PEAK_CONCURRENCY,
+        "als_factors": SQL_ALS_FACTORS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -3379,3 +3379,119 @@ def logistic_gd(ds, feat_cols, label_col: str, iters: int = 3,
         "w_micro": pd.array(np.floor(w * 1e6 + 0.5).astype(np.int64),
                             dtype="int64"),
         "grad_micro": pd.array(last, dtype="int64")})
+
+
+def peak_concurrency(ds, dur_us: int, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     n_buckets: int = 64):
+    """Peak concurrent intervals per key: treating each event as the
+    interval ``[ts, ts + dur_us)``, the maximum number simultaneously
+    open for that key — the +1/−1 boundary-sweep twin of
+    ``interval_coverage`` (capacity planning, max parallel sessions).
+    Boundary convention: an interval ending exactly when another
+    starts does NOT overlap it (ends sort before starts at the same
+    instant — the half-open-interval rule; the SQL twin encodes it by
+    counting starts ≤ t minus ends ≤ t with end = start + dur).
+
+    Scale shape: one bucketed key shuffle of slim (key, ts) int rows;
+    the in-bucket sweep is vectorized (concat +1/−1 deltas, lexsort by
+    (key, time, delta) — −1 first on ties — cumsum, per-key max).
+    Output: (key, peak) int64."""
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    if dur_us <= 0:
+        raise ValueError(f"dur_us must be > 0, got {dur_us}")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            key_col: df[key_col].astype("int64"), "_start": ts,
+            "_b": key_buckets(df[key_col].to_numpy(), n_buckets)})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.concatenate([g[key_col].to_numpy(np.int64)] * 2)
+        t = np.concatenate([g["_start"].to_numpy(np.int64),
+                            g["_start"].to_numpy(np.int64) + dur_us])
+        d = np.concatenate([np.ones(len(g), np.int64),
+                            -np.ones(len(g), np.int64)])
+        order = np.lexsort((d, t, k))  # -1 before +1 on time ties
+        k, d = k[order], d[order]
+        run = np.cumsum(d)
+        out = pd.DataFrame({key_col: k, "_c": run})
+        peak = (out.groupby(key_col, sort=False)["_c"].max()
+                .rename("peak").reset_index())
+        return peak.astype({key_col: "int64", "peak": "int64"})
+
+    return (ds.map_batches(slim, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(lambda g: sweep(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
+
+
+def als_rank1(ds, user_col: str = "user_id", item_col: str = "event_type",
+              n_buckets: int = 32):
+    """One exact rank-1 ALS alternation over the implicit (user, item,
+    count) rating matrix — the recommender-training loop member of the
+    fixed-round family (``kmeans_lloyd``, ``logistic_gd``).  Item
+    factors init at 1.0, so the user half-step is the exact RATIONAL
+    ``u_i = Σ_j r_ij / |J_i|`` (int64 pair, no floats); the item
+    half-step ``v_j = Σ_i r_ij·u_i / Σ_i u_i²`` micro-quantizes each
+    term through the SQL twin's expression tree BEFORE the sum, so the
+    reduce is an exact int64 keyed Sum and the final division is the
+    half-up integer rule.  Everything in the output is int64.
+
+    Scale shape: one (user, item) keyed Count builds the ratings; one
+    user-keyed Sum builds the rationals; one ``bucketed_hash_join``
+    attaches them back to the ratings; one item-keyed Sum folds the
+    quantized terms — four keyed ops, rating-scale rows, O(items)
+    driver result.  Output: (item, n_raters, num_micro, den_micro,
+    v_micro) sorted by item."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import bucketed_hash_join
+
+    ratings = (ds.map_batches(
+        lambda df: pd.DataFrame({"_u": df[user_col].astype("int64"),
+                                 "_i": df[item_col].astype(str)}),
+        batch_format="pandas")
+        .groupby(["_u", "_i"]).aggregate(Count(alias_name="r"))
+        .map_batches(lambda b: b.select(["_u", "_i", "r"]),
+                     batch_format="pyarrow").materialize())
+    users = (ratings.groupby("_u")
+             .aggregate(Sum("r", alias_name="a"),
+                        Count(alias_name="b"))
+             .map_batches(lambda b: b.select(["_u", "a", "b"]),
+                          batch_format="pyarrow"))
+    joined = bucketed_hash_join(ratings, users, key="_u",
+                                n_buckets=n_buckets)
+
+    def quantize(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False).astype(np.float64)
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = a / bb
+        num = np.floor((r * u) * 1e6 + 0.5).astype(np.int64)
+        den = np.floor((u * u) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "item": b["_i"],
+            "num": pa.array(num, pa.int64()),
+            "den": pa.array(den, pa.int64()),
+            "one": pa.array(np.ones(len(num), np.int64), pa.int64())})
+
+    agg = (joined.map_batches(quantize, batch_format="pyarrow")
+           .groupby("item")
+           .aggregate(Sum("num", alias_name="num_micro"),
+                      Sum("den", alias_name="den_micro"),
+                      Sum("one", alias_name="n_raters")))
+    out = agg.to_pandas()
+    num = out["num_micro"].to_numpy(np.int64)
+    den = out["den_micro"].to_numpy(np.int64)
+    out["v_micro"] = np.where(den > 0,
+                              (2_000_000 * num + den)
+                              // (2 * np.maximum(den, 1)), 0)
+    cols = ["item", "n_raters", "num_micro", "den_micro", "v_micro"]
+    out = out[cols].sort_values("item").reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols[1:]})

@@ -464,3 +464,52 @@ def test_setsim_clusters_transitive(ray_session):
     labels = (connected_components_distributed(edges, ids_ds=ids)
               .to_pandas().sort_values("node").reset_index(drop=True))
     assert labels["label"].tolist() == [1, 1, 1, 4]
+
+
+def test_peak_concurrency_hand_case(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.analytics import peak_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: events at t=0, 10, 25 min with 30-min windows →
+    #   all three overlap at t=25 → peak 3
+    # user 2: t=0 and t=30 min exactly — half-open: no overlap → 1
+    rows = [(1, 1, 0), (2, 1, 10), (3, 1, 25), (4, 2, 0), (5, 2, 30)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "m"])
+    df["ts"] = base + pd.to_timedelta(df["m"], unit="m")
+    got = (peak_concurrency(rd.from_pandas(df),
+                            dur_us=30 * 60 * 1_000_000)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["peak"].tolist() == [3, 1]
+    got2 = (peak_concurrency(rd.from_pandas(df).repartition(4),
+                             dur_us=30 * 60 * 1_000_000, n_buckets=2)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got.equals(got2)
+    with pytest.raises(ValueError, match="dur_us"):
+        peak_concurrency(rd.from_pandas(df), dur_us=0)
+
+
+def test_als_rank1_hand_case(ray_session):
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import als_rank1
+
+    # ratings: u1: a×2, b×1 → u=3/2; u2: a×1 → u=1/1
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = als_rank1(rd.from_pandas(df)).to_dict("records")
+    # item a: num = q(2·1.5) + q(1·1) = 3e6 + 1e6; den = q(2.25)+q(1)
+    na, da = 3_000_000 + 1_000_000, 2_250_000 + 1_000_000
+    # item b: num = q(1·1.5); den = q(2.25)
+    nb, db = 1_500_000, 2_250_000
+    assert got[0] == {"item": "a", "n_raters": 2, "num_micro": na,
+                      "den_micro": da,
+                      "v_micro": (2_000_000 * na + da) // (2 * da)}
+    assert got[1] == {"item": "b", "n_raters": 1, "num_micro": nb,
+                      "den_micro": db,
+                      "v_micro": (2_000_000 * nb + db) // (2 * db)}
+    got2 = als_rank1(rd.from_pandas(df).repartition(3),
+                     n_buckets=2).to_dict("records")
+    assert got == got2
