@@ -7024,6 +7024,53 @@ FROM s ORDER BY item
 """
 
 
+def q_salted_segment_value(sf_dir: str):
+    """Skew-proof salted join (events × customer on user key, salt =
+    event_id) → exact cents per market segment; byte-identical to the
+    unsalted join, hot user keys split 8 ways."""
+    from ray.data.aggregate import Count, Sum
+
+    from markdown_lab_ray.stages.joins import salted_hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64),
+                          pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table({"user_id": b["c_custkey"],
+                            "segment": b["c_mktsegment"]}),
+        batch_format="pyarrow")
+    joined = salted_hash_join(ev.map_batches(cents,
+                                             batch_format="pyarrow"),
+                              cust, key="user_id", salt_col="event_id",
+                              n_salt=8, n_buckets=16)
+    return (joined.groupby("segment")
+            .aggregate(Sum("c", alias_name="cents"),
+                       Count(alias_name="n"))
+            .map_batches(lambda b: pa.table({
+                "segment": b["segment"],
+                "cents": pc.cast(b["cents"], pa.int64()),
+                "n": pc.cast(b["n"], pa.int64())}),
+                batch_format="pyarrow")
+            .sort("segment"))
+
+
+SQL_SALTED_SEGMENT_VALUE = """
+SELECT c_mktsegment AS segment,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7213,6 +7260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_clusters": q_setsim_clusters,
         "peak_concurrency": q_peak_concurrency,
         "als_factors": q_als_factors,
+        "salted_segment_value": q_salted_segment_value,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7406,6 +7454,7 @@ def oracle_sql() -> dict[str, str]:
         "setsim_clusters": SQL_SETSIM_CLUSTERS,
         "peak_concurrency": SQL_PEAK_CONCURRENCY,
         "als_factors": SQL_ALS_FACTORS,
+        "salted_segment_value": SQL_SALTED_SEGMENT_VALUE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

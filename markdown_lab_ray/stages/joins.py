@@ -574,3 +574,112 @@ def banded_range_join(points_ds, intervals_ds, point_col: str,
     both = tagged_p.union(tagged_i).map_batches(add_bucket,
                                                 batch_format="pandas")
     return both.groupby("_b").map_groups(probe, batch_format="pandas")
+
+
+def salted_hash_join(left_ds, right_ds, key: str, salt_col: str,
+                     n_salt: int = 8, n_buckets: int = 32):
+    """Skew-aware inner join: identical result to
+    ``bucketed_hash_join``, but a HOT left key no longer lands in one
+    group task — left rows spread across ``n_salt`` sub-buckets by the
+    hash of ``salt_col`` (a left column, e.g. the row id, so the salt
+    is layout-independent), and every right row replicates once per
+    salt (the classic skew-join trade: n_salt× the SMALL side's rows
+    buys n_salt-way parallelism on the hot key).  This is the
+    standalone form of the crawl scheduler's salted two-stage groupby
+    (north rule: "host-key skew via salted repartitioning").
+
+    Same ONE-shuffle union+groupby shape as ``bucketed_hash_join``;
+    the group key is ``hash(key) % n_buckets`` crossed with the salt,
+    so per-task memory is bounded by (hot-key rows / n_salt) + right
+    rows of that bucket.  Right side should be the smaller table.
+    """
+    import pandas as pd
+
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"column collision (rename first): {sorted(overlap)}")
+    if salt_col not in left_cols:
+        raise ValueError(f"salt_col {salt_col!r} must be a left column")
+
+    fields = [(n, _pa_type(t)) for n, t in
+              zip(left_schema.names, left_schema.types)] + [
+        (n, _pa_type(t)) for n, t in
+        zip(right_schema.names, right_schema.types) if n != key]
+    wide = pa.schema(fields + [("__bucket", pa.int32()),
+                               ("__side", pa.string())])
+    hash_as = _common_key_class(
+        _pa_type(dict(zip(left_schema.names, left_schema.types))[key]),
+        _pa_type(dict(zip(right_schema.names, right_schema.types))[key]),
+        key)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kb = np.asarray(_bucket_ids(batch.column(key), n_buckets,
+                                    hash_as), dtype=np.int64)
+        salt = np.asarray(_bucket_ids(batch.column(salt_col), n_salt,
+                                      _key_class(
+                                          batch.schema.field(
+                                              salt_col).type)),
+                          dtype=np.int64)
+        buckets = (kb * n_salt + salt).astype(np.int32)
+        cols = {}
+        for fld in wide:
+            if fld.name == "__bucket":
+                cols[fld.name] = pa.array(buckets)
+            elif fld.name == "__side":
+                cols[fld.name] = pa.array(
+                    np.full(n, "l", dtype=object), pa.string())
+            elif fld.name in batch.column_names:
+                cols[fld.name] = batch.column(fld.name)
+            else:
+                cols[fld.name] = _pad_column(n, fld.type)
+        return pa.table(cols, schema=wide)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kb = np.asarray(_bucket_ids(batch.column(key), n_buckets,
+                                    hash_as), dtype=np.int64)
+        idx = np.repeat(np.arange(n), n_salt)
+        salts = np.tile(np.arange(n_salt, dtype=np.int64), n)
+        buckets = (kb[idx] * n_salt + salts).astype(np.int32)
+        rep = batch.take(pa.array(idx))
+        cols = {}
+        for fld in wide:
+            if fld.name == "__bucket":
+                cols[fld.name] = pa.array(buckets)
+            elif fld.name == "__side":
+                cols[fld.name] = pa.array(
+                    np.full(len(idx), "r", dtype=object), pa.string())
+            elif fld.name in batch.column_names:
+                cols[fld.name] = rep.column(fld.name)
+            else:
+                cols[fld.name] = _pad_column(len(idx), fld.type)
+        return pa.table(cols, schema=wide)
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [(n, t) for n, t in fields if n in left_cols]
+        + [(n, t) for n, t in fields
+           if n in right_cols and n != key])
+
+    def join_bucket(df: pd.DataFrame):
+        lhs = df[df["__side"] == "l"][left_cols]
+        rhs = df[df["__side"] == "r"][[key] + [c for c in right_cols
+                                               if c != key]]
+        merged = lhs.merge(rhs, on=key, how="inner")
+        return pa.Table.from_pandas(
+            merged[out_schema.names], preserve_index=False,
+            schema=out_schema)
+
+    both = left_tagged.union(right_tagged)
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")

@@ -513,3 +513,43 @@ def test_als_rank1_hand_case(ray_session):
     got2 = als_rank1(rd.from_pandas(df).repartition(3),
                      n_buckets=2).to_dict("records")
     assert got == got2
+
+
+def test_salted_hash_join_equals_unsalted(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.joins import (
+        bucketed_hash_join,
+        salted_hash_join,
+    )
+
+    rng = np.random.RandomState(3)
+    # key 7 is hot: 60 of 80 left rows
+    keys = np.where(rng.uniform(size=80) < 0.75, 7,
+                    rng.randint(0, 5, 80))
+    left = pd.DataFrame({"k": keys.astype("int64"),
+                         "rid": np.arange(80, dtype="int64"),
+                         "x": rng.randint(0, 100, 80).astype("int64")})
+    right = pd.DataFrame({"k": np.arange(0, 8, dtype="int64"),
+                          "y": (np.arange(0, 8) * 10).astype("int64")})
+    a = (salted_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          key="k", salt_col="rid", n_salt=4, n_buckets=4)
+         .to_pandas().sort_values(["rid"]).reset_index(drop=True))
+    b = (bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            key="k", n_buckets=4)
+         .to_pandas().sort_values(["rid"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) == 80  # every left key matched
+    # layout independence
+    c = (salted_hash_join(rd.from_pandas(left).repartition(5),
+                          rd.from_pandas(right), key="k",
+                          salt_col="rid", n_salt=3, n_buckets=2)
+         .to_pandas().sort_values(["rid"]).reset_index(drop=True))
+    assert a.equals(c)
+    with pytest.raises(ValueError, match="n_salt"):
+        salted_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         key="k", salt_col="rid", n_salt=0)
+    with pytest.raises(ValueError, match="salt_col"):
+        salted_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         key="k", salt_col="y")
