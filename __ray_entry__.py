@@ -7071,6 +7071,17 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bpe_merges(sf_dir: str):
+    """First 12 BPE merge rules trained on the corpus (word-frequency
+    formulation, exact counts, count-desc/pair-asc tie order) — the
+    tokenizer-training loop.  Rows-only: iterated string rewriting has
+    no SQL twin; pinned by an exact single-process replica test."""
+    from markdown_lab_ray.stages.text import bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(ds, n_merges=12)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7261,6 +7272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "als_factors": q_als_factors,
         "salted_segment_value": q_salted_segment_value,
+        "bpe_merges": q_bpe_merges,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,

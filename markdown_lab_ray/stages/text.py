@@ -1155,3 +1155,97 @@ def pmi_bigrams(ds, text_col: str = "text", min_count: int = 5,
            .sort(["_neg", "w1", "w2"]).limit(top_k).to_pandas()
            .drop(columns="_neg"))
     return out.reset_index(drop=True)
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 10,
+              n_buckets: int = 32):
+    """Byte-pair-encoding merge-rule training over the corpus
+    (Sennrich et al. 2016, public): the classic word-frequency
+    formulation — corpus → (word, count) table ONCE, then each merge
+    round counts adjacent symbol pairs weighted by word count, picks
+    the (count desc, pair asc) argmax, and rewrites the symbol
+    sequences.  Deterministic end-to-end (exact int counts, total
+    tie order); ASCII ``[a-z0-9]+`` words with a ``</w>`` end marker.
+
+    Scale shape: the corpus collapses to the vocab-scale word table in
+    one keyed Count and never re-reads; each round is one keyed Sum
+    over (pair, n) partials plus a sort-limit-1 (the single argmax row
+    is the only per-round driver read — same O(1) pattern as the
+    ``kmeans_lloyd`` state) and one broadcast rewrite pass; the word
+    table re-materializes per round so round k+1 never recomputes
+    round k.  No SQL twin (iterated string rewriting is not
+    SQL-expressible) — pinned by an exact single-process replica test.
+    Output: (rank, left, right, pair_count) — one row per merge, in
+    order; stops early when no pair repeats."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+
+    def words(batch: pa.Table) -> pa.Table:
+        out: dict = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in _PMI_WORD_RE.findall((t or "").lower()):
+                out[w] = out.get(w, 0) + 1
+        return pa.table({"w": pa.array(list(out), pa.string()),
+                         "n": pa.array(list(out.values()), pa.int64())})
+
+    vocab = (ds.map_batches(words, batch_format="pyarrow")
+             .groupby("w").aggregate(Sum("n", alias_name="n"))
+             .map_batches(lambda b: pa.table({
+                 "syms": pa.array(
+                     [list(w) + ["</w>"] for w in b["w"].to_pylist()],
+                     pa.list_(pa.string())),
+                 "n": pc.cast(b["n"], pa.int64())}),
+                 batch_format="pyarrow")
+             .materialize())
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        ns = batch.column("n").to_pylist()
+        for syms, n in zip(batch.column("syms").to_pylist(), ns):
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + n
+        return pa.table({
+            "a": pa.array([k[0] for k in cnt], pa.string()),
+            "b": pa.array([k[1] for k in cnt], pa.string()),
+            "cnt": pa.array(list(cnt.values()), pa.int64())})
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (vocab.map_batches(pair_partials, batch_format="pyarrow")
+                 .groupby(["a", "b"]).aggregate(Sum("cnt",
+                                                    alias_name="cnt"))
+                 .map_batches(lambda b: b.append_column(
+                     "neg", pc.multiply(pc.cast(b["cnt"], pa.int64()),
+                                        -1)),
+                     batch_format="pyarrow"))
+        top = pairs.sort(["neg", "a", "b"]).limit(1).take_all()
+        if not top or top[0]["cnt"] < 2:
+            break
+        best_a, best_b, best_n = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, best_a, best_b, int(best_n)))
+
+        def rewrite(batch: pa.Table, a=best_a, b=best_b) -> pa.Table:
+            out = []
+            for syms in batch.column("syms").to_pylist():
+                res, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+                             "n": batch.column("n")})
+
+        vocab = vocab.map_batches(rewrite,
+                                  batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right",
+                                         "pair_count"]).astype(
+        {"rank": "int64", "pair_count": "int64"})

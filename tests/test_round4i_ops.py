@@ -553,3 +553,58 @@ def test_salted_hash_join_equals_unsalted(ray_session):
     with pytest.raises(ValueError, match="salt_col"):
         salted_hash_join(rd.from_pandas(left), rd.from_pandas(right),
                          key="k", salt_col="y")
+
+
+def _bpe_local(texts, n_merges):
+    import re
+    freq = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in freq.items()}
+    merges = []
+    for rank in range(n_merges):
+        cnt = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                cnt[p] = cnt.get(p, 0) + n
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), n = best
+        merges.append((rank, a, b, n))
+        new = {}
+        for syms, cn in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i+1] == b:
+                    res.append(a + b); i += 2
+                else:
+                    res.append(syms[i]); i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + cn
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_local_replica(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.text import bpe_train
+
+    texts = ["low lower lowest", "new newer newest newest",
+             "low low new", "widest wide wider"]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    got = bpe_train(rd.from_pandas(df), n_merges=8)
+    exp = _bpe_local(texts, 8)
+    assert [tuple(r) for r in got.values.tolist()] == exp
+    # layout independence
+    got2 = bpe_train(rd.from_pandas(df).repartition(3), n_merges=8)
+    assert got.equals(got2)
+    # early stop: corpus with no repeating pair
+    tiny = pd.DataFrame({"doc_id": [0], "text": ["ab"]})
+    assert len(bpe_train(rd.from_pandas(tiny), n_merges=5)) == 0
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(rd.from_pandas(df), n_merges=0)
