@@ -7082,6 +7082,57 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(ds, n_merges=12)
 
 
+def q_incremental_agg(sf_dir: str):
+    """Incremental aggregate maintenance identity: base aggregate
+    (event_id % 5 != 0) folded with the raw delta (event_id % 5 == 0)
+    must equal the full-history aggregate — count/sum monoid merge,
+    delta-proportional work."""
+    from ray.data.aggregate import Count, Sum
+
+    from markdown_lab_ray.stages.analytics import incremental_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def split(batch: pa.Table, keep_delta: bool) -> pa.Table:
+        mod = pc.subtract(batch["event_id"],
+                          pc.multiply(pc.divide(batch["event_id"], 5), 5))
+        is_delta = pc.equal(mod, 0)
+        return batch.filter(is_delta if keep_delta
+                            else pc.invert(is_delta))
+
+    base_raw = ev.map_batches(split, batch_format="pyarrow",
+                              fn_kwargs=dict(keep_delta=False))
+    delta = ev.map_batches(split, batch_format="pyarrow",
+                           fn_kwargs=dict(keep_delta=True))
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64),
+                          pa.int64())})
+
+    base_agg = (base_raw.map_batches(cents, batch_format="pyarrow")
+                .groupby("event_type")
+                .aggregate(Count(alias_name="n"),
+                           Sum("c", alias_name="sum_cents"))
+                .map_batches(lambda b: pa.table({
+                    "event_type": b["event_type"],
+                    "n": pc.cast(b["n"], pa.int64()),
+                    "sum_cents": pc.cast(b["sum_cents"], pa.int64())}),
+                    batch_format="pyarrow"))
+    out = incremental_agg(base_agg, delta, "event_type", "value")
+    return out.sort("event_type")
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7273,6 +7324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_factors": q_als_factors,
         "salted_segment_value": q_salted_segment_value,
         "bpe_merges": q_bpe_merges,
+        "incremental_agg": q_incremental_agg,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7467,6 +7519,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": SQL_PEAK_CONCURRENCY,
         "als_factors": SQL_ALS_FACTORS,
         "salted_segment_value": SQL_SALTED_SEGMENT_VALUE,
+        "incremental_agg": SQL_INCREMENTAL_AGG,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -3495,3 +3495,40 @@ def als_rank1(ds, user_col: str = "user_id", item_col: str = "event_type",
     cols = ["item", "n_raters", "num_micro", "den_micro", "v_micro"]
     out = out[cols].sort_values("item").reset_index(drop=True)
     return out.astype({c: "int64" for c in cols[1:]})
+
+
+def incremental_agg(base_ds, delta_ds, key_col: str, value_col: str):
+    """Incremental aggregate maintenance: given a BASE aggregate table
+    (key, n, sum_cents) and a DELTA of raw rows, produce the updated
+    aggregate WITHOUT re-reading the base raw data — the streaming/
+    micro-batch maintenance identity (count and sum are commutative
+    monoids, so base ⊎ agg(delta) folds in one keyed Sum).
+
+    Scale shape: the delta pre-aggregates per batch; ONE keyed Sum
+    over (base rows ∪ delta partials) — work proportional to the
+    delta + touched keys, never the full history.  Output: (key, n,
+    sum_cents), exact cents."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def delta_partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({key_col: df[key_col],
+                          "n": np.ones(len(df), np.int64),
+                          "sum_cents": _cents(df[value_col].to_numpy())})
+        out = (g.groupby(key_col, sort=False).sum().reset_index()
+               .astype({"n": "int64", "sum_cents": "int64"}))
+        # Arrow out: the union with the (Arrow-block) base requires
+        # both branches to carry the same block type
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = delta_ds.map_batches(delta_partial, batch_format="pandas")
+    merged = (base_ds.union(parts).groupby(key_col)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_cents", alias_name="sum_cents")))
+    return merged.map_batches(
+        lambda b: pa.table({
+            key_col: b[key_col],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64())}),
+        batch_format="pyarrow")

@@ -608,3 +608,22 @@ def test_bpe_train_matches_local_replica(ray_session):
     assert len(bpe_train(rd.from_pandas(tiny), n_merges=5)) == 0
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(rd.from_pandas(df), n_merges=0)
+
+
+def test_incremental_agg_equals_full_recompute(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    from markdown_lab_ray.stages.analytics import incremental_agg
+
+    base_raw = pd.DataFrame({"k": [1, 1, 2], "value": [1.0, 2.5, 4.0]})
+    delta = pd.DataFrame({"k": [1, 3], "value": [0.5, 7.0]})
+    base_agg = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "n": pa.array([2, 1], pa.int64()),
+        "sum_cents": pa.array([350, 400], pa.int64())}))
+    got = (incremental_agg(base_agg, rd.from_pandas(delta), "k", "value")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # full recompute: k1 n=3 c=400; k2 n=1 c=400; k3 n=1 c=700
+    assert got["n"].tolist() == [3, 1, 1]
+    assert got["sum_cents"].tolist() == [400, 400, 700]
