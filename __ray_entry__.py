@@ -7133,6 +7133,38 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_zorder_events(sf_dir: str):
+    """Morton Z-order layout key over (user_id, floor(value)) — the
+    2-D locality-clustering index, bit-interleave exact int64."""
+    from markdown_lab_ray.stages.analytics import zorder_index
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "vi": pa.array(np.floor(v).astype(np.int64), pa.int64())})
+
+    return (zorder_index(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", "vi", bits=16)
+            .sort(["zval", "event_id"]))
+
+
+SQL_ZORDER_EVENTS = ("""
+WITH b AS (
+  SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vi
+  FROM events)
+SELECT event_id, user_id, vi, CAST("""
+                     + " + ".join(
+                         f"(((user_id >> {i}) & 1) << {2 * i}) + "
+                         f"(((vi >> {i}) & 1) << {2 * i + 1})"
+                         for i in range(16))
+                     + """ AS BIGINT) AS zval
+FROM b ORDER BY zval, event_id
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7325,6 +7357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_segment_value": q_salted_segment_value,
         "bpe_merges": q_bpe_merges,
         "incremental_agg": q_incremental_agg,
+        "zorder_events": q_zorder_events,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7520,6 +7553,7 @@ def oracle_sql() -> dict[str, str]:
         "als_factors": SQL_ALS_FACTORS,
         "salted_segment_value": SQL_SALTED_SEGMENT_VALUE,
         "incremental_agg": SQL_INCREMENTAL_AGG,
+        "zorder_events": SQL_ZORDER_EVENTS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -3532,3 +3532,34 @@ def incremental_agg(base_ds, delta_ds, key_col: str, value_col: str):
             "n": pc.cast(b["n"], pa.int64()),
             "sum_cents": pc.cast(b["sum_cents"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def zorder_index(ds, x_col: str, y_col: str, bits: int = 16):
+    """Morton / Z-order curve index over two non-negative integer
+    columns: interleave the low ``bits`` bits of x (even positions)
+    and y (odd positions) — the storage-layout clustering key that
+    keeps 2-D-close rows file-close (Databricks-style data layout,
+    public).  Values ≥ 2^bits raise (silent truncation would interleave
+    garbage).  Pure per-batch bit arithmetic — zero shuffle; sorting
+    by the emitted key is the caller's (range-partitioned) step.
+    Output: input columns + ``zval`` int64."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+
+    def z(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(x) and (x.min() < 0 or y.min() < 0
+                       or x.max() >= (1 << bits)
+                       or y.max() >= (1 << bits)):
+            raise ValueError(
+                f"zorder_index: values outside [0, 2^{bits})")
+        zv = np.zeros(len(x), np.int64)
+        for i in range(bits):
+            zv |= ((x >> i) & 1) << (2 * i)
+            zv |= ((y >> i) & 1) << (2 * i + 1)
+        return batch.append_column("zval", pa.array(zv, pa.int64()))
+
+    return ds.map_batches(z, batch_format="pyarrow")

@@ -627,3 +627,25 @@ def test_incremental_agg_equals_full_recompute(ray_session):
     # full recompute: k1 n=3 c=400; k2 n=1 c=400; k3 n=1 c=700
     assert got["n"].tolist() == [3, 1, 1]
     assert got["sum_cents"].tolist() == [400, 400, 700]
+
+
+def test_zorder_index_interleave_and_bounds(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.analytics import zorder_index
+
+    df = pd.DataFrame({"x": [0, 1, 2, 3, 5], "y": [0, 1, 1, 0, 3]})
+    got = (zorder_index(rd.from_pandas(df), "x", "y", bits=4)
+           .to_pandas())
+    # morton(x,y): x bits even, y bits odd
+    # (0,0)=0 (1,1)=3 (2,1)=6 (3,0)=5 (5,3)=0b100111=39... check:
+    # x=5=101 -> bits at 0,4; y=3=11 -> bits at 1,3 => 1+2+8+16=27? no:
+    # x bit0=1->z0, x bit2=1->z4; y bit0=1->z1, y bit1=1->z3
+    # z = 1 + 2 + 8 + 16 = 27
+    assert got["zval"].tolist() == [0, 3, 6, 5, 27]
+    with pytest.raises(Exception, match="outside"):
+        zorder_index(rd.from_pandas(pd.DataFrame(
+            {"x": [20], "y": [0]})), "x", "y", bits=4).to_pandas()
+    with pytest.raises(ValueError, match="bits"):
+        zorder_index(rd.from_pandas(df), "x", "y", bits=0)
