@@ -7165,6 +7165,77 @@ FROM b ORDER BY zval, event_id
 """)
 
 
+def q_layout_pruning(sf_dir: str):
+    """Zone-map pruning payoff, naive vs Z-order layout: blocks of 250
+    rows, box predicate user_id ∈ [10,20] ∧ floor(value) ∈ [100,200] —
+    the data-skipping win the Morton key buys."""
+    import pandas as pd
+
+    from markdown_lab_ray.stages.analytics import pruning_stats, zorder_index
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "vi": pa.array(np.floor(v).astype(np.int64), pa.int64())})
+
+    base = zorder_index(ds.map_batches(prep, batch_format="pyarrow"),
+                        "user_id", "vi", bits=16).materialize()
+    out = []
+    for layout, cols in [("insertion", ["event_id"]),
+                         ("zorder", ["zval", "event_id"])]:
+        r = pruning_stats(base, cols, "user_id", "vi",
+                          10, 20, 100, 200,
+                          rows_per_block=250).to_pandas()
+        r.insert(0, "layout", layout)
+        out.append(r)
+    return pd.concat(out, ignore_index=True)
+
+
+SQL_LAYOUT_PRUNING = ("""
+WITH b AS MATERIALIZED (
+  SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vi, CAST("""
+                      + " + ".join(
+                          f"(((user_id >> {i}) & 1) << {2 * i}) + "
+                          f"(((vi >> {i}) & 1) << {2 * i + 1})"
+                          for i in range(16))
+                      + """ AS BIGINT) AS zval
+  FROM events),
+r1 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY event_id) - 1) // 250 AS blk,
+         user_id, vi FROM b),
+z1 AS (SELECT blk, MIN(user_id) AS x_min, MAX(user_id) AS x_max,
+              MIN(vi) AS y_min, MAX(vi) AS y_max, COUNT(*) AS n
+       FROM r1 GROUP BY blk),
+r2 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY zval, event_id) - 1) // 250
+           AS blk, user_id, vi FROM b),
+z2 AS (SELECT blk, MIN(user_id) AS x_min, MAX(user_id) AS x_max,
+              MIN(vi) AS y_min, MAX(vi) AS y_max, COUNT(*) AS n
+       FROM r2 GROUP BY blk)
+SELECT 'insertion' AS layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN x_max < 10 OR x_min > 20
+                       OR y_max < 100 OR y_min > 200
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN x_max < 10 OR x_min > 20
+                       OR y_max < 100 OR y_min > 200
+                     THEN n ELSE 0 END) AS BIGINT) AS n_rows_pruned
+FROM z1
+UNION ALL
+SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN x_max < 10 OR x_min > 20
+                       OR y_max < 100 OR y_min > 200
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN x_max < 10 OR x_min > 20
+                       OR y_max < 100 OR y_min > 200
+                     THEN n ELSE 0 END) AS BIGINT)
+FROM z2
+ORDER BY layout
+""")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7358,6 +7429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "incremental_agg": q_incremental_agg,
         "zorder_events": q_zorder_events,
+        "layout_pruning": q_layout_pruning,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7554,6 +7626,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_segment_value": SQL_SALTED_SEGMENT_VALUE,
         "incremental_agg": SQL_INCREMENTAL_AGG,
         "zorder_events": SQL_ZORDER_EVENTS,
+        "layout_pruning": SQL_LAYOUT_PRUNING,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

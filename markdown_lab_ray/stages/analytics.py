@@ -3563,3 +3563,53 @@ def zorder_index(ds, x_col: str, y_col: str, bits: int = 16):
         return batch.append_column("zval", pa.array(zv, pa.int64()))
 
     return ds.map_batches(z, batch_format="pyarrow")
+
+
+def pruning_stats(ds, sort_cols, x_col: str, y_col: str,
+                  x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+                  rows_per_block: int = 256):
+    """Zone-map pruning simulator: lay the rows out in ``sort_cols``
+    order, cut into fixed-size blocks (``(rn−1) // rows_per_block``),
+    record each block's (min, max) for x and y, and count how many
+    blocks a reader could SKIP for the box predicate
+    ``x ∈ [x_lo, x_hi] ∧ y ∈ [y_lo, y_hi]`` (skip ⇔ the block's range
+    misses either interval) — the data-skipping payoff metric that
+    quantifies what a ``zorder_index`` layout buys over a naive sort.
+
+    Scale shape: one range-partitioned sort (``with_global_row_number``)
+    + one keyed Min/Max over blocks + a single-row fold.  Output: one
+    row (n_blocks, n_pruned, n_rows_pruned) int64."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min
+
+    if rows_per_block < 1:
+        raise ValueError(
+            f"rows_per_block must be >= 1, got {rows_per_block}")
+
+    rn = with_global_row_number(ds, sort_cols)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_blk": (df["rn"].to_numpy(np.int64) - 1) // rows_per_block,
+            "_x": df[x_col].to_numpy(np.int64),
+            "_y": df[y_col].to_numpy(np.int64)})
+
+    zones = (rn.map_batches(tag, batch_format="pandas")
+             .groupby("_blk")
+             .aggregate(Min("_x", alias_name="x_min"),
+                        Max("_x", alias_name="x_max"),
+                        Min("_y", alias_name="y_min"),
+                        Max("_y", alias_name="y_max"),
+                        Count(alias_name="n")))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pruned = ((df["x_max"] < x_lo) | (df["x_min"] > x_hi)
+                  | (df["y_max"] < y_lo) | (df["y_min"] > y_hi))
+        return pd.DataFrame({
+            "n_blocks": pd.array([len(df)], dtype="int64"),
+            "n_pruned": pd.array([int(pruned.sum())], dtype="int64"),
+            "n_rows_pruned": pd.array([int(df.loc[pruned, "n"].sum())],
+                                      dtype="int64")})
+
+    return zones.repartition(1).map_batches(fold, batch_format="pandas",
+                                            batch_size=None)

@@ -649,3 +649,28 @@ def test_zorder_index_interleave_and_bounds(ray_session):
             {"x": [20], "y": [0]})), "x", "y", bits=4).to_pandas()
     with pytest.raises(ValueError, match="bits"):
         zorder_index(rd.from_pandas(df), "x", "y", bits=0)
+
+
+def test_pruning_stats_hand_case(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.analytics import pruning_stats
+
+    # 8 rows, blocks of 4 in id order: block0 x∈[0,3], block1 x∈[10,13]
+    df = pd.DataFrame({"rid": range(8),
+                       "x": [0, 1, 2, 3, 10, 11, 12, 13],
+                       "y": [5] * 8})
+    got = pruning_stats(rd.from_pandas(df), ["rid"], "x", "y",
+                        x_lo=10, x_hi=20, y_lo=0, y_hi=9,
+                        rows_per_block=4).to_pandas()
+    # block0's x range misses [10,20] → pruned; block1 overlaps
+    assert got.values.tolist() == [[2, 1, 4]]
+    # y predicate misses everything → both blocks pruned
+    got2 = pruning_stats(rd.from_pandas(df), ["rid"], "x", "y",
+                         x_lo=0, x_hi=20, y_lo=6, y_hi=9,
+                         rows_per_block=4).to_pandas()
+    assert got2.values.tolist() == [[2, 2, 8]]
+    with pytest.raises(ValueError, match="rows_per_block"):
+        pruning_stats(rd.from_pandas(df), ["rid"], "x", "y",
+                      0, 1, 0, 1, rows_per_block=0)
