@@ -7236,6 +7236,42 @@ ORDER BY layout
 """)
 
 
+def q_density_clusters(sf_dir: str):
+    """Grid-DBSCAN over the first two embedding dims (eps 0.25,
+    min_pts 3): dense cells, 8-neighbor components, min-cell-id
+    labels — the density member of the clustering family."""
+    from markdown_lab_ray.stages.similarity import grid_density_clusters
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return grid_density_clusters(ds, eps=0.25, min_pts=3)
+
+
+SQL_DENSITY_CLUSTERS = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.25) AS BIGINT)
+           AS cx,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.25) AS BIGINT)
+           AS cy
+  FROM embeddings),
+d AS MATERIALIZED (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
+         (cx + 1048576) * 2097152 + (cy + 1048576) AS cid
+  FROM p GROUP BY cx, cy HAVING COUNT(*) >= 3),
+e AS MATERIALIZED (
+  SELECT a.cid AS u, b.cid AS v
+  FROM d a JOIN d b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cid <> b.cid),
+r AS (
+  SELECT cid AS node, cid AS reach FROM d
+  UNION
+  SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)
+SELECT d.cx, d.cy, d.n, CAST(MIN(r.reach) AS BIGINT) AS cluster_id
+FROM d JOIN r ON d.cid = r.node
+GROUP BY d.cx, d.cy, d.n ORDER BY cx, cy
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7430,6 +7466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": q_incremental_agg,
         "zorder_events": q_zorder_events,
         "layout_pruning": q_layout_pruning,
+        "density_clusters": q_density_clusters,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7627,6 +7664,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg": SQL_INCREMENTAL_AGG,
         "zorder_events": SQL_ZORDER_EVENTS,
         "layout_pruning": SQL_LAYOUT_PRUNING,
+        "density_clusters": SQL_DENSITY_CLUSTERS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -924,3 +924,123 @@ def kmeans_lloyd(ds, k: int = 8, iters: int = 2,
     return (pdf.sort_values(["cell", "dim"]).reset_index(drop=True)
             .astype({c: "int64" for c in
                      ["cell", "dim", "s_micro", "n"]}))
+
+
+def grid_density_clusters(ds, vec_col: str = "embedding",
+                          eps: float = 0.25, min_pts: int = 3,
+                          n_buckets: int = 16):
+    """Grid-cell density clustering over the first two embedding
+    dimensions (the DBSCAN-on-a-grid approximation — cluster = a
+    connected component of DENSE cells, 8-neighborhood): exact and
+    fully SQL-twinnable, the density-based member of the clustering
+    family (centroid: ``kmeans_lloyd``; silhouette audit:
+    ``cluster_silhouette``).
+
+    Cell key = ``(floor(x/eps), floor(y/eps))`` — both engines compute
+    the same float64 division with the same literal ``eps`` so the
+    binning matches bit-for-bit.  A cell is dense when it holds
+    ≥ ``min_pts`` points; dense cells link to their 8 neighbors; the
+    cluster id is the MIN encoded cell id of the component (the
+    ``setsim_clusters`` labeling rule).
+
+    Scale shape: one keyed Count over cell keys (cell-scale rows),
+    neighbor edges by exploding each dense cell to its 8 offsets and
+    matching via one keyed groupby (never a cells×cells product), then
+    ``connected_components_distributed`` (O(log²) rounds).  Output:
+    (cx, cy, n, cluster_id) per dense cell, encoded ids int64.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import connected_components_distributed
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+
+    # encode (cx, cy) in one int64: coords validated to ±2^20, so
+    # (cx + 2^20)·2^21 + (cy + 2^20) < 2^42 — no overflow on either
+    # engine (DuckDB raises on BIGINT overflow; numpy would wrap)
+    ENC = np.int64(1) << np.int64(21)
+    OFF = np.int64(1) << np.int64(20)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+        cx = np.floor(x[:, 0] / eps).astype(np.int64)
+        cy = np.floor(x[:, 1] / eps).astype(np.int64)
+        if len(cx) and max(np.abs(cx).max(), np.abs(cy).max()) >= OFF:
+            raise ValueError("grid_density_clusters: cell coordinate "
+                             "outside ±2^20 — increase eps")
+        return pa.table({"cx": pa.array(cx, pa.int64()),
+                         "cy": pa.array(cy, pa.int64())})
+
+    dense = (ds.map_batches(cells, batch_format="pyarrow")
+             .groupby(["cx", "cy"]).aggregate(Count(alias_name="n"))
+             .map_batches(lambda b: b.filter(
+                 pc.greater_equal(b["n"], min_pts)),
+                 batch_format="pyarrow")
+             .map_batches(lambda b: pa.table({
+                 "cx": b["cx"], "cy": b["cy"],
+                 "n": pc.cast(b["n"], pa.int64()),
+                 "cid": pa.array(
+                     (b["cx"].to_numpy(zero_copy_only=False) + OFF)
+                     * ENC
+                     + (b["cy"].to_numpy(zero_copy_only=False) + OFF),
+                     pa.int64())}),
+                 batch_format="pyarrow")
+             .materialize())
+
+    # neighbor edges: each dense cell emits itself under its own key
+    # and under its 8 neighbor keys; a groupby on the key then pairs
+    # the "home" row with every neighbor that actually exists
+    def explode(batch: pa.Table) -> pa.Table:
+        cx = batch.column("cx").to_numpy(zero_copy_only=False)
+        cy = batch.column("cy").to_numpy(zero_copy_only=False)
+        cid = batch.column("cid").to_numpy(zero_copy_only=False)
+        ks, src, home = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = ((cx + dx) + OFF) * ENC + ((cy + dy) + OFF)
+                ks.append(k)
+                src.append(cid)
+                home.append(np.full(len(cid), dx == 0 and dy == 0))
+        return pa.table({
+            "key": pa.array(np.concatenate(ks), pa.int64()),
+            "src": pa.array(np.concatenate(src), pa.int64()),
+            "home": pa.array(np.concatenate(home), pa.bool_())})
+
+    def pair_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        h = g[g["home"]]
+        if h.empty:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        hid = int(h["src"].iloc[0])  # the cell whose key this is
+        nb = g[~g["home"]]["src"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.full(len(nb), hid, np.int64),
+                             "v": nb})
+
+    edges = (dense.map_batches(explode, batch_format="pyarrow")
+             .groupby("key").map_groups(pair_group,
+                                        batch_format="pandas"))
+    ids = dense.map_batches(lambda b: pa.table({"cid": b["cid"]}),
+                            batch_format="pyarrow")
+    labels = connected_components_distributed(
+        edges.map_batches(
+            lambda df: pa.table({
+                "u": pa.array(df["u"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(df["v"].to_numpy(np.int64), pa.int64())}),
+            batch_format="pandas"),
+        ids_ds=ids.map_batches(lambda b: pa.table({"doc_id": b["cid"]}),
+                               batch_format="pyarrow"))
+    lab = labels.map_batches(
+        lambda b: pa.table({"cid": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+    from .joins import bucketed_hash_join
+    out = bucketed_hash_join(dense, lab, key="cid",
+                             n_buckets=n_buckets).to_pandas()
+    out = (out[["cx", "cy", "n", "cluster_id"]]
+           .sort_values(["cx", "cy"]).reset_index(drop=True))
+    return out.astype({c: "int64" for c in out.columns})

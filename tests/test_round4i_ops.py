@@ -674,3 +674,40 @@ def test_pruning_stats_hand_case(ray_session):
     with pytest.raises(ValueError, match="rows_per_block"):
         pruning_stats(rd.from_pandas(df), ["rid"], "x", "y",
                       0, 1, 0, 1, rows_per_block=0)
+
+
+def test_grid_density_clusters_hand_case(ray_session):
+    import pandas as pd
+    import pytest
+
+    from markdown_lab_ray.stages.similarity import grid_density_clusters
+
+    rng = np.random.RandomState(1)
+    # blob A spans cells around origin; blob B far away; one lone point
+    pts = np.vstack([rng.uniform(0, 0.4, (20, 2)),
+                     rng.uniform(2.0, 2.4, (20, 2)),
+                     [[10.0, 10.0]]])
+    df = pd.DataFrame({"vec_id": range(len(pts)),
+                       "embedding": [list(p) + [0.0] for p in pts]})
+    got = grid_density_clusters(rd.from_pandas(df), eps=0.25, min_pts=3)
+    # two clusters; the lone point's cell (and <min_pts cells) drop
+    assert got["cluster_id"].nunique() == 2
+    assert ((10.0 // 0.25) not in got["cx"].tolist())
+    # each blob's dense cells land in one component; blob A cells
+    # have cx ≤ 1, blob B cells cx ≥ 8 — labels must split exactly there
+    lab_by_side = got.groupby(got["cx"] >= 8)["cluster_id"].nunique()
+    assert lab_by_side.tolist() == [1, 1]
+    # layout independence
+    got2 = grid_density_clusters(rd.from_pandas(df).repartition(5),
+                                 eps=0.25, min_pts=3)
+    assert got.equals(got2)
+    with pytest.raises(ValueError, match="min_pts"):
+        grid_density_clusters(rd.from_pandas(df), min_pts=0)
+    with pytest.raises(ValueError, match="eps"):
+        grid_density_clusters(rd.from_pandas(df), eps=0.0)
+    # out-of-range coordinates raise, never wrap
+    far = pd.DataFrame({"vec_id": [0],
+                        "embedding": [[1e7, 0.0, 0.0]]})
+    with pytest.raises(Exception, match="2\\^20"):
+        grid_density_clusters(rd.from_pandas(far), eps=0.25,
+                              min_pts=1)
