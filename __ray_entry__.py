@@ -7272,6 +7272,118 @@ GROUP BY d.cx, d.cy, d.n ORDER BY cx, cy
 """
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape (6 tables): ASIA revenue from orders where the
+    supplier and customer share a nation, 1996 order year.  Scale
+    plan: region→nation→supplier broadcast (tiny sides ship once via
+    ``ray.put``), customer nation-filtered then ONE bucketed join with
+    date-filtered orders, lineitem pre-quantized to exact cents with
+    the supplier nation attached per batch, ONE more bucketed join on
+    orderkey, the c-nation = s-nation correlation filtered
+    post-join, one keyed Sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == asia]
+    nkeys = nat["n_nationkey"].to_numpy(np.int64)
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = (sup[sup["s_nationkey"].isin(nkeys)]
+           .sort_values("s_suppkey"))  # searchsorted invariant
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                       sup["s_nationkey"].to_numpy(np.int64)))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["c_custkey"],
+            "c_nat": b["c_nationkey"]}).filter(
+                pc.is_in(b["c_nationkey"], value_set=pa.array(nkeys))),
+        batch_format="pyarrow")
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi))).select(
+                ["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    ord_cust = bucketed_hash_join(orders, cust, key="o_custkey",
+                                  n_buckets=16).map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "c_nat": b["c_nat"]}),
+        batch_format="pyarrow")
+
+    def li_slim(b: pa.Table, ref) -> pa.Table:
+        sk, sn = ray.get(ref)
+        if len(sk) == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "s_nat": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        keys = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, keys)
+        pos = np.clip(pos, 0, len(sk) - 1)
+        ok = sk[pos] == keys
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor((price * (1 - disc)) * 100 + 0.5).astype(
+            np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(
+                b.column("l_orderkey").to_numpy(
+                    zero_copy_only=False)[ok], pa.int64()),
+            "s_nat": pa.array(sn[pos][ok], pa.int64()),
+            "cents": pa.array(cents[ok], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+        li_slim, batch_format="pyarrow", fn_kwargs=dict(ref=sup_ref))
+    joined = bucketed_hash_join(li, ord_cust, key="o_orderkey",
+                                n_buckets=16)
+    agg = (joined.map_batches(
+        lambda b: b.filter(pc.equal(b["c_nat"], b["s_nat"])).select(
+            ["s_nat", "cents"]),
+        batch_format="pyarrow")
+        .groupby("s_nat").aggregate(Sum("cents",
+                                        alias_name="revenue_cents")))
+    out = agg.to_pandas()
+    out["n_name"] = out["s_nat"].map(names)
+    out = (out[["n_name", "revenue_cents"]]
+           .sort_values(["revenue_cents", "n_name"],
+                        ascending=[False, True])
+           .reset_index(drop=True))
+    return out.astype({"revenue_cents": "int64"})
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7467,6 +7579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": q_zorder_events,
         "layout_pruning": q_layout_pruning,
         "density_clusters": q_density_clusters,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7665,6 +7778,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": SQL_ZORDER_EVENTS,
         "layout_pruning": SQL_LAYOUT_PRUNING,
         "density_clusters": SQL_DENSITY_CLUSTERS,
+        "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

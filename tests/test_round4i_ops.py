@@ -711,3 +711,22 @@ def test_grid_density_clusters_hand_case(ray_session):
     with pytest.raises(Exception, match="2\\^20"):
         grid_density_clusters(rd.from_pandas(far), eps=0.25,
                               min_pts=1)
+
+
+def test_local_supplier_revenue_matches_duckdb_sf0001(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["local_supplier_revenue"](sf)
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier",
+              "nation", "region"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    exp = con.execute(
+        E.oracle_sql()["local_supplier_revenue"]).df()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["revenue_cents"].tolist() == [
+        int(v) for v in exp["revenue_cents"]]
