@@ -7384,6 +7384,174 @@ GROUP BY n_name ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_late_ship_orders(sf_dir: str):
+    """EXISTS-with-inequality semi-join (TPC-H Q4 shape): orders with a
+    lineitem shipped >30 days after the order date, counted per
+    priority — the predicate spans both tables, evaluated in-bucket."""
+    from markdown_lab_ray.stages.analytics import late_ship_orders
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    out = late_ship_orders(orders, li, late_days=30).to_pandas()
+    return (out[["o_orderpriority", "n_late"]]
+            .sort_values("o_orderpriority").reset_index(drop=True)
+            .astype({"n_late": "int64"}))
+
+
+SQL_LATE_SHIP_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_segment_mannwhitney(sf_dir: str):
+    """Exact tie-corrected Mann-Whitney U between two market segments'
+    order totals (doubled-rank integer arithmetic, zipWithIndex block
+    offsets — never a global materialization)."""
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+    from markdown_lab_ray.stages.analytics import mann_whitney_u
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .rename_columns({"c_custkey": "o_custkey"})
+    joined = bucketed_hash_join(orders, cust, key="o_custkey")
+    return mann_whitney_u(joined, "c_mktsegment", "o_totalprice",
+                          "BUILDING", "MACHINERY")
+
+
+SQL_SEGMENT_MANNWHITNEY = """
+WITH pool AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+r AS (SELECT seg, v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM pool),
+a AS (SELECT seg,
+             CAST(2 * AVG(rn) OVER (PARTITION BY v) AS BIGINT) AS ar2
+      FROM r),
+s AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ar2) AS BIGINT) AS r2
+      FROM a GROUP BY seg)
+SELECT MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n_a,
+       MAX(CASE WHEN seg = 'MACHINERY' THEN n END) AS n_b,
+       MAX(CASE WHEN seg = 'BUILDING' THEN r2 - n * (n + 1) END) AS u2_a,
+       MAX(CASE WHEN seg = 'MACHINERY' THEN r2 - n * (n + 1) END) AS u2_b
+FROM s
+"""
+
+
+def q_dow_seasonality(sf_dir: str):
+    """ISO-weekday revenue seasonality index in exact integer
+    micro-units (calendar-bounded keyed Sum + O(7) driver finish)."""
+    from markdown_lab_ray.stages.analytics import dow_seasonality
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    return dow_seasonality(orders)
+
+
+SQL_DOW_SEASONALITY = """
+WITH d AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS dn,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY dn),
+w AS (SELECT ((dn + 3) % 7) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) AS BIGINT) AS revenue_cents
+      FROM d GROUP BY dow),
+t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS td,
+             CAST(SUM(revenue_cents) AS HUGEINT) AS tr
+      FROM w)
+SELECT CAST(dow AS BIGINT) AS dow, n_days, revenue_cents,
+       CAST((CAST(revenue_cents AS HUGEINT) * td * 1000000)
+            // (n_days * tr) AS BIGINT) AS index_micro
+FROM w, t ORDER BY dow
+"""
+
+
+def q_daily_theilsen(sf_dir: str):
+    """Theil-Sen robust slope of daily revenue (median of pairwise
+    slopes over the calendar-bounded daily aggregate)."""
+    from markdown_lab_ray.stages.analytics import daily_theilsen
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    return daily_theilsen(orders)
+
+
+SQL_DAILY_THEILSEN = """
+WITH d AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS dn,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY dn)
+SELECT MEDIAN(CAST(b.rev - a.rev AS DOUBLE) / (b.dn - a.dn)) AS ts_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM d a JOIN d b ON b.dn > a.dn
+"""
+
+
+def q_brand_price_topk(sf_dir: str):
+    """Per-brand top-3 DISTINCT retail prices with ALL ties kept
+    (DENSE_RANK semantics; batch-local combiner proven sound)."""
+    from markdown_lab_ray.stages.analytics import dense_topk_per_group
+
+    part = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+    out = dense_topk_per_group(part, "p_brand", "p_retailprice",
+                               "p_partkey", k=3).to_pandas()
+    return (out[["p_brand", "p_partkey", "value_cents", "value_rank"]]
+            .sort_values(["p_brand", "value_rank", "p_partkey"])
+            .reset_index(drop=True))
+
+
+SQL_BRAND_PRICE_TOPK = """
+WITH p AS (SELECT p_brand, p_partkey,
+                  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                      AS value_cents
+           FROM part),
+r AS (SELECT *, DENSE_RANK() OVER (PARTITION BY p_brand
+                                   ORDER BY value_cents DESC) AS rk
+      FROM p)
+SELECT p_brand, p_partkey, value_cents, CAST(rk AS BIGINT) AS value_rank
+FROM r WHERE rk <= 3 ORDER BY p_brand, value_rank, p_partkey
+"""
+
+
+def q_spend_runs(sf_dir: str):
+    """Longest strictly-increasing run of each customer's successive
+    order totals under the (date, orderkey) total order — exact cents
+    compares, vectorized change-point scan."""
+    from markdown_lab_ray.stages.analytics import increasing_runs
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    out = increasing_runs(orders, "o_custkey", "o_orderdate", "o_orderkey",
+                          "o_totalprice").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_SPEND_RUNS = """
+WITH o AS (SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS id,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+           FROM orders),
+l AS (SELECT k, d, id,
+             CASE WHEN LAG(v) OVER (PARTITION BY k ORDER BY d, id) < v
+                  THEN 0 ELSE 1 END AS brk
+      FROM o),
+g AS (SELECT k, SUM(brk) OVER (PARTITION BY k ORDER BY d, id) AS grp
+      FROM l),
+s AS (SELECT k, COUNT(*) AS len FROM g GROUP BY k, grp)
+SELECT k AS o_custkey, CAST(MAX(len) AS BIGINT) AS max_run
+FROM s GROUP BY k ORDER BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7580,6 +7748,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_pruning": q_layout_pruning,
         "density_clusters": q_density_clusters,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "late_ship_orders": q_late_ship_orders,
+        "segment_mannwhitney": q_segment_mannwhitney,
+        "dow_seasonality": q_dow_seasonality,
+        "daily_theilsen": q_daily_theilsen,
+        "brand_price_topk": q_brand_price_topk,
+        "spend_runs": q_spend_runs,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -7779,6 +7953,12 @@ def oracle_sql() -> dict[str, str]:
         "layout_pruning": SQL_LAYOUT_PRUNING,
         "density_clusters": SQL_DENSITY_CLUSTERS,
         "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+        "late_ship_orders": SQL_LATE_SHIP_ORDERS,
+        "segment_mannwhitney": SQL_SEGMENT_MANNWHITNEY,
+        "dow_seasonality": SQL_DOW_SEASONALITY,
+        "daily_theilsen": SQL_DAILY_THEILSEN,
+        "brand_price_topk": SQL_BRAND_PRICE_TOPK,
+        "spend_runs": SQL_SPEND_RUNS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -3613,3 +3613,335 @@ def pruning_stats(ds, sort_cols, x_col: str, y_col: str,
 
     return zones.repartition(1).map_batches(fold, batch_format="pandas",
                                             batch_size=None)
+
+
+def late_ship_orders(orders_ds, lineitem_ds, late_days: int = 30,
+                     n_buckets: int = 64):
+    """EXISTS-with-inequality semi-join (the TPC-H Q4 shape): count
+    orders per priority having at least one lineitem shipped more than
+    ``late_days`` after the order date — the predicate compares columns
+    from BOTH tables, so no static pre-filter can reduce it to a plain
+    semi-join.
+
+    Scale shape: lineitem collapses per batch to per-orderkey MAX
+    shipdate partials (a true combiner — at most one row per orderkey
+    leaves each block), orders slim to (key, priority, date); ONE
+    union-then-merge bucketed shuffle on ``hash(orderkey) % n_buckets``
+    evaluates the inequality vectorized in-bucket and emits per-bucket
+    per-priority partial counts, so the final native groupby folds a
+    bounded priorities × buckets keyspace.  Output:
+    (o_orderpriority, n_late int64), one row per priority with ≥1 hit.
+    """
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    def o_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": batch.column("o_orderkey"),
+            "_pr": batch.column("o_orderpriority"),
+            "_od": batch.column("o_orderdate").cast(pa.timestamp("us"))
+                   .cast(pa.int64()),
+            "_ms": pa.nulls(batch.num_rows, pa.int64())})
+
+    def l_slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "_k": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "_ms": batch.column("l_shipdate").cast(pa.timestamp("us"))
+                        .cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)})
+        g = df.groupby("_k", sort=False)["_ms"].max().reset_index()
+        return pa.table({
+            "_k": pa.array(g["_k"].to_numpy(np.int64)),
+            "_pr": pa.nulls(len(g), pa.string()),
+            "_od": pa.nulls(len(g), pa.int64()),
+            "_ms": pa.array(g["_ms"].to_numpy(np.int64))})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = key_buckets(batch.column("_k").to_numpy(zero_copy_only=False),
+                        n_buckets)
+        return batch.append_column("_b", pa.array(b))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["_od"].notna()][["_k", "_pr", "_od"]]
+        ships = (g[g["_ms"].notna()].groupby("_k", sort=False)["_ms"]
+                 .max().reset_index())
+        m = orders.merge(ships, on="_k")
+        late = m[m["_ms"].to_numpy(np.int64)
+                 > m["_od"].to_numpy(np.int64) + late_us]
+        out = (late.groupby("_pr", sort=True).size()
+               .rename("_n").reset_index())
+        out["_n"] = out["_n"].astype("int64")
+        return out
+
+    union = (orders_ds.map_batches(o_slim, batch_format="pyarrow")
+             .union(lineitem_ds.map_batches(l_slim, batch_format="pyarrow")))
+    partials = (union.map_batches(tag, batch_format="pyarrow")
+                .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from ray.data.aggregate import Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderpriority", "n_late"])
+
+    return (partials.groupby("_pr").aggregate(Sum("_n", alias_name="n_late"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def mann_whitney_u(ds, group_col: str, value_col: str,
+                   group_a: str, group_b: str, n_buckets: int = 64):
+    """Exact two-sample Mann-Whitney U (rank-sum) statistic between two
+    groups, with tie-correct average ranks — the nonparametric
+    A/B-difference test a drift gate runs when distributions are
+    non-normal.
+
+    Scale shape: rows collapse per batch to per-(cents, group) counts,
+    ONE bucketed shuffle makes the counts exact, then a range sort over
+    the O(distinct values) count rows; the tie-averaged rank sums come
+    from per-sorted-block cumulative offsets (O(blocks) driver ints —
+    the zipWithIndex trick), never a global materialization.  All rank
+    arithmetic is doubled (2×) so tie-averages stay integer: per
+    distinct value v with c pool rows strictly below and t rows at v,
+    each row's doubled average rank is (2c + t + 1) exactly.
+    Output one row: (n_a, n_b, u2_a, u2_b) int64, where u2 = 2·U and
+    u2_a + u2_b == 2·n_a·n_b.
+    """
+    import ray
+
+    def slim(batch: pa.Table) -> pa.Table:
+        gv = batch.column(group_col).to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"_g": gv, "_v": cents})
+        df = df[df["_g"].isin([group_a, group_b])]
+        piv = (df.groupby(["_v", "_g"], sort=False).size().unstack(
+            fill_value=0).reindex(columns=[group_a, group_b], fill_value=0))
+        return pa.table({
+            "_v": pa.array(piv.index.to_numpy(np.int64)),
+            "_na": pa.array(piv[group_a].to_numpy(np.int64)),
+            "_nb": pa.array(piv[group_b].to_numpy(np.int64))})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = key_buckets(batch.column("_v").to_numpy(zero_copy_only=False),
+                        n_buckets)
+        return batch.append_column("_b", pa.array(b))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("_v", sort=False)[["_na", "_nb"]].sum().reset_index()
+        return out.astype({"_v": "int64", "_na": "int64", "_nb": "int64"})
+
+    counts = (ds.map_batches(slim, batch_format="pyarrow")
+              .map_batches(tag, batch_format="pyarrow")
+              .groupby("_b").map_groups(fold, batch_format="pandas")
+              .select_columns(["_v", "_na", "_nb"]))
+    sds = counts.sort("_v").materialize()
+    refs = sds.to_arrow_refs()
+
+    @ray.remote
+    def block_counts(t: pa.Table):
+        if t.num_rows == 0:
+            return 0, 0
+        na = t.column("_na").to_numpy(zero_copy_only=False)
+        nb = t.column("_nb").to_numpy(zero_copy_only=False)
+        return int(na.sum()), int(nb.sum())
+
+    per_block = ray.get([block_counts.remote(r) for r in refs])
+    offs, acc = [], 0
+    for na, nb in per_block:
+        offs.append(acc)
+        acc += na + nb
+
+    @ray.remote
+    def block_contrib(t: pa.Table, c_off: int):
+        if t.num_rows == 0:
+            return 0, 0
+        na = t.column("_na").to_numpy(zero_copy_only=False).astype(object)
+        nb = t.column("_nb").to_numpy(zero_copy_only=False).astype(object)
+        tt = na + nb
+        below = c_off + np.concatenate(([0], np.cumsum(tt)[:-1]))
+        w = 2 * below + tt + 1  # doubled tie-averaged rank, exact ints
+        return int((na * w).sum()), int((nb * w).sum())
+
+    contribs = ray.get([block_contrib.remote(r, o)
+                        for r, o in zip(refs, offs)])
+    n_a = sum(na for na, _ in per_block)
+    n_b = sum(nb for _, nb in per_block)
+    r2_a = sum(ca for ca, _ in contribs)
+    r2_b = sum(cb for _, cb in contribs)
+    return pd.DataFrame({
+        "n_a": pd.array([n_a], dtype="int64"),
+        "n_b": pd.array([n_b], dtype="int64"),
+        "u2_a": pd.array([r2_a - n_a * (n_a + 1)], dtype="int64"),
+        "u2_b": pd.array([r2_b - n_b * (n_b + 1)], dtype="int64")})
+
+
+def dow_seasonality(ds, ts_col: str = "o_orderdate",
+                    value_col: str = "o_totalprice"):
+    """Day-of-week seasonality index: each ISO weekday's average daily
+    revenue relative to the overall average daily revenue, in exact
+    integer micro-units (the demand-shape panel behind crawl/recrawl
+    scheduling by weekday).
+
+    Scale shape: per-batch partials to (epoch-day, cents) cells, one
+    native keyed Sum over the calendar-bounded day keyspace, then an
+    O(7) driver finish with arbitrary-precision Python ints (the
+    rev × days × 10⁶ product overflows int64 at corpus scale).
+    Output: (dow 1-7 Mon-Sun, n_days, revenue_cents, index_micro).
+    """
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        day = (batch.column(ts_col).cast(pa.timestamp("us"))
+               .cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"_day": day, "_c": cents})
+             .groupby("_day", sort=False)["_c"].sum().reset_index())
+        return pa.table({"_day": pa.array(g["_day"].to_numpy(np.int64)),
+                         "_c": pa.array(g["_c"].to_numpy(np.int64))})
+
+    daily = (ds.map_batches(slim, batch_format="pyarrow")
+             .groupby("_day").aggregate(Sum("_c", alias_name="_rev")))
+
+    def to_dow(batch: pa.Table) -> pa.Table:
+        day = batch.column("_day").to_numpy(zero_copy_only=False)
+        dow = (day + 3) % 7 + 1  # epoch day 0 = Thursday = ISO 4
+        return pa.table({"dow": pa.array(dow.astype(np.int64)),
+                         "_rev": batch.column("_rev"),
+                         "_one": pa.array(np.ones(len(day), np.int64))})
+
+    from ray.data.aggregate import Count
+    wk = (daily.map_batches(to_dow, batch_format="pyarrow")
+          .groupby("dow").aggregate(Sum("_one", alias_name="n_days"),
+                                    Sum("_rev", alias_name="revenue_cents"))
+          .to_pandas())
+    td = int(wk["n_days"].sum())
+    tr = int(wk["revenue_cents"].sum())
+    wk = wk.sort_values("dow").reset_index(drop=True)
+    wk["index_micro"] = [
+        (int(r) * td * 1_000_000) // (int(n) * tr)
+        for n, r in zip(wk["n_days"], wk["revenue_cents"])]
+    wk["index_micro"] = wk["index_micro"].astype("int64")
+    return wk.astype({"dow": "int64", "n_days": "int64",
+                      "revenue_cents": "int64"})
+
+
+def daily_theilsen(ds, ts_col: str = "o_orderdate",
+                   value_col: str = "o_totalprice"):
+    """Theil–Sen robust trend slope of daily revenue: the median of all
+    pairwise (Δrevenue/Δday) slopes — outlier-immune where OLS is not.
+
+    Scale shape: the corpus collapses to the calendar-bounded
+    (epoch-day, cents) aggregate via per-batch partials + one native
+    keyed Sum; the O(days²) pairwise-slope median then runs on the
+    driver over ≤ a-few-thousand day rows (bounded by the calendar, not
+    the data — the monthly_revenue_delta precedent).  Slopes divide in
+    float64 exactly as the SQL twin casts.  Output one row:
+    (ts_slope double, n_pairs int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        day = (batch.column(ts_col).cast(pa.timestamp("us"))
+               .cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"_day": day, "_c": cents})
+             .groupby("_day", sort=False)["_c"].sum().reset_index())
+        return pa.table({"_day": pa.array(g["_day"].to_numpy(np.int64)),
+                         "_c": pa.array(g["_c"].to_numpy(np.int64))})
+
+    daily = (ds.map_batches(slim, batch_format="pyarrow")
+             .groupby("_day").aggregate(Sum("_c", alias_name="_rev"))
+             .to_pandas().sort_values("_day"))
+    d = daily["_day"].to_numpy(np.int64)
+    r = daily["_rev"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = (r[j] - r[i]).astype(np.float64) / (d[j] - d[i])
+    return pd.DataFrame({
+        "ts_slope": pd.array([float(np.median(slopes))], dtype="float64"),
+        "n_pairs": pd.array([len(slopes)], dtype="int64")})
+
+
+def dense_topk_per_group(ds, group_col: str, value_col: str, id_col: str,
+                         k: int = 3, n_buckets: int = 64):
+    """Top-k per group by DISTINCT value with ALL ties kept
+    (DENSE_RANK ≤ k) — unlike the row-numbered top-k, every item at a
+    qualifying price survives, the catalog-curation semantics.
+
+    Scale shape: a per-batch combiner keeps only rows inside the
+    batch-local top-k distinct values per group (sound: a row in the
+    global top-k-distinct is in its batch's top-k-distinct), then one
+    bucketed shuffle on ``hash(group) % n_buckets`` re-ranks exactly.
+    Output: (group, id, value_cents, value_rank), rank 1 = highest.
+    """
+
+    def keep_topk(df: pd.DataFrame) -> pd.DataFrame:
+        rk = (df.groupby(group_col, sort=False)["_c"]
+              .rank(method="dense", ascending=False))
+        out = df[rk <= k].copy()
+        out["value_rank"] = rk[rk <= k].astype("int64")
+        return out
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_numpy(zero_copy_only=False),
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "_c": _cents(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False))})
+        out = keep_topk(df).drop(columns=["value_rank"])
+        out["_b"] = key_buckets(out[group_col].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = keep_topk(g.drop(columns=["_b"]))
+        out = out.rename(columns={"_c": "value_cents"})
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out.sort_values([group_col, "value_rank", id_col])
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def increasing_runs(ds, key_col: str, ts_col: str, id_col: str,
+                    value_col: str, n_buckets: int = 64):
+    """Longest strictly-increasing run of a key's successive values
+    under the (ts, id) total order — e.g. each customer's longest
+    streak of ever-larger orders (an engagement-momentum signal).
+
+    Scale shape: one keyed shuffle on ``hash(key) % n_buckets``; the
+    in-bucket fold is the vectorized change-point scan (boundary mask →
+    run lengths via diff of run starts), the same shape as
+    ``event_type_runs``.  Values compare in exact int64 cents.
+    Output: (key, max_run int64), one row per key.
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            ts_col: batch.column(ts_col).cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "_c": _cents(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False))})
+        df["_b"] = key_buckets(df[key_col].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        vals = g["_c"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key_col: pd.array([], dtype="int64"),
+                                 "max_run": pd.array([], dtype="int64")})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (keys[1:] != keys[:-1]) | (vals[1:] <= vals[:-1])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        isl = pd.DataFrame({key_col: keys[starts], "_len": lens})
+        out = (isl.groupby(key_col, sort=True)["_len"].max()
+               .rename("max_run").reset_index())
+        out["max_run"] = out["max_run"].astype("int64")
+        return out
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns([key_col, "max_run"]))
