@@ -7523,6 +7523,61 @@ FROM r WHERE rk <= 3 ORDER BY p_brand, value_rank, p_partkey
 """
 
 
+def q_image_quality(sf_dir: str):
+    """Per-image quality screen (brightness/contrast/sharpness/entropy
+    in exact milli-units + dims/gate flags) — decode once per row in an
+    actor pool."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import ImageQuality
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    out = ds.map_batches(ImageQuality, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 2)).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def q_image_pyramid(sf_dir: str):
+    """Thumbnail-pyramid storage accounting: per halving level, image
+    count + total re-encoded bytes (explode stays inside the task)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import pyramid_accounting
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    out = pyramid_accounting(ds, min_side=16).to_pandas()
+    return out.sort_values("level").reset_index(drop=True)
+
+
+def q_image_hash_agreement(sf_dir: str):
+    """aHash-vs-dHash near-dup agreement audit (same banded LSH +
+    Hamming verify on both): how hash-choice-sensitive the image dedup
+    decision is."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import hash_agreement
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    return hash_agreement(ds, hamming_threshold=6)
+
+
+def q_image_patch_stats(sf_dir: str):
+    """ViT patch-count cost accounting from declared dims only — the
+    bytes column never leaves storage (column pruning is the point)."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import patch_stats
+
+    table = build_images_table(SiteSpec(n_images=200))
+    ds = rd.from_arrow(table.select(["image_id", "w", "h", "fmt"]))
+    out = patch_stats(ds.drop_columns(["image_id"]), patch=16).to_pandas()
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
 def q_spend_runs(sf_dir: str):
     """Longest strictly-increasing run of each customer's successive
     order totals under the (date, orderkey) total order — exact cents
@@ -7754,6 +7809,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_theilsen": q_daily_theilsen,
         "brand_price_topk": q_brand_price_topk,
         "spend_runs": q_spend_runs,
+        "image_quality": q_image_quality,
+        "image_pyramid": q_image_pyramid,
+        "image_hash_agreement": q_image_hash_agreement,
+        "image_patch_stats": q_image_patch_stats,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,

@@ -582,3 +582,234 @@ def screen_caption_counts(ds, caption_col: str = "caption",
 
     return (screen_captions(ds, caption_col, id_col, min_words)
             .groupby("reason").aggregate(Count(alias_name="n")))
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → 8×9 block-mean grid → each
+    bit is right-neighbor > left (gradient direction), the classic
+    dHash.  Complements the mean-pool aHash (``perceptual_hash``):
+    robust to global brightness shifts that flip aHash bits.  Signed
+    int64, same convention as the table's ``phash`` column."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(10) * w) // 9
+    blocks = np.empty((8, 9))
+    for i in range(8):
+        for j in range(9):
+            blocks[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks[:, 1:] > blocks[:, :-1]).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def _milli(x: float) -> int:
+    return int(np.floor(x * 1000.0 + 0.5))
+
+
+def image_quality_row(pixels: np.ndarray) -> dict:
+    """Pure per-image quality kernel (shared by the actor stage and the
+    single-process test twin).  All stats in exact int64 milli-units:
+    brightness (gray mean), contrast (gray population std), sharpness
+    (mean |forward gradient|), entropy (256-bin gray histogram, in
+    milli-nats)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    brightness = float(gray.mean())
+    contrast = float(gray.std())
+    gx = np.abs(np.diff(gray, axis=1))
+    gy = np.abs(np.diff(gray, axis=0))
+    sharpness = float((gx.sum() + gy.sum()) / max(gx.size + gy.size, 1))
+    hist, _ = np.histogram(gray.astype(np.uint8), bins=256, range=(0, 256))
+    p = hist[hist > 0] / gray.size
+    entropy = float(-(p * np.log(p)).sum())
+    return {"brightness_milli": _milli(brightness),
+            "contrast_milli": _milli(contrast),
+            "sharpness_milli": _milli(sharpness),
+            "entropy_milli": _milli(entropy)}
+
+
+class ImageQuality:
+    """Actor-pool stage: decode → per-image quality signals + gate.
+
+    The pre-training screen a vision corpus runs before captioning or
+    CLIP scoring: too-dark / too-flat / blurred images are dropped, and
+    declared-vs-decoded dimension mismatches are flagged (corrupt or
+    mislabeled rows).  Decode happens ONCE per row here; thresholds are
+    constructor state (per-actor, not per-batch).  Output columns:
+    (image_id, fmt, *_milli int64, dims_ok bool, quality_ok bool).
+    """
+
+    def __init__(self, min_brightness: float = 30.0,
+                 max_brightness: float = 225.0,
+                 min_contrast: float = 10.0,
+                 min_sharpness: float = 2.0):
+        self.min_b = min_brightness
+        self.max_b = max_brightness
+        self.min_c = min_contrast
+        self.min_s = min_sharpness
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        rows = {"brightness_milli": [], "contrast_milli": [],
+                "sharpness_milli": [], "entropy_milli": []}
+        dims_ok, quality_ok = [], []
+        for blob, w, h in zip(blobs, ws, hs):
+            try:
+                pixels, _ = fake_decode(blob)
+                stats = image_quality_row(pixels)
+                d_ok = pixels.shape[1] == w and pixels.shape[0] == h
+            except Exception:
+                stats = {k: 0 for k in rows}
+                d_ok = False
+            for k in rows:
+                rows[k].append(stats[k])
+            dims_ok.append(d_ok)
+            quality_ok.append(
+                d_ok
+                and self.min_b * 1000 <= stats["brightness_milli"]
+                <= self.max_b * 1000
+                and stats["contrast_milli"] >= self.min_c * 1000
+                and stats["sharpness_milli"] >= self.min_s * 1000)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
+            **{k: pa.array(v, pa.int64()) for k, v in rows.items()},
+            "dims_ok": pa.array(dims_ok, pa.bool_()),
+            "quality_ok": pa.array(quality_ok, pa.bool_())})
+
+
+class ThumbnailPyramid:
+    """Actor-pool explode stage: decode once, emit a halving thumbnail
+    pyramid per image (level 1 = half size, …) until the next level's
+    min side would drop below ``min_side`` — the multi-resolution
+    serving layout an image CDN or a multi-scale trainer precomputes.
+    Each level is re-encoded with the row's own format; bytes stay
+    inside the task (the explode multiplies rows ≤ log₂(size) times,
+    never the original payload).  Output:
+    (image_id, level, w, h, n_bytes int64).
+    """
+
+    def __init__(self, min_side: int = 32):
+        self.min_side = min_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_lv, out_w, out_h, out_nb = [], [], [], [], []
+        for image_id, blob, fmt in zip(batch.column("image_id").to_pylist(),
+                                       batch.column("bytes").to_pylist(),
+                                       batch.column("fmt").to_pylist()):
+            try:
+                pixels, _ = fake_decode(blob)
+            except Exception:
+                continue
+            level = 0
+            h, w = pixels.shape[:2]
+            while min(w // 2, h // 2) >= self.min_side:
+                w, h = w // 2, h // 2
+                level += 1
+                thumb = resize_pixels(pixels, w, h)
+                data = fake_encode(thumb, fmt)
+                out_id.append(image_id)
+                out_lv.append(level)
+                out_w.append(w)
+                out_h.append(h)
+                out_nb.append(len(data))
+        return pa.table({"image_id": pa.array(out_id, pa.string()),
+                         "level": pa.array(out_lv, pa.int64()),
+                         "w": pa.array(out_w, pa.int64()),
+                         "h": pa.array(out_h, pa.int64()),
+                         "n_bytes": pa.array(out_nb, pa.int64())})
+
+
+def pyramid_accounting(ds, min_side: int = 32, batch_size: int = 64,
+                       concurrency=(1, 2)):
+    """Per-level pyramid accounting: (level, n_images, total_bytes) —
+    the storage-planning readout for the thumbnail tier."""
+    from ray.data.aggregate import Count, Sum
+
+    levels = ds.map_batches(ThumbnailPyramid,
+                            fn_constructor_kwargs={"min_side": min_side},
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=concurrency)
+    return (levels.groupby("level")
+            .aggregate(Count(alias_name="n_images"),
+                       Sum("n_bytes", alias_name="total_bytes")))
+
+
+class _DHash:
+    """Actor stage: decode → dhash64 per image (id, dhash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for image_id, blob in zip(batch.column("image_id").to_pylist(),
+                                  batch.column("bytes").to_pylist()):
+            try:
+                pixels, _ = fake_decode(blob)
+            except Exception:
+                continue
+            ids.append(image_id)
+            hashes.append(dhash64(pixels))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "phash": pa.array(hashes, pa.int64())})
+
+
+def hash_agreement(ds, hamming_threshold: int = 6, batch_size: int = 64,
+                   concurrency=(1, 2)):
+    """Cross-hash near-dup agreement audit: the pair sets found by the
+    table's aHash (``phash`` column) vs a fresh dHash pass, both through
+    the same banded LSH + in-band Hamming verify.  Agreement quantifies
+    how much the dedup decision depends on the hash choice — low overlap
+    means borderline pairs, worth a pixel-level second stage.  Output
+    one row: (n_ahash, n_dhash, n_both, jaccard_micro int64).
+    """
+    def _df(x):
+        return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+    a_pairs = _df(phash_near_dup_pairs(
+        ds.select_columns(["image_id", "phash"]),
+        hamming_threshold=hamming_threshold))
+    d_ds = ds.map_batches(_DHash, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+    d_pairs = _df(phash_near_dup_pairs(
+        d_ds, hamming_threshold=hamming_threshold))
+    a_set = set(zip(a_pairs["a"], a_pairs["b"]))
+    d_set = set(zip(d_pairs["a"], d_pairs["b"]))
+    both = len(a_set & d_set)
+    union = len(a_set | d_set)
+    import pandas as pd
+    return pd.DataFrame({
+        "n_ahash": pd.array([len(a_set)], dtype="int64"),
+        "n_dhash": pd.array([len(d_set)], dtype="int64"),
+        "n_both": pd.array([both], dtype="int64"),
+        "jaccard_micro": pd.array(
+            [0 if union == 0 else (both * 1_000_000) // union],
+            dtype="int64")})
+
+
+def patch_stats(ds, patch: int = 16):
+    """Vision-token cost accounting WITHOUT decoding: per format, the
+    ViT patch counts implied by the declared dimensions — patches =
+    ⌈w/p⌉·⌈h/p⌉ — so a training-cost estimate runs over table metadata
+    only (zero bytes move).  Output per fmt:
+    (fmt, n_images, total_patches, max_patches).
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def add_patches(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        patches = -(-w // patch) * -(-h // patch)
+        return pa.table({"fmt": batch.column("fmt"),
+                         "patches": pa.array(patches)})
+
+    return (ds.map_batches(add_patches, batch_format="pyarrow")
+            .groupby("fmt")
+            .aggregate(Count(alias_name="n_images"),
+                       Sum("patches", alias_name="total_patches"),
+                       Max("patches", alias_name="max_patches")))
