@@ -85,3 +85,23 @@ def get_filename_from_url(url: str, output_format: str) -> str:
         safe = f"{safe[:200]}_{suffix}"
     max_total = 255 - len(ext)
     return f"{safe[:max_total]}{ext}"
+
+
+def redirect_target(status: int, body, base_url: str):
+    """3xx responses carry the Location target (the resolver contract
+    puts it in the body / ``location`` header).  Returns the absolute
+    target URL, or None for non-redirects / blank locations.
+
+    Crawl semantics (shared by engine AND sequential oracle — both call
+    this one kernel): a redirect target is enqueued as a next-round
+    frontier candidate rather than followed inline.  Inline following
+    would bypass the TARGET host's politeness budget on cross-host
+    redirects and break the BSP round accounting; the frontier path
+    gives the target the same seen-set dedup, robots check and
+    per-host budget as any discovered link, and redirect LOOPS
+    terminate for free (the seen set admits each URL once).
+    """
+    if 300 <= status < 400 and isinstance(body, str) and body.strip():
+        from .html_kernels import resolve_url
+        return resolve_url(base_url, body.strip())
+    return None

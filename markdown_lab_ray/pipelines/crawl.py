@@ -332,9 +332,18 @@ def crawl_convert_batch(batch: pa.Table) -> pa.Table:
     statuses = batch.column("status").to_pylist()
     depths = batch.column("depth").to_pylist()
 
+    from ..kernels.urls import redirect_target
+
     titles, payloads, links_col, images_col = [], [], [], []
     for loc, html, status in zip(locs, htmls, statuses):
-        if status != 200 or not html:
+        if 300 <= status < 400:
+            # the body is the Location; the target rides the links
+            # column into the next round's frontier (kernels/urls.py
+            # redirect_target documents why we never follow inline)
+            target = redirect_target(status, html, loc)
+            doc = dict(EMPTY_DOC, base_url=loc)
+            links = [target] if target else []
+        elif status != 200 or not html:
             doc, links = dict(EMPTY_DOC, base_url=loc), []
         else:
             try:
@@ -1040,9 +1049,12 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             # links part APPENDS to frontier_next (the deferred part was
             # written concurrently with the fetch above; write_parquet
             # part-file names are unique per call)
+            # 200s carry page links; 3xx rows carry their redirect
+            # target in the same column — both feed the next frontier
             link_src = rd.read_parquet(
                 docs_dir, columns=["depth", "links", "status"]).filter(
-                expr=f"status == 200 and depth < {cfg.max_depth}")
+                expr=f"status >= 200 and status < 400 "
+                     f"and depth < {cfg.max_depth}")
             (link_src.map_batches(links_explode_batch,
                                   batch_format="pyarrow")
              .map_batches(conform_frontier_batch, batch_format="pyarrow")

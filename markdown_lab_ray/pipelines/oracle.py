@@ -14,6 +14,7 @@ import pandas as pd
 
 from ..config import EngineConfig
 from ..kernels.html_kernels import extract_links
+from ..kernels.urls import redirect_target
 from ..state.authority import (authority_multipliers, extract_host_edges,
                                local_pagerank_hosts, merge_edges)
 from ..state.politeness import (breaker_update, effective_budget,
@@ -113,6 +114,14 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
             else:
                 failed += 1
                 stat[1] += 1
+                # redirect target → next-round frontier candidate (same
+                # shared kernel + depth rule as the engine's links path)
+                target = redirect_target(
+                    status, body if isinstance(body, str) else "",
+                    row["loc"])
+                if target is not None and row["depth"] < cfg.max_depth:
+                    candidates.extend(links_to_frontier_rows(
+                        row["depth"], [target]))
 
         if cfg.breaker_threshold > 0:
             for host, (n_ok, n_fail) in round_stats.items():

@@ -87,8 +87,13 @@ class HttpResolver:
 
         def attempt():
             try:
+                # never follow redirects transparently: the crawl
+                # frontier owns redirect targets (kernels/urls.py
+                # redirect_target) so cross-host hops respect the
+                # TARGET host's politeness budget and seen-set
                 resp = self.session.request(method, url,
-                                            timeout=self.timeout)
+                                            timeout=self.timeout,
+                                            allow_redirects=False)
             except requests.exceptions.RequestException as exc:
                 raise NetworkError(str(exc), url=url) from exc
             if resp.status_code in RETRYABLE_STATUSES:
@@ -113,6 +118,9 @@ class HttpResolver:
             return 0, ""
         if isinstance(resp, _StatusOnly):
             return resp.status, ""
+        if 300 <= resp.status_code < 400:
+            # resolver contract: a 3xx body IS the Location
+            return resp.status_code, resp.headers.get("location", "")
         if _is_text(resp.headers.get("content-type", "text/html")):
             body = resp.text
             return resp.status_code, body[: self.max_body_bytes]

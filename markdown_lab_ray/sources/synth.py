@@ -71,9 +71,25 @@ class SiteSpec:
     error_host_every: int = 0
     error_status: int = 503
 
+    # every Nth page per host 301-redirects instead of serving HTML
+    # (0 = no redirects; default web and derived fixtures unchanged).
+    # Every second redirecting page points CROSS-HOST so the frontier
+    # path's politeness/seen handling of foreign targets is exercised.
+    redirect_every: int = 0
+
     def is_error_host(self, host_i: int) -> bool:
         return (self.error_host_every > 0
                 and host_i % self.error_host_every == 0)
+
+    def is_redirect_page(self, page_j: int) -> bool:
+        return (self.redirect_every > 0 and page_j > 0
+                and page_j % self.redirect_every == 0)
+
+    def redirect_target_url(self, host_i: int, page_j: int) -> str:
+        cross = (page_j % (2 * self.redirect_every)) == 0
+        target_host = (host_i + 1) % self.n_hosts if cross else host_i
+        return self.page_url(target_host,
+                             (page_j + 1) % self.pages_per_host)
 
     def host(self, i: int) -> str:
         return f"h{i:03d}.example.com"
@@ -331,6 +347,10 @@ class SyntheticWeb:
             if tail.isdigit() and int(tail) < self.spec.pages_per_host:
                 if self.spec.is_error_host(host_i):
                     return self.spec.error_status, ""
+                if self.spec.is_redirect_page(int(tail)):
+                    # 301 body IS the Location (the resolver contract)
+                    return 301, self.spec.redirect_target_url(
+                        host_i, int(tail))
                 return 200, page_html(self.spec, host_i, int(tail))
         if path == "/":
             if self.spec.is_error_host(host_i):
@@ -349,4 +369,7 @@ class SyntheticWeb:
             ctype = ("application/xml" if url.endswith(".xml")
                      else "text/html")
             length = len(body.encode())
-        return status, {"content-type": ctype, "content-length": length}
+        headers = {"content-type": ctype, "content-length": length}
+        if 300 <= status < 400 and isinstance(body, str) and body:
+            headers["location"] = body
+        return status, headers
