@@ -7607,6 +7607,83 @@ FROM s GROUP BY k ORDER BY o_custkey
 """
 
 
+def q_orderkey_gaps(sf_dir: str):
+    """Global gaps-and-islands over the sparse l_orderkey id space
+    (distinct → sorted blocks → O(blocks) boundary stitch)."""
+    from markdown_lab_ray.stages.analytics import sequence_gaps
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return sequence_gaps(li, "l_orderkey")
+
+
+SQL_ORDERKEY_GAPS = """
+WITH k AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+g AS (SELECT v - LAG(v) OVER (ORDER BY v) AS d FROM k)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_keys,
+       CAST(1 + COUNT(*) FILTER (WHERE d > 1) AS BIGINT) AS n_islands,
+       CAST(COALESCE(MAX(d) - 1, 0) AS BIGINT) AS max_gap
+FROM g
+"""
+
+
+def q_dow_residuals(sf_dir: str):
+    """Seasonal-naive anomaly screen: top-10 days by |revenue − own
+    weekday's mean| in exact integer micro-cents."""
+    from markdown_lab_ray.stages.analytics import dow_residuals
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    return dow_residuals(orders, top_n=10)
+
+
+SQL_DOW_RESIDUALS = """
+WITH d AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS dn,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY dn),
+w AS (SELECT dn, ((dn + 3) % 7) + 1 AS dow, rev,
+             CAST(rev AS HUGEINT) * 1000000
+               - (SUM(CAST(rev AS HUGEINT)) OVER (PARTITION BY
+                  ((dn + 3) % 7) + 1) * 1000000)
+                 // (COUNT(*) OVER (PARTITION BY ((dn + 3) % 7) + 1))
+               AS residual_micro
+      FROM d)
+SELECT CAST(dn AS BIGINT) AS dn, CAST(dow AS BIGINT) AS dow,
+       rev AS revenue_cents,
+       CAST(residual_micro AS BIGINT) AS residual_micro
+FROM w ORDER BY abs(residual_micro) DESC, dn LIMIT 10
+"""
+
+
+def q_abc_customers(sf_dir: str):
+    """ABC revenue classification per customer (A to 80%, B to 95%,
+    exact hugeint boundary compares via sorted-block offsets)."""
+    from markdown_lab_ray.stages.analytics import abc_classification
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = abc_classification(orders, "o_custkey", "o_totalprice").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_ABC_CUSTOMERS = """
+WITH s AS (SELECT o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS rev
+           FROM orders GROUP BY o_custkey),
+c AS (SELECT o_custkey, rev,
+             SUM(CAST(rev AS HUGEINT))
+                 OVER (ORDER BY rev DESC, o_custkey) AS cum,
+             SUM(CAST(rev AS HUGEINT)) OVER () AS tot
+      FROM s)
+SELECT o_custkey, rev AS revenue_cents,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c ORDER BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7813,6 +7890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pyramid": q_image_pyramid,
         "image_hash_agreement": q_image_hash_agreement,
         "image_patch_stats": q_image_patch_stats,
+        "orderkey_gaps": q_orderkey_gaps,
+        "dow_residuals": q_dow_residuals,
+        "abc_customers": q_abc_customers,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8018,6 +8098,9 @@ def oracle_sql() -> dict[str, str]:
         "daily_theilsen": SQL_DAILY_THEILSEN,
         "brand_price_topk": SQL_BRAND_PRICE_TOPK,
         "spend_runs": SQL_SPEND_RUNS,
+        "orderkey_gaps": SQL_ORDERKEY_GAPS,
+        "dow_residuals": SQL_DOW_RESIDUALS,
+        "abc_customers": SQL_ABC_CUSTOMERS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

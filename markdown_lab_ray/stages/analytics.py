@@ -3945,3 +3945,175 @@ def increasing_runs(ds, key_col: str, ts_col: str, id_col: str,
     return (ds.map_batches(slim, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns([key_col, "max_run"]))
+
+
+def sequence_gaps(ds, key_col: str, n_buckets: int = 64):
+    """GLOBAL gaps-and-islands over a sparse integer key column: how
+    many contiguous runs the distinct key set forms, and the widest
+    hole — the completeness audit for an allegedly-sequential id space
+    (dropped partitions show up as islands).
+
+    Scale shape: per-batch ``np.unique`` partials → one bucketed
+    shuffle for exact distincts → range-partitioned sort; each sorted
+    block reports (first, last, rows, internal breaks, widest internal
+    gap) and the driver stitches block BOUNDARIES with O(blocks) ints —
+    islands spanning blocks are counted exactly without any global
+    materialization.  Output one row:
+    (n_keys, n_islands, max_gap) int64 — max_gap is the widest run of
+    MISSING keys between two present ones (0 when dense).
+    """
+    import ray
+
+    def slim(batch: pa.Table) -> pa.Table:
+        v = np.unique(batch.column(key_col).to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        t = pa.table({"_v": pa.array(v)})
+        return t.append_column("_b", pa.array(key_buckets(v, n_buckets)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_v": np.unique(g["_v"].to_numpy(np.int64))})
+
+    distinct = (ds.map_batches(slim, batch_format="pyarrow")
+                .groupby("_b").map_groups(fold, batch_format="pandas")
+                .select_columns(["_v"]))
+    sds = distinct.sort("_v").materialize()
+    refs = sds.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        d = np.diff(v)
+        return (int(v[0]), int(v[-1]), len(v),
+                int((d > 1).sum()), int(d.max() - 1) if len(d) else 0)
+
+    stats = [s for s in ray.get([block_stats.remote(r) for r in refs])
+             if s is not None]
+    n_keys = sum(s[2] for s in stats)
+    breaks = sum(s[3] for s in stats)
+    max_gap = max((s[4] for s in stats), default=0)
+    for prev, nxt in zip(stats, stats[1:]):
+        boundary = nxt[0] - prev[1]
+        if boundary > 1:
+            breaks += 1
+            max_gap = max(max_gap, boundary - 1)
+    return pd.DataFrame({
+        "n_keys": pd.array([n_keys], dtype="int64"),
+        "n_islands": pd.array([0 if n_keys == 0 else breaks + 1],
+                              dtype="int64"),
+        "max_gap": pd.array([max_gap], dtype="int64")})
+
+
+def dow_residuals(ds, ts_col: str = "o_orderdate",
+                  value_col: str = "o_totalprice", top_n: int = 10):
+    """Seasonal-naive anomaly screen: the days whose revenue deviates
+    most from their own weekday's mean — the residual left after the
+    weekly cycle is removed, so a Sunday dip isn't flagged just for
+    being a Sunday.
+
+    Scale shape: the corpus collapses to the calendar-bounded daily
+    aggregate (per-batch partials + one keyed Sum); weekday means and
+    residuals are exact integer micro-cents on O(days) driver rows
+    (``rev·10⁶ − (dow_total·10⁶) // n_days`` — Python ints, no int64
+    cliff).  Output top_n rows:
+    (dn, dow, revenue_cents, residual_micro), |residual| desc, dn asc.
+    """
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        day = (batch.column(ts_col).cast(pa.timestamp("us"))
+               .cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = _cents(batch.column(value_col).to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"_day": day, "_c": cents})
+             .groupby("_day", sort=False)["_c"].sum().reset_index())
+        return pa.table({"_day": pa.array(g["_day"].to_numpy(np.int64)),
+                         "_c": pa.array(g["_c"].to_numpy(np.int64))})
+
+    daily = (ds.map_batches(slim, batch_format="pyarrow")
+             .groupby("_day").aggregate(Sum("_c", alias_name="_rev"))
+             .to_pandas())
+    daily["dow"] = (daily["_day"] + 3) % 7 + 1
+    tot = daily.groupby("dow")["_rev"].agg(["sum", "size"])
+    res = []
+    for dn, rev, dow in zip(daily["_day"], daily["_rev"], daily["dow"]):
+        mean_micro = (int(tot.loc[dow, "sum"]) * 1_000_000) \
+            // int(tot.loc[dow, "size"])
+        res.append(int(rev) * 1_000_000 - mean_micro)
+    daily["residual_micro"] = res
+    daily["_abs"] = daily["residual_micro"].abs()
+    out = (daily.sort_values(["_abs", "_day"], ascending=[False, True])
+           .head(top_n))
+    return pd.DataFrame({
+        "dn": out["_day"].to_numpy(np.int64),
+        "dow": out["dow"].to_numpy(np.int64),
+        "revenue_cents": out["_rev"].to_numpy(np.int64),
+        "residual_micro": out["residual_micro"].to_numpy(np.int64)})
+
+
+def abc_classification(ds, key_col: str, value_col: str,
+                       a_pct: int = 80, b_pct: int = 95):
+    """ABC inventory/revenue classification: rank keys by exact cents
+    spend desc, class A while cumulative·100 ≤ total·a_pct, B to
+    b_pct, else C — the segmentation behind tiered crawl budgets and
+    stock policies.
+
+    Scale shape: per-key partial sums → one keyed Sum →
+    range-partitioned sort by (spend desc, key asc); each sorted block
+    classifies its rows given only its starting cumulative offset
+    (O(blocks) arbitrary-precision driver ints — the pareto_crossings
+    trick), so the boundary comparison cum·100 ≤ total·pct never
+    rounds.  Output: (key, revenue_cents, abc_class), one row per key.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            "_c": _cents(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False))})
+        g = df.groupby(key_col, sort=False)["_c"].sum().astype("int64")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    totals = (ds.map_batches(slim, batch_format="pyarrow")
+              .groupby(key_col).aggregate(Sum("_c", alias_name="_s")))
+    sds = totals.sort(["_s", key_col],
+                      descending=[True, False]).materialize()
+    refs = sds.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table):
+        if t.num_rows == 0 or "_s" not in t.column_names:
+            return 0
+        return int(t.column("_s").to_numpy(zero_copy_only=False)
+                   .astype(object).sum())
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    total = sum(sums)
+    offsets, acc = [], 0
+    for s in sums:
+        offsets.append(acc)
+        acc += s
+
+    @ray.remote
+    def classify(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0 or "_s" not in t.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "abc_class": pa.array([], pa.string())})
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(object)
+        cum = off + np.cumsum(s)
+        cls = ["A" if c * 100 <= total * a_pct
+               else ("B" if c * 100 <= total * b_pct else "C")
+               for c in cum]
+        return pa.table({
+            key_col: t.column(key_col),
+            "revenue_cents": pa.array([int(x) for x in s], pa.int64()),
+            "abc_class": pa.array(cls, pa.string())})
+
+    blocks = ray.get([classify.remote(r, o) for r, o in zip(refs, offsets)])
+    return rd.from_arrow(blocks)

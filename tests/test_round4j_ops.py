@@ -138,3 +138,51 @@ def test_increasing_runs_hand_case(ray_session):
                             "k", "ts", "id", "v")
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert got.equals(got3)
+
+
+def test_sequence_gaps_hand_case(ray_session):
+    from markdown_lab_ray.stages.analytics import sequence_gaps
+
+    # keys {1,2,3, 7, 10,11} → islands [1-3],[7],[10-11]; gaps 3 and 2
+    df = pd.DataFrame({"k": [3, 1, 2, 7, 10, 11, 2, 7]})
+    got = sequence_gaps(rd.from_pandas(df), "k")
+    assert got["n_keys"].tolist() == [6]
+    assert got["n_islands"].tolist() == [3]
+    assert got["max_gap"].tolist() == [3]
+    got4 = sequence_gaps(rd.from_pandas(df).repartition(5), "k")
+    assert got.equals(got4)
+    # dense sequence → one island, zero gap
+    dense = sequence_gaps(rd.from_pandas(pd.DataFrame({"k": [1, 2, 3]})), "k")
+    assert dense["n_islands"].tolist() == [1]
+    assert dense["max_gap"].tolist() == [0]
+
+
+def test_dow_residuals_hand_case(ray_session):
+    from markdown_lab_ray.stages.analytics import dow_residuals
+
+    # two Mondays (days 4, 11) with 100 and 300 cents → Monday mean 200
+    # one Thursday (day 0) with 500 → residual 0 (own mean)
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(
+            ["1970-01-05", "1970-01-12", "1970-01-01"]),
+        "o_totalprice": [1.00, 3.00, 5.00]})
+    got = dow_residuals(rd.from_pandas(df), top_n=10)
+    assert got["dn"].tolist() == [4, 11, 0]       # |±100| ties → dn asc
+    assert got["residual_micro"].tolist() == [-100_000_000, 100_000_000, 0]
+    assert got["dow"].tolist() == [1, 1, 4]
+
+
+def test_abc_classification_hand_case(ray_session):
+    from markdown_lab_ray.stages.analytics import abc_classification
+
+    # spends: k1=80, k2=15, k3=4, k4=1 (total 100)
+    # cum: 80 (A, =80%), 95 (B, =95%), 99 (C), 100 (C)
+    df = pd.DataFrame({"k": [1, 1, 2, 3, 4],
+                       "v": [0.50, 0.30, 0.15, 0.04, 0.01]})
+    got = (abc_classification(rd.from_pandas(df), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["revenue_cents"].tolist() == [80, 15, 4, 1]
+    assert got["abc_class"].tolist() == ["A", "B", "C", "C"]
+    got3 = (abc_classification(rd.from_pandas(df).repartition(4), "k", "v")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.equals(got3)
