@@ -7685,6 +7685,484 @@ FROM c ORDER BY o_custkey
 
 
 # ---------------------------------------------------------------------------
+# TPC-H classic shapes, round 4k: Q7 / Q9 / Q13 / Q14 / Q19 / Q22 adapted to
+# the synth schema (no partsupp/phone/shipmode columns; deviations noted per
+# query).  All money is exact integer cents / hundredths-of-a-cent so the
+# DuckDB oracle hashes match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _year_col(ts_col: pa.ChunkedArray) -> np.ndarray:
+    """Calendar year of a timestamp column as int64 (vectorized)."""
+    us = ts_col.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    return us.astype("datetime64[Y]").astype(np.int64) + 1970
+
+
+def _sorted_lookup_ref(df, key: str, *value_cols: str):
+    """``ray.put`` a (sorted keys, value arrays...) tuple for per-batch
+    ``np.searchsorted`` probes — the broadcast-small-side idiom."""
+    import ray
+
+    df = df.sort_values(key)
+    return ray.put(tuple([df[key].to_numpy(np.int64)]
+                         + [df[c].to_numpy(np.int64) for c in value_cols]))
+
+
+def _probe_sorted(keys: np.ndarray, sk: np.ndarray):
+    """searchsorted membership probe: returns (pos, found_mask)."""
+    if len(sk) == 0:
+        return np.zeros(len(keys), np.int64), np.zeros(len(keys), bool)
+    pos = np.clip(np.searchsorted(sk, keys), 0, len(sk) - 1)
+    return pos, sk[pos] == keys
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nations by ship
+    year, supplier in one and customer in the other (both directions).
+    Scale plan: supplier slim (2-nation filter) broadcast ONCE via
+    ``ray.put``; customer nation-filtered then ONE bucketed join with
+    orders on custkey; lineitem ship-date-filtered and quantized to
+    exact cents with the supplier nation attached per batch; ONE more
+    bucketed join on orderkey; keyed Sum on (supp, cust, year)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    # NATION_3 / NATION_8: the two smallest nationkeys with suppliers
+    # at every test sf (sf0.001 has only 10 suppliers over 25 nations)
+    pair = [int(nat.loc[nat["n_name"] == n, "n_nationkey"].iloc[0])
+            for n in ("NATION_3", "NATION_8")]
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(pair)]
+    sup_ref = _sorted_lookup_ref(sup, "s_suppkey", "s_nationkey")
+
+    pair_arr = pa.array(np.asarray(pair, np.int32))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.filter(
+                pc.is_in(b["c_nationkey"], value_set=pair_arr))["c_custkey"],
+            "c_nat": b.filter(pc.is_in(b["c_nationkey"],
+                                       value_set=pair_arr))
+            ["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ord_cust = bucketed_hash_join(orders, cust, key="o_custkey",
+                                  n_buckets=16).select_columns(
+        ["o_orderkey", "c_nat"])
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def li_slim(b: pa.Table, ref) -> pa.Table:
+        sk, sn = ray.get(ref)
+        b = b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                             pc.less(b["l_shipdate"], hi)))
+        keys = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos, ok = _probe_sorted(keys, sk)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(
+                b.column("l_orderkey").to_numpy(
+                    zero_copy_only=False)[ok], pa.int64()),
+            "s_nat": pa.array(sn[pos][ok] if len(sk) else sn[:0], pa.int64()),
+            "l_year": pa.array(_year_col(b.column("l_shipdate"))[ok],
+                               pa.int64()),
+            "cents": pa.array(cents[ok], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"]).map_batches(
+        li_slim, batch_format="pyarrow", fn_kwargs=dict(ref=sup_ref))
+    joined = bucketed_hash_join(li, ord_cust, key="o_orderkey",
+                                n_buckets=16)
+    agg = (joined.map_batches(
+        lambda b: b.filter(pc.not_equal(b["s_nat"], b["c_nat"])).select(
+            ["s_nat", "c_nat", "l_year", "cents"]),
+        batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("cents", alias_name="revenue_cents")))
+    out = agg.to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["s_nat", "c_nat", "l_year",
+                                    "revenue_cents"])
+    out["supp_nation"] = out.pop("s_nat").map(names)
+    out["cust_nation"] = out.pop("c_nat").map(names)
+    out = (out[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
+           .sort_values(["supp_nation", "cust_nation", "l_year"])
+           .reset_index(drop=True))
+    return out.astype({"l_year": "int64", "revenue_cents": "int64"})
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM supplier, lineitem, orders, customer, nation ns, nation nc
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = ns.n_nationkey
+  AND c_nationkey = nc.n_nationkey
+  AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+    OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit on 'widget' parts per supplier nation and
+    ship year (synth schema has no partsupp, so cost = p_retailprice ×
+    qty; year from l_shipdate to spare the orders join — deviations
+    from stock Q9, mirrored in the oracle).  Profit in exact
+    hundredths-of-a-cent: ext_cents × (100 − disc_pct) − ret_cents ×
+    qty × 100.  Scale plan: supplier broadcast (tiny), part
+    name-filtered then ONE bucketed join on partkey, keyed Sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_ref = _sorted_lookup_ref(sup, "s_suppkey", "s_nationkey")
+
+    def part_slim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.match_substring(b["p_name"], "widget"))
+        ret = b.column("p_retailprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b.column("p_partkey"),
+            "ret_cents": pa.array(
+                np.floor(ret * 100 + 0.5).astype(np.int64), pa.int64())})
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        part_slim, batch_format="pyarrow")
+
+    def li_slim(b: pa.Table, ref) -> pa.Table:
+        sk, sn = ray.get(ref)
+        keys = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos, ok = _probe_sorted(keys, sk)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        ext_c = np.floor(price * 100 + 0.5).astype(np.int64)
+        d_pct = np.floor(disc * 100 + 0.5).astype(np.int64)
+        gross = ext_c * (100 - d_pct)
+        qty = b.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_partkey": pa.array(
+                b.column("l_partkey").to_numpy(
+                    zero_copy_only=False)[ok], pa.int64()),
+            "s_nat": pa.array(sn[pos][ok] if len(sk) else sn[:0], pa.int64()),
+            "l_year": pa.array(_year_col(b.column("l_shipdate"))[ok],
+                               pa.int64()),
+            "gross_hund": pa.array(gross[ok], pa.int64()),
+            "qty": pa.array(qty[ok], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"]).map_batches(
+        li_slim, batch_format="pyarrow", fn_kwargs=dict(ref=sup_ref))
+    joined = bucketed_hash_join(li, parts, key="l_partkey", n_buckets=16)
+
+    def profit(b: pa.Table) -> pa.Table:
+        g = b.column("gross_hund").to_numpy(zero_copy_only=False)
+        r = b.column("ret_cents").to_numpy(zero_copy_only=False)
+        q = b.column("qty").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_nat": b.column("s_nat"),
+            "l_year": b.column("l_year"),
+            "profit_hund": pa.array(g - r * q * 100, pa.int64())})
+
+    agg = (joined.map_batches(profit, batch_format="pyarrow")
+           .groupby(["s_nat", "l_year"])
+           .aggregate(Sum("profit_hund", alias_name="profit_hund")))
+    out = agg.to_pandas()
+    out["n_name"] = out.pop("s_nat").map(names)
+    out = (out[["n_name", "l_year", "profit_hund"]]
+           .sort_values(["n_name", "l_year"]).reset_index(drop=True))
+    return out.astype({"l_year": "int64", "profit_hund": "int64"})
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+         AS profit_hund
+FROM lineitem, part, supplier, nation
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_customer_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING the zero bucket — computed WITHOUT the left join: keyed
+    Count per custkey → Count of counts, and the zero bucket is
+    |customer| − |distinct ordering custkeys| (identical under the
+    synth FK integrity the oracle's LEFT JOIN also relies on)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    per_cust = (_read(sf_dir, "orders", ["o_custkey"])
+                .groupby("o_custkey").aggregate(Count(alias_name="c_count")))
+    dist = (per_cust.groupby("c_count")
+            .aggregate(Count(alias_name="custdist"))).to_pandas()
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = n_customers - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            [{"c_count": 0, "custdist": zero}])], ignore_index=True)
+    dist = (dist.sort_values(["custdist", "c_count"], ascending=False)
+            .reset_index(drop=True))
+    return dist.astype({"c_count": "int64", "custdist": "int64"})
+
+
+SQL_CUSTOMER_ORDER_DIST = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: PROMO-type share of September-1996 revenue, in
+    exact cents plus integer basis points (floor division — mirrored
+    with DuckDB ``//``).  ONE bucketed join (month-filtered lineitem ×
+    part slim) then a global two-column Sum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    lo = pa.scalar(np.datetime64("1996-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                             pc.less(b["l_shipdate"], hi)))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(li_slim, batch_format="pyarrow")
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({
+            "l_partkey": b["p_partkey"],
+            "is_promo": pc.equal(b["p_type"], "PROMO")}),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(li, parts, key="l_partkey", n_buckets=16)
+
+    def split(b: pa.Table) -> pa.Table:
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        promo = b.column("is_promo").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_cents": pa.array(np.where(promo, cents, 0), pa.int64()),
+            "cents": pa.array(cents, pa.int64())})
+
+    sums = (joined.map_batches(split, batch_format="pyarrow")
+            .aggregate(Sum("promo_cents", alias_name="p"),
+                       Sum("cents", alias_name="t")))
+    p = int(sums["p"] or 0)
+    t = int(sums["t"] or 0)
+    return pd.DataFrame([{"promo_cents": p, "total_cents": t,
+                          "promo_share_bp": (p * 10000 // t) if t else 0}])
+
+
+SQL_PROMO_REVENUE = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01')
+SELECT CAST(COALESCE(SUM(cents) FILTER (WHERE is_promo), 0) AS BIGINT)
+         AS promo_cents,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN COALESCE(SUM(cents), 0) = 0 THEN 0
+            ELSE COALESCE(SUM(cents) FILTER (WHERE is_promo), 0) * 10000
+                 // SUM(cents) END AS BIGINT) AS promo_share_bp
+FROM j
+"""
+
+
+_Q19_BRACKETS = (  # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#3", 5, 1, 11),
+    ("Brand#7", 10, 10, 20),
+    ("Brand#12", 15, 20, 30),
+)
+
+
+def q_brand_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand × size bracket × quantity bracket).  Part
+    side pre-filtered to the 3 brands, ONE bucketed join on partkey,
+    disjunct mask vectorized per batch, global Sum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    brands = pa.array([b for b, _, _, _ in _Q19_BRACKETS])
+
+    def part_slim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["p_brand"], value_set=brands))
+        return pa.table({"l_partkey": b["p_partkey"],
+                         "p_brand": b["p_brand"],
+                         "p_size": b["p_size"].cast(pa.int64())})
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_slim, batch_format="pyarrow")
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "qty": b.column("l_quantity").cast(pa.int64()),
+            "cents": pa.array(
+                np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64),
+                pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"]).map_batches(li_slim, batch_format="pyarrow")
+    joined = bucketed_hash_join(li, parts, key="l_partkey", n_buckets=16)
+
+    def mask(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        keep = np.zeros(b.num_rows, bool)
+        for br, smax, qlo, qhi in _Q19_BRACKETS:
+            keep |= ((brand == br) & (size >= 1) & (size <= smax)
+                     & (qty >= qlo) & (qty <= qhi))
+        return pa.table({"cents": pa.array(
+            b.column("cents").to_numpy(zero_copy_only=False)[keep],
+            pa.int64())})
+
+    total = (joined.map_batches(mask, batch_format="pyarrow")
+             .aggregate(Sum("cents", alias_name="revenue_cents")))
+    return pd.DataFrame(
+        [{"revenue_cents": int(total["revenue_cents"] or 0)}])
+
+
+SQL_BRAND_BRACKET_REVENUE = """
+SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+     (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (no phone column — grouped by nation; and every
+    synth customer has SOME order, so "no orders" is scoped to
+    2000-onward): customers with above-average-positive balance and no
+    order since 2000-01-01, per nation.  The mean compare is exact
+    integer cross-multiplication (cents × n_pos > sum_pos_cents); the
+    recency predicate is the bucketed ANTI join (the date-filtered
+    order custkeys ship as keys only)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_anti_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    def cust_slim(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_nat": b.column("c_nationkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64),
+                              pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        cust_slim, batch_format="pyarrow")
+
+    def pos_part(b: pa.Table) -> pa.Table:
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    totals = (cust.map_batches(pos_part, batch_format="pyarrow")
+              .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    s, n = int(totals["s"] or 0), int(totals["n"] or 0)
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b["cents"], pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow")
+    cutoff = pa.scalar(np.datetime64("2000-01-01", "us"))
+    ord_keys = _read(sf_dir, "orders",
+                     ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({"c_custkey": b.filter(
+            pc.greater_equal(b["o_orderdate"], cutoff))["o_custkey"]}),
+        batch_format="pyarrow")
+    idle = bucketed_anti_join(rich, ord_keys, key="c_custkey", n_buckets=16)
+    agg = (idle.groupby("c_nat")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("cents", alias_name="tot_cents"))).to_pandas()
+    if agg.empty:
+        agg = pd.DataFrame(columns=["c_nat", "numcust", "tot_cents"])
+    agg["n_name"] = agg.pop("c_nat").map(names)
+    agg = (agg[["n_name", "numcust", "tot_cents"]]
+           .sort_values("n_name").reset_index(drop=True))
+    return agg.astype({"numcust": "int64", "tot_cents": "int64"})
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH t AS (SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM customer
+           WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS tot_cents
+FROM customer, nation, t
+WHERE c_nationkey = n_nationkey
+  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * t.n > t.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '2000-01-01')
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -7893,6 +8371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_gaps": q_orderkey_gaps,
         "dow_residuals": q_dow_residuals,
         "abc_customers": q_abc_customers,
+        "nation_pair_volume": q_nation_pair_volume,
+        "product_profit": q_product_profit,
+        "customer_order_dist": q_customer_order_dist,
+        "promo_revenue": q_promo_revenue,
+        "brand_bracket_revenue": q_brand_bracket_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8101,6 +8585,12 @@ def oracle_sql() -> dict[str, str]:
         "orderkey_gaps": SQL_ORDERKEY_GAPS,
         "dow_residuals": SQL_DOW_RESIDUALS,
         "abc_customers": SQL_ABC_CUSTOMERS,
+        "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
+        "product_profit": SQL_PRODUCT_PROFIT,
+        "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "brand_bracket_revenue": SQL_BRAND_BRACKET_REVENUE,
+        "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,
