@@ -8162,6 +8162,105 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_part_link_prediction(sf_dir: str):
+    """Link-prediction scores (neighbor Jaccard + resource-allocation
+    index, exact integers) over parts co-purchased in orders."""
+    from markdown_lab_ray.stages.graph import link_prediction
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = link_prediction(li, "l_orderkey", "l_partkey",
+                          min_cooc=2, top_k=20).to_pandas()
+    return out.reset_index(drop=True)
+
+
+SQL_PART_LINK_PREDICTION = """
+WITH g AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it
+           FROM lineitem),
+sz AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS s FROM g GROUP BY ok),
+p AS (SELECT a.it AS u, b.it AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_uv,
+             CAST(SUM(1000000000 // sz.s) AS BIGINT) AS ra_nano
+      FROM g a JOIN g b ON a.ok = b.ok AND a.it < b.it
+      JOIN sz ON sz.ok = a.ok
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY it)
+SELECT u, v, n_uv, du.n AS n_u, dv.n AS n_v, ra_nano,
+       CAST((2000000 * n_uv + (du.n + dv.n - n_uv))
+            // (2 * (du.n + dv.n - n_uv)) AS BIGINT) AS jaccard_micro
+FROM p JOIN deg du ON du.it = u JOIN deg dv ON dv.it = v
+ORDER BY jaccard_micro DESC, ra_nano DESC, u, v LIMIT 20
+"""
+
+
+def q_revenue_holt(sf_dir: str):
+    """Holt level+trend smoothing of daily order revenue (exact
+    milli-cent integer recursion, trunc-toward-zero division)."""
+    from markdown_lab_ray.stages.analytics import holt_trend
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    return holt_trend(orders, "o_orderdate", "o_totalprice", last_n=10)
+
+
+SQL_REVENUE_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS day_id,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) * 1000
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+d AS (SELECT day_id, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day_id) AS BIGINT) AS rn
+      FROM daily),
+h AS (
+  SELECT rn, day_id, y AS l, CAST(0 AS BIGINT) AS b FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day_id,
+         (d.y + 3 * (h.l + h.b)) // 4,
+         (((d.y + 3 * (h.l + h.b)) // 4) - h.l + h.b) // 2
+  FROM h JOIN d ON d.rn = h.rn + 1)
+SELECT day_id, l AS level_mc, b AS trend_mc, l + b AS forecast_mc
+FROM h ORDER BY day_id DESC LIMIT 10
+"""
+
+
+def q_wallet_balance(sf_dir: str):
+    """Per-user clamped running balance over events (credits minus
+    purchase/error debits, floored at zero via the exact prefix-sum
+    closed form)."""
+    from markdown_lab_ray.stages.analytics import clamped_balance
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+    out = clamped_balance(ev).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_WALLET_BALANCE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS d
+  FROM events),
+s AS (SELECT user_id, ts, event_id, d,
+             CAST(SUM(d) OVER w AS BIGINT) AS cs
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+b AS (SELECT user_id, ts, event_id, d,
+             cs - LEAST(CAST(MIN(cs) OVER w AS BIGINT), 0) AS bal
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+c AS (SELECT user_id, bal,
+             COALESCE(LAG(bal) OVER w, 0) + d < 0 AS clamped,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(MAX(CASE WHEN rd = 1 THEN bal END) AS BIGINT) AS final_cents,
+       CAST(MAX(bal) AS BIGINT) AS max_cents,
+       CAST(COUNT(*) FILTER (WHERE clamped) AS BIGINT) AS n_clamps
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8377,6 +8476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "brand_bracket_revenue": q_brand_bracket_revenue,
         "idle_rich_customers": q_idle_rich_customers,
+        "part_link_prediction": q_part_link_prediction,
+        "revenue_holt": q_revenue_holt,
+        "wallet_balance": q_wallet_balance,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8591,6 +8693,9 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": SQL_PROMO_REVENUE,
         "brand_bracket_revenue": SQL_BRAND_BRACKET_REVENUE,
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+        "part_link_prediction": SQL_PART_LINK_PREDICTION,
+        "revenue_holt": SQL_REVENUE_HOLT,
+        "wallet_balance": SQL_WALLET_BALANCE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -4117,3 +4117,107 @@ def abc_classification(ds, key_col: str, value_col: str,
 
     blocks = ray.get([classify.remote(r, o) for r, o in zip(refs, offsets)])
     return rd.from_arrow(blocks)
+
+
+def _trunc_div(a: np.ndarray | int, d: int):
+    """Integer division TRUNCATING toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors, which differs on negatives, so
+    every oracle-mirrored recursion that can go negative must divide
+    through this helper)."""
+    if isinstance(a, np.ndarray):
+        return np.sign(a) * (np.abs(a) // d)
+    return (1 if a >= 0 else -1) * (abs(a) // d)
+
+
+def holt_trend(ds, ts_col: str = "o_orderdate",
+               value_col: str = "o_totalprice", last_n: int = 10):
+    """Holt double-exponential smoothing of daily revenue (level +
+    trend), α = 1/4, β = 1/2, in exact integer MILLI-cents so the
+    recursive-CTE oracle matches bit-for-bit:
+
+        l_t = trunc((y_t·1000 + 3·(l + b)) / 4)
+        b_t = trunc((l_t − l_prev + b_prev) / 2)
+
+    (trunc-toward-zero division — DuckDB ``//``; only ``b_t`` can go
+    negative).  Scale shape: the corpus collapses to the
+    calendar-bounded (day, cents) aggregate via per-batch partials +
+    one keyed Sum; the inherently-sequential O(days) recursion runs on
+    the driver (daily_theilsen precedent).  Output: the LAST ``last_n``
+    days, (day_id, level_mc, trend_mc, forecast_mc = l + b)."""
+    daily = (_daily_cents(ds, ts_col, value_col)
+             .to_pandas().sort_values("day_id").reset_index(drop=True))
+    days = daily["day_id"].to_numpy(np.int64)
+    y = daily["_s"].to_numpy(np.int64) * 1000
+    lvl = np.zeros(len(y), np.int64)
+    trd = np.zeros(len(y), np.int64)
+    if len(y):
+        lvl[0] = y[0]
+    for t in range(1, len(y)):
+        lvl[t] = _trunc_div(y[t] + 3 * (lvl[t - 1] + trd[t - 1]), 4)
+        trd[t] = _trunc_div(lvl[t] - lvl[t - 1] + trd[t - 1], 2)
+    out = pd.DataFrame({"day_id": days, "level_mc": lvl, "trend_mc": trd,
+                        "forecast_mc": lvl + trd}).tail(last_n)
+    return out.reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns})
+
+
+def clamped_balance(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", value_col: str = "value",
+                    type_col: str = "event_type",
+                    debit_types=("purchase", "error"), n_buckets: int = 64):
+    """Per-key running balance that CANNOT go negative (wallet / stock
+    semantics): credits add ``value``, ``debit_types`` subtract it, and
+    b_t = max(0, b_{t−1} + d_t).  The nonlinear recursion has the exact
+    closed form  b_t = cs_t − min(0, min_{s≤t} cs_s)  (cs = prefix sum),
+    so the in-bucket fold is one pandas groupby-cumsum/cummin — no
+    Python loop, and the SQL oracle states the same identity with
+    window functions instead of recursion.
+
+    Scale shape: one keyed shuffle on ``hash(key) % n_buckets``.
+    Output per key: (key, final_cents, max_cents, n_clamps) where
+    n_clamps counts events whose debit was cut short by the floor."""
+
+    def slim(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column(value_col).to_numpy(
+            zero_copy_only=False))
+        types = batch.column(type_col).to_numpy(zero_copy_only=False)
+        debit = np.isin(types, list(debit_types))
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            ts_col: batch.column(ts_col).cast(pa.timestamp("us"))
+                    .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "_d": np.where(debit, -cents, cents)})
+        df["_b"] = key_buckets(df[key_col].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty = {key_col: "int64", "final_cents": "int64",
+             "max_cents": "int64", "n_clamps": "int64"}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        if g.empty:
+            return pd.DataFrame({c: pd.array([], dtype=t)
+                                 for c, t in empty.items()})
+        grp = g.groupby(key_col, sort=True)
+        cs = grp["_d"].cumsum().to_numpy(np.int64)
+        runmin = np.minimum(pd.Series(cs).groupby(
+            g[key_col].to_numpy()).cummin().to_numpy(np.int64), 0)
+        bal = cs - runmin
+        prev = np.empty_like(bal)
+        prev[1:] = bal[:-1]
+        prev[0] = 0
+        keys = g[key_col].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        prev[first] = 0
+        clamp = (prev + g["_d"].to_numpy(np.int64)) < 0
+        res = pd.DataFrame({key_col: keys, "_bal": bal, "_cl": clamp})
+        agg = res.groupby(key_col, sort=True).agg(
+            final_cents=("_bal", "last"), max_cents=("_bal", "max"),
+            n_clamps=("_cl", "sum")).reset_index()
+        return agg.astype(empty)
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns(list(empty)))

@@ -1516,3 +1516,111 @@ def sssp_bounded(edges_ds, source: int, rounds: int = 4,
                              batch_format="pyarrow")
                 .repartition(n_buckets).materialize())
     return dist
+
+
+def link_prediction(ds, group_col: str, item_col: str,
+                    min_cooc: int = 2, top_k: int = 20,
+                    n_buckets: int = 64):
+    """Link-prediction scores over the bipartite basket→item graph:
+    for every unordered item pair sharing ≥ ``min_cooc`` baskets,
+    neighbor-set Jaccard and the resource-allocation index — both
+    EXACT integers so the SQL twin hashes identically:
+
+        jaccard_micro = half-up( 10⁶ · n_uv / (n_u + n_v − n_uv) )
+        ra_nano       = Σ over shared baskets w of 10⁹ // |w|
+
+    (RA down-weights promiscuous baskets the way Adamic–Adar does but
+    with an exact rational instead of a log.)
+
+    Scale shape (association_rules' two-fold attach): ONE basket-keyed
+    bucketed shuffle emits, per bucket, exact pair partials (count +
+    RA weight) and per-item degree partials; a u-keyed fold sums pairs
+    and attaches n_u in-fold; a v-keyed union-merge pass attaches n_v
+    and computes the scores.  Only pairs with n_uv ≥ min_cooc leave
+    the fold; the final (jaccard desc, ra desc, u, v) top-k sort runs
+    over that filtered pair set.  Output: (u, v, n_uv, n_u, n_v,
+    ra_nano, jaccard_micro), all int64."""
+    import pandas as pd
+
+    from .bucketing import key_buckets
+
+    if min_cooc < 1:
+        raise ValueError(f"min_cooc must be >= 1, got {min_cooc}")
+
+    RA_SCALE = np.int64(10 ** 9)
+
+    def partials(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[[group_col, item_col]].drop_duplicates()
+        sz = (g.groupby(group_col, sort=False).size().rename("_sz")
+              .reset_index())
+        sz["_w"] = RA_SCALE // sz["_sz"].to_numpy(np.int64)
+        m = g.merge(g, on=group_col).merge(sz[[group_col, "_w"]],
+                                           on=group_col)
+        m = m[m[f"{item_col}_x"] < m[f"{item_col}_y"]]
+        pairs = (m.groupby([f"{item_col}_x", f"{item_col}_y"], sort=False)
+                 .agg(n=("_w", "size"), ra=("_w", "sum")).reset_index()
+                 .rename(columns={f"{item_col}_x": "u",
+                                  f"{item_col}_y": "v"}))
+        items = (g.groupby(item_col, sort=False).size().rename("n")
+                 .reset_index().rename(columns={item_col: "u"}))
+        items["v"] = -1
+        items["ra"] = 0
+        cols = ["u", "v", "n", "ra"]
+        out = pd.concat([pairs[cols], items[cols]], ignore_index=True)
+        return out.astype({c: "int64" for c in cols})
+
+    def fold_u(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = (g.groupby(["u", "v"], sort=False)
+             .agg(n=("n", "sum"), ra=("ra", "sum")).reset_index())
+        items = c[c["v"] == -1][["u", "n"]]
+        pairs = c[c["v"] >= 0]
+        pairs = pairs[pairs["n"] >= min_cooc].rename(columns={"n": "n_uv"})
+        pairs = pairs.merge(items.rename(columns={"n": "n_u"}), on="u")
+        items = items.assign(v=np.int64(-1), n_uv=np.int64(-1),
+                             ra=np.int64(0),
+                             n_u=items["n"].astype("int64"))
+        cols = ["u", "v", "n_uv", "ra", "n_u"]
+        return (pd.concat([pairs[cols], items[cols]], ignore_index=True)
+                .astype({c: "int64" for c in cols}))
+
+    def fold_v(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = ["u", "v", "n_uv", "n_u", "n_v", "ra_nano",
+                    "jaccard_micro"]
+        items = g[g["v"] == -1][["u", "n_u"]].rename(
+            columns={"u": "v", "n_u": "n_v"})
+        pairs = g[g["v"] >= 0]
+        m = pairs.merge(items, on="v")
+        if m.empty:
+            return pd.DataFrame({c: pd.array([], dtype="int64")
+                                 for c in out_cols})
+        nuv = m["n_uv"].to_numpy(np.int64)
+        d = (m["n_u"].to_numpy(np.int64) + m["n_v"].to_numpy(np.int64)
+             - nuv)
+        m["jaccard_micro"] = (np.int64(2_000_000) * nuv + d) // (2 * d)
+        m["ra_nano"] = m.pop("ra")
+        return m[out_cols].astype({c: "int64" for c in out_cols})
+
+    slim = ds.map_batches(
+        lambda df: df[[group_col, item_col]].drop_duplicates(),
+        batch_format="pandas")
+    tagged = slim.map_batches(
+        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    part = tagged.groupby("_b").map_groups(partials, batch_format="pandas")
+    by_u = part.map_batches(
+        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
+                                            n_buckets)),
+        batch_format="pandas")
+    folded = by_u.groupby("_b").map_groups(fold_u, batch_format="pandas")
+    by_v = folded.map_batches(
+        lambda df: df.assign(
+            _b=key_buckets(np.where(df["v"].to_numpy(np.int64) >= 0,
+                                    df["v"].to_numpy(np.int64),
+                                    df["u"].to_numpy(np.int64)),
+                           n_buckets)),
+        batch_format="pandas")
+    scored = by_v.groupby("_b").map_groups(fold_v, batch_format="pandas")
+    out = scored.sort(["jaccard_micro", "ra_nano", "u", "v"],
+                      descending=[True, True, False, False]).limit(top_k)
+    return out
