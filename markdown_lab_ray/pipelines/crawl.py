@@ -147,7 +147,11 @@ class FetchStage:
         web = web_factory()
         if cache_ttl > 0:
             from ..state.cache import CachedResolver
-            self.web = CachedResolver(web.resolve, ttl=cache_ttl)
+            self.web = CachedResolver(
+                web.resolve, ttl=cache_ttl,
+                # opt-in ETag revalidation when the resolver supports it
+                full_fn=getattr(web, "resolve_full", None),
+                conditional_fn=getattr(web, "resolve_conditional", None))
         else:
             self.web = web
         self.pacing_rps = pacing_rps

@@ -118,13 +118,45 @@ class HttpResolver:
             return 0, ""
         if isinstance(resp, _StatusOnly):
             return resp.status, ""
+        return resp.status_code, self._body_of(resp)
+
+    def _body_of(self, resp):
         if 300 <= resp.status_code < 400:
             # resolver contract: a 3xx body IS the Location
-            return resp.status_code, resp.headers.get("location", "")
+            return resp.headers.get("location", "")
         if _is_text(resp.headers.get("content-type", "text/html")):
-            body = resp.text
-            return resp.status_code, body[: self.max_body_bytes]
-        return resp.status_code, resp.content[: self.max_body_bytes]
+            return resp.text[: self.max_body_bytes]
+        return resp.content[: self.max_body_bytes]
+
+    def resolve_full(self, url: str):
+        """GET with validator capture: (status, body, etag) — the
+        CachedResolver revalidation contract (etag None unless the
+        server sent one on a 200)."""
+        resp = self._request("GET", url)
+        if resp is None:
+            return 0, "", None
+        if isinstance(resp, _StatusOnly):
+            return resp.status, "", None
+        etag = (resp.headers.get("etag")
+                if resp.status_code == 200 else None)
+        return resp.status_code, self._body_of(resp), etag
+
+    def resolve_conditional(self, url: str, etag: str):
+        """Conditional GET: ``If-None-Match`` → (304, "", etag) when the
+        server confirms the cached payload is still current."""
+        import requests
+
+        try:
+            resp = self.session.get(url, timeout=self.timeout,
+                                    allow_redirects=False,
+                                    headers={"If-None-Match": etag})
+        except requests.exceptions.RequestException:
+            return 0, "", None
+        if resp.status_code == 304:
+            return 304, "", etag
+        new_etag = (resp.headers.get("etag")
+                    if resp.status_code == 200 else None)
+        return resp.status_code, self._body_of(resp), new_etag
 
     def head(self, url: str):
         """HEAD → (status, lowercase header dict) — never a body

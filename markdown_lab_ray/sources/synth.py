@@ -315,11 +315,18 @@ class SyntheticWeb:
     spec; content is derived on demand).
     """
 
-    def __init__(self, spec: SiteSpec):
+    def __init__(self, spec: SiteSpec, version: int = 0):
         self.spec = spec
         self._host_index = {spec.host(i): i for i in range(spec.n_hosts)}
+        # bumping ``version`` simulates content change for the ETag /
+        # revalidation path: page bodies gain a version comment (v > 0
+        # only, so default behavior is byte-identical to before)
+        self.version = version
 
     def resolve(self, url: str):
+        return self._versioned(*self._resolve_raw(url))
+
+    def _resolve_raw(self, url: str):
         from urllib.parse import urlsplit
         parts = urlsplit(url)
         host, path = parts.netloc, parts.path or "/"
@@ -357,6 +364,37 @@ class SyntheticWeb:
                 return self.spec.error_status, ""
             return 200, page_html(self.spec, host_i, 0)
         return 404, ""
+
+    @staticmethod
+    def etag_for(body) -> str:
+        """Strong validator: md5 of the exact payload bytes."""
+        import hashlib
+
+        raw = body if isinstance(body, bytes) else str(body).encode()
+        return hashlib.md5(raw).hexdigest()
+
+    def _versioned(self, status: int, body):
+        if (self.version and status == 200 and isinstance(body, str)
+                and body.startswith("<")):
+            body = body + f"<!-- v{self.version} -->"
+        return status, body
+
+    def resolve_full(self, url: str):
+        """GET with validator: (status, body, etag) — etag only on 200
+        (the CachedResolver revalidation contract).  ``resolve`` applies
+        the same version suffix, so both entry points see one
+        consistent web."""
+        status, body = self.resolve(url)
+        return status, body, (self.etag_for(body) if status == 200
+                              else None)
+
+    def resolve_conditional(self, url: str, etag: str):
+        """Conditional GET (If-None-Match): 304 with empty body when the
+        current payload still matches ``etag``, else the full answer."""
+        status, body, new_etag = self.resolve_full(url)
+        if status == 200 and new_etag == etag:
+            return 304, "", etag
+        return status, body, new_etag
 
     def head(self, url: str):
         """HEAD: status + headers, no body (reference client.py:100-114).

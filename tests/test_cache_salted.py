@@ -61,3 +61,61 @@ def test_salted_schedule_equals_unsalted(ray_session, tmp_path):
     salted = read_crawl_order(salted_dir)
     assert plain["loc"].tolist() == salted["loc"].tolist()
     assert set(plain["seen_key"]) == set(salted["seen_key"])
+
+
+def test_synthetic_web_conditional_revalidation():
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(seed=7, n_hosts=1, pages_per_host=2)
+    web = SyntheticWeb(spec)
+    url = f"https://{spec.host(0)}/page/0"
+    status, body, etag = web.resolve_full(url)
+    assert status == 200 and etag == web.etag_for(body)
+    assert web.resolve_conditional(url, etag) == (304, "", etag)
+    # bump the content version: validator must miss, body must change
+    web.version = 1
+    s2, b2, e2 = web.resolve_conditional(url, etag)
+    assert (s2, e2 != etag) == (200, True)
+    assert b2.endswith("<!-- v1 -->") and b2 != body
+    # resolve() sees the same versioned web (one consistent surface)
+    assert web.resolve(url) == (200, b2)
+    # non-200 paths carry no validator
+    s404, _, e404 = web.resolve_full(f"https://{spec.host(0)}/nope")
+    assert (s404, e404) == (404, None)
+
+
+def test_cached_resolver_revalidation_paths():
+    from markdown_lab_ray.state.cache import CachedResolver
+
+    calls = {"full": 0, "cond": 0}
+    content = {"v": "body-1"}
+
+    def full(url):
+        calls["full"] += 1
+        return 200, content["v"], f"etag-{content['v']}"
+
+    def cond(url, etag):
+        calls["cond"] += 1
+        if etag == f"etag-{content['v']}":
+            return 304, "", etag
+        return full(url)
+
+    clock = {"t": 0.0}
+    cache = CachedResolver(lambda u: (_ for _ in ()).throw(
+        AssertionError("resolve_fn must not be called when full_fn set")),
+        ttl=10.0, clock=lambda: clock["t"], full_fn=full,
+        conditional_fn=cond)
+    assert cache.resolve("u") == (200, "body-1")
+    assert calls == {"full": 1, "cond": 0}
+    clock["t"] = 20.0          # expired, unchanged → 304 refresh
+    assert cache.resolve("u") == (200, "body-1")
+    assert calls == {"full": 1, "cond": 1}
+    assert cache.revalidated == 1 and cache.stats()["revalidated"] == 1
+    assert cache.has_fresh("u")
+    clock["t"] = 40.0          # expired, CHANGED → conditional full answer
+    content["v"] = "body-2"
+    assert cache.resolve("u") == (200, "body-2")
+    assert calls == {"full": 2, "cond": 2}  # cond delegated to full
+    assert cache.misses == 2 and cache.revalidated == 1
+    clock["t"] = 45.0          # fresh again
+    assert cache.resolve("u") == (200, "body-2") and cache.hits == 1

@@ -54,11 +54,21 @@ class _Handler(BaseHTTPRequestHandler):
         return self.site.get(self.path, (404, "text/plain", ""))
 
     def _respond(self, with_body: bool):
+        import hashlib
+
         status, ctype, body = self._lookup()
         data = body.encode() if isinstance(body, str) else body
+        etag = hashlib.md5(data).hexdigest()
+        if (status == 200
+                and self.headers.get("If-None-Match") == etag):
+            self.send_response(304)
+            self.end_headers()
+            return
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
+        if status == 200:
+            self.send_header("ETag", etag)
         self.end_headers()
         if with_body:
             self.wfile.write(data)
@@ -153,3 +163,38 @@ def test_ray_crawl_over_localhost_matches_oracle(http_site, ray_session,
     assert result.failed == oracle["failed"]
     # robots Disallow honored: the /private link never scheduled
     assert not any("/private" in loc for loc in order["loc"])
+
+
+def test_resolve_full_and_conditional_304(http_site):
+    with HttpResolver(max_retries=0) as r:
+        status, body, etag = r.resolve_full(f"{http_site}/page/0")
+        assert status == 200 and "Page 0" in body and etag
+        # unchanged → 304, empty body, same validator
+        assert r.resolve_conditional(f"{http_site}/page/0", etag) == \
+            (304, "", etag)
+        # stale validator → full 200 answer with the current etag
+        s2, b2, e2 = r.resolve_conditional(f"{http_site}/page/0", "stale")
+        assert (s2, b2, e2) == (200, body, etag)
+        # non-200 carries no etag
+        s404, _, e404 = r.resolve_full(f"{http_site}/nope")
+        assert (s404, e404) == (404, None)
+
+
+def test_cached_resolver_revalidates_over_http(http_site):
+    from markdown_lab_ray.state.cache import CachedResolver
+
+    clock = {"t": 0.0}
+    with HttpResolver(max_retries=0) as r:
+        cache = CachedResolver(r.resolve, ttl=10.0,
+                               clock=lambda: clock["t"],
+                               full_fn=r.resolve_full,
+                               conditional_fn=r.resolve_conditional)
+        url = f"{http_site}/page/1"
+        s1, b1 = cache.resolve(url)
+        assert s1 == 200 and cache.misses == 1
+        clock["t"] = 5.0           # fresh → pure cache hit
+        assert cache.resolve(url) == (s1, b1) and cache.hits == 1
+        clock["t"] = 20.0          # expired → 304 revalidation
+        assert cache.resolve(url) == (s1, b1)
+        assert cache.revalidated == 1 and cache.misses == 1
+        assert cache.has_fresh(url)  # TTL refreshed by the 304
