@@ -109,7 +109,8 @@ def cmd_crawl(args) -> int:
     flag_overrides = {k: v for k, v in dict(
         requests_per_second=args.rps, max_rounds=args.max_rounds,
         max_depth=args.max_depth,
-        authority_boost=args.authority_boost).items() if v is not None}
+        authority_boost=args.authority_boost,
+        trap_links_per_template=args.trap_cap).items() if v is not None}
     if args.config:
         cfg = EngineConfig.from_file(args.config)
         layered = {**EngineConfig.env_overrides(), **flag_overrides}
@@ -439,6 +440,9 @@ def main(argv=None) -> int:
     p.add_argument("--authority-boost", type=int,
                    help="top-PageRank-band hosts earn this budget "
                         "multiplier (host-authority frontier weighting)")
+    p.add_argument("--trap-cap", type=int,
+                   help="crawler-trap guard: max links per path "
+                        "template leaving any single page (0 = off)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_crawl)

@@ -63,6 +63,11 @@ class EngineConfig:
     # then re-enters half-open with a fresh streak
     breaker_threshold: int = 0
     breaker_cooldown_rounds: int = 2
+    # -- crawler-trap guard (0 = disabled): max links per path
+    # template (digit/hex runs collapsed) leaving any single page —
+    # cuts calendar/session-id traps at the source (kernels/urls.py
+    # path_template)
+    trap_links_per_template: int = 0
     # -- host-authority budget weighting (≤1 = disabled): hosts in the
     # top PageRank band of the observed cross-host link graph earn
     # ``authority_boost``× the round budget (Crawl-delay still caps);
@@ -102,6 +107,8 @@ class EngineConfig:
         if self.breaker_threshold > 0 and self.breaker_cooldown_rounds < 1:
             raise ValueError("breaker_cooldown_rounds must be >= 1 when "
                              "the circuit breaker is enabled")
+        if self.trap_links_per_template < 0:
+            raise ValueError("trap_links_per_template must be non-negative")
         return self
 
     @classmethod

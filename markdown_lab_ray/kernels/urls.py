@@ -105,3 +105,28 @@ def redirect_target(status: int, body, base_url: str):
         from .html_kernels import resolve_url
         return resolve_url(base_url, body.strip())
     return None
+
+
+_LONG_HEX_RE = re.compile(r"[0-9a-fA-F]{8,}")
+_DIGIT_RUN_RE = re.compile(r"\d+")
+
+
+def path_template(url: str) -> str:
+    """Crawler-trap signature of a URL: host + path with long hex runs
+    (session ids, content hashes) collapsed to ``H`` and digit runs
+    (dates, page numbers, calendar offsets) to ``N``, plus the SORTED
+    query keys with values dropped.  Two URLs that differ only in such
+    generated parts share a template — the unit the trap guard caps on
+    (a calendar widget emits one template; a real article index emits
+    it too, which is why the cap is per PAGE, not global)."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    path = _LONG_HEX_RE.sub("H", p.path)
+    path = _DIGIT_RUN_RE.sub("N", path)
+    query = ""
+    if p.query:
+        keys = sorted({kv.split("=", 1)[0]
+                       for kv in p.query.split("&") if kv})
+        query = "?" + "&".join(keys)
+    return f"{p.netloc.lower()}{path}{query}"

@@ -548,15 +548,16 @@ class _ActorRobotsFactory:
         return ActorRobotsCache(self.shards)
 
 
-def links_explode_batch(batch: pa.Table) -> pa.Table:
+def links_explode_batch(batch: pa.Table, trap_cap: int = 0) -> pa.Table:
     """Docs rows → next-round frontier candidate rows (with per-batch
-    pre-dedup to shrink the round's dedup shuffle)."""
+    pre-dedup to shrink the round's dedup shuffle).  ``trap_cap``
+    enables the per-page crawler-trap guard (crawl_spec docstring)."""
     from .crawl_spec import dedup_candidates
 
     rows = []
     for depth, links in zip(batch.column("depth").to_pylist(),
                             batch.column("links").to_pylist()):
-        rows.extend(links_to_frontier_rows(depth, links))
+        rows.extend(links_to_frontier_rows(depth, links, trap_cap))
     return frontier_rows_to_table(dedup_candidates(rows))
 
 
@@ -1059,8 +1060,9 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                 docs_dir, columns=["depth", "links", "status"]).filter(
                 expr=f"status >= 200 and status < 400 "
                      f"and depth < {cfg.max_depth}")
-            (link_src.map_batches(links_explode_batch,
-                                  batch_format="pyarrow")
+            (link_src.map_batches(
+                links_explode_batch, batch_format="pyarrow",
+                fn_kwargs=dict(trap_cap=cfg.trap_links_per_template))
              .map_batches(conform_frontier_batch, batch_format="pyarrow")
              .write_parquet(next_dir))
         timings["links_frontier"] = round(_time.time() - t0, 2)

@@ -115,12 +115,33 @@ def discover_seed_frontier(resolve_fn, robots_cache, seed_url: str,
     return out
 
 
-def links_to_frontier_rows(src_depth: int, dst_urls: list[str]) -> list[dict]:
-    """Frontier candidate rows for links found on a fetched page."""
+def links_to_frontier_rows(src_depth: int, dst_urls: list[str],
+                           trap_cap: int = 0) -> list[dict]:
+    """Frontier candidate rows for links found on a fetched page.
+
+    ``trap_cap > 0`` enables the crawler-trap guard: at most that many
+    links PER PATH TEMPLATE (``kernels.urls.path_template`` — digit /
+    long-hex runs collapsed, query values dropped) leave any single
+    page, first-in-page-order wins.  A calendar widget or session-id
+    generator emitting 10⁵ same-shaped links is cut to ``trap_cap`` at
+    the source — locally, deterministically, before the candidate ever
+    costs a shuffle row — while organically-linked URL sets (which
+    accumulate ACROSS pages, one template hit per page) are untouched.
+    Shared by the Ray engine and the sequential oracle, so parity holds
+    by construction."""
+    from ..kernels.urls import path_template
+
     out = []
+    seen_templates: dict[str, int] = {}
     for dst in dst_urls:
         if not dst.startswith(("http://", "https://")):
             continue
+        if trap_cap > 0:
+            tpl = path_template(dst)
+            n = seen_templates.get(tpl, 0)
+            if n >= trap_cap:
+                continue
+            seen_templates[tpl] = n + 1
         out.append({
             "loc": dst,
             "lastmod": None,

@@ -110,7 +110,8 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
                         cfg.authority_edge_cap)
                 if row["depth"] < cfg.max_depth:
                     candidates.extend(links_to_frontier_rows(
-                        row["depth"], links))
+                        row["depth"], links,
+                        cfg.trap_links_per_template))
             else:
                 failed += 1
                 stat[1] += 1
@@ -121,7 +122,8 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
                     row["loc"])
                 if target is not None and row["depth"] < cfg.max_depth:
                     candidates.extend(links_to_frontier_rows(
-                        row["depth"], [target]))
+                        row["depth"], [target],
+                        cfg.trap_links_per_template))
 
         if cfg.breaker_threshold > 0:
             for host, (n_ok, n_fail) in round_stats.items():

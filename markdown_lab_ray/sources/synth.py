@@ -411,3 +411,15 @@ class SyntheticWeb:
         if 300 <= status < 400 and isinstance(body, str) and body:
             headers["location"] = body
         return status, headers
+
+
+class ScriptedWeb:
+    """Minimal dict-backed resolver for tests and examples:
+    ``pages`` maps full URL → (status, body); everything else is 404.
+    Picklable plain state, so fetch actors can hold one."""
+
+    def __init__(self, pages: dict):
+        self.pages = dict(pages)
+
+    def resolve(self, url: str):
+        return self.pages.get(url, (404, ""))
