@@ -7538,6 +7538,21 @@ def q_image_quality(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_image_borders(sf_dir: str):
+    """Letterbox/pillarbox crop boxes + color profile per image (flat
+    border peel, 4-bit palette, grayscale flag) — decode once per row
+    in an actor pool."""
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import BorderColorProfile
+
+    ds = rd.from_arrow(build_images_table(SiteSpec(n_images=200)))
+    out = ds.map_batches(BorderColorProfile, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 2)).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_image_pyramid(sf_dir: str):
     """Thumbnail-pyramid storage accounting: per halving level, image
     count + total re-encoded bytes (explode stays inside the task)."""
@@ -8479,6 +8494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_link_prediction": q_part_link_prediction,
         "revenue_holt": q_revenue_holt,
         "wallet_balance": q_wallet_balance,
+        "image_borders": q_image_borders,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,

@@ -813,3 +813,87 @@ def patch_stats(ds, patch: int = 16):
             .aggregate(Count(alias_name="n_images"),
                        Sum("patches", alias_name="total_patches"),
                        Max("patches", alias_name="max_patches")))
+
+
+def border_stats_row(pixels: np.ndarray, tol: int = 8) -> dict:
+    """Pure letterbox/pillarbox kernel (shared by the actor stage and
+    the test twin): peel uniform border rows/cols — a line is "border"
+    when every pixel is within ``tol`` of the image's corner color —
+    and report the content crop box plus the border area fraction in
+    basis points.  All int64, deterministic."""
+    h, w = pixels.shape[:2]
+    corner = pixels[0, 0].astype(np.int16)
+    flat = np.abs(pixels.astype(np.int16) - corner).max(axis=2) <= tol
+    top = 0
+    while top < h and flat[top].all():
+        top += 1
+    if top == h:  # whole image is one flat color
+        return {"crop_top": 0, "crop_left": 0, "crop_h": 0, "crop_w": 0,
+                "border_bp": 10_000}
+    bottom = h
+    while bottom > top and flat[bottom - 1].all():
+        bottom -= 1
+    left = 0
+    while left < w and flat[top:bottom, left].all():
+        left += 1
+    right = w
+    while right > left and flat[top:bottom, right - 1].all():
+        right -= 1
+    content = (bottom - top) * (right - left)
+    return {"crop_top": top, "crop_left": left,
+            "crop_h": bottom - top, "crop_w": right - left,
+            "border_bp": int(round((1 - content / (h * w)) * 10_000))}
+
+
+def color_profile_row(pixels: np.ndarray) -> dict:
+    """Pure color-profile kernel: distinct 4-bit-quantized colors,
+    dominant quantized color's share (basis points), grayscale flag
+    (max channel spread ≤ 8 everywhere).  int64/bool, deterministic."""
+    q = (pixels >> 4).astype(np.int64)
+    codes = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
+    counts = np.bincount(codes.ravel(), minlength=1)
+    nz = counts[counts > 0]
+    spread = (pixels.max(axis=2).astype(np.int16)
+              - pixels.min(axis=2).astype(np.int16))
+    return {"n_colors": int(len(nz)),
+            "dominant_bp": int(nz.max() * 10_000 // codes.size),
+            "is_grayscale": bool((spread <= 8).all())}
+
+
+class BorderColorProfile:
+    """Actor-pool stage: decode once → letterbox crop box + border
+    fraction + color profile per image.  The screen a vision corpus
+    runs to drop decorative flat graphics (huge borders / one dominant
+    color / tiny palettes) and to crop letterboxed frames before
+    patchifying.  ``tol`` is constructor state (per actor)."""
+
+    def __init__(self, tol: int = 8):
+        self.tol = tol
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        cols: dict[str, list] = {
+            "crop_top": [], "crop_left": [], "crop_h": [], "crop_w": [],
+            "border_bp": [], "n_colors": [], "dominant_bp": [],
+            "is_grayscale": [], "decode_ok": []}
+        for blob in blobs:
+            try:
+                pixels, _ = fake_decode(blob)
+                row = border_stats_row(pixels, self.tol)
+                row.update(color_profile_row(pixels))
+                ok = True
+            except Exception:
+                row = {k: 0 for k in cols if k != "decode_ok"}
+                row["is_grayscale"] = False
+                ok = False
+            for k, v in row.items():
+                cols[k].append(v)
+            cols["decode_ok"].append(ok)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            **{k: pa.array(cols[k], pa.int64())
+               for k in ("crop_top", "crop_left", "crop_h", "crop_w",
+                         "border_bp", "n_colors", "dominant_bp")},
+            "is_grayscale": pa.array(cols["is_grayscale"], pa.bool_()),
+            "decode_ok": pa.array(cols["decode_ok"], pa.bool_())})

@@ -132,3 +132,68 @@ def test_patch_stats_exact(ray_session):
     assert got["n_images"].tolist() == want["n_images"].tolist()
     assert got["total_patches"].tolist() == want["total_patches"].tolist()
     assert got["max_patches"].tolist() == want["max_patches"].tolist()
+
+
+def test_border_stats_letterbox_crop():
+    from markdown_lab_ray.stages.images import border_stats_row
+
+    # 10×8 image: 2-row black letterbox top+bottom, content inside
+    img = np.zeros((10, 8, 3), np.uint8)
+    img[2:8] = 200
+    out = border_stats_row(img)
+    assert (out["crop_top"], out["crop_left"]) == (2, 0)
+    assert (out["crop_h"], out["crop_w"]) == (6, 8)
+    assert out["border_bp"] == 4000  # 32 of 80 pixels are border
+    # pillarbox: uniform columns peel too
+    img2 = np.full((6, 10, 3), 255, np.uint8)
+    img2[:, 3:7] = 10
+    out2 = border_stats_row(img2)
+    assert (out2["crop_left"], out2["crop_w"]) == (3, 4)
+    # flat single-color image: all border, empty crop
+    flat = np.full((5, 5, 3), 7, np.uint8)
+    assert border_stats_row(flat)["border_bp"] == 10_000
+    # near-uniform border within tol still peels; beyond tol does not
+    img3 = np.full((4, 4, 3), 100, np.uint8)
+    img3[0] = 104          # within default tol 8 of corner
+    img3[1:] = 180
+    assert border_stats_row(img3)["crop_top"] == 1
+    img3[0, 2] = 120       # row no longer uniform vs its corner
+    assert border_stats_row(img3)["crop_top"] == 0
+
+
+def test_color_profile_palette_and_grayscale():
+    from markdown_lab_ray.stages.images import color_profile_row
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2] = [16, 32, 48]   # quantized (1,2,3)
+    out = color_profile_row(img)
+    assert out["n_colors"] == 2
+    assert out["dominant_bp"] == 5000
+    assert not out["is_grayscale"]   # spread 32 > 8
+    gray = np.repeat(np.arange(16, dtype=np.uint8).reshape(4, 4, 1), 3,
+                     axis=2)
+    out2 = color_profile_row(gray)
+    assert out2["is_grayscale"]
+
+
+def test_border_color_profile_stage_matches_twin(ray_session):
+    import ray.data as rd
+
+    from markdown_lab_ray.sources.synth import SiteSpec, build_images_table
+    from markdown_lab_ray.stages.images import (
+        BorderColorProfile, border_stats_row, color_profile_row, fake_decode)
+
+    table = build_images_table(SiteSpec(n_images=30))
+    out = (rd.from_arrow(table)
+           .map_batches(BorderColorProfile, batch_format="pyarrow",
+                        batch_size=8, concurrency=(1, 2))
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    assert out["decode_ok"].all()
+    # exact single-process twin over the same corpus
+    for i in range(0, 30, 7):
+        pixels, _ = fake_decode(table.column("bytes")[i].as_py())
+        want = border_stats_row(pixels)
+        want.update(color_profile_row(pixels))
+        row = out[out["image_id"] == table.column("image_id")[i].as_py()]
+        for k, v in want.items():
+            assert row[k].iloc[0] == v, k
