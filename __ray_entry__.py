@@ -8276,6 +8276,89 @@ FROM c GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit (the load-time data-quality gate):
+    orphan counts for three FK edges, each via the bucketed ANTI join
+    (child keys vs parent keys — keys only cross the wire)."""
+    import pandas as pd
+
+    from markdown_lab_ray.stages.joins import bucketed_anti_join
+
+    def orphans(child, child_key, parent, parent_key):
+        c = _read(sf_dir, child, [child_key]).map_batches(
+            lambda b, ck=child_key, pk=parent_key:
+            pa.table({pk: b[ck].cast(pa.int64())}),
+            batch_format="pyarrow")
+        p = _read(sf_dir, parent, [parent_key]).map_batches(
+            lambda b, pk=parent_key:
+            pa.table({pk: b[pk].cast(pa.int64())}),
+            batch_format="pyarrow")
+        return bucketed_anti_join(c, p, key=parent_key,
+                                  n_buckets=16).count()
+
+    rows = [
+        ("orders.o_custkey -> customer",
+         orphans("orders", "o_custkey", "customer", "c_custkey")),
+        ("lineitem.l_orderkey -> orders",
+         orphans("lineitem", "l_orderkey", "orders", "o_orderkey")),
+        ("lineitem.l_partkey -> part",
+         orphans("lineitem", "l_partkey", "part", "p_partkey")),
+    ]
+    return pd.DataFrame(rows, columns=["fk_edge", "n_orphans"]).astype(
+        {"n_orphans": "int64"})
+
+
+SQL_FK_VIOLATIONS = """
+SELECT 'orders.o_custkey -> customer' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+ORDER BY fk_edge
+"""
+
+
+def q_negative_samples(sf_dir: str):
+    """Deterministic hash-ranked negative sampling for contrastive
+    training: per anchor embedding, the k=3 different-label candidates
+    in the anchor's id bucket with the smallest md5(anchor|cand) —
+    reproducible across runs/layouts, mirrored bit-for-bit by the SQL
+    twin (DuckDB md5 = hashlib md5)."""
+    from markdown_lab_ray.stages.similarity import negative_samples
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    out = negative_samples(emb, "vec_id", "label", k=3,
+                           n_buckets=8).to_pandas()
+    return (out.sort_values(["vec_id", "rank"])
+            .reset_index(drop=True))
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH v AS (SELECT vec_id, label, vec_id % 8 AS b FROM embeddings),
+p AS (SELECT a.vec_id, a.label, c.vec_id AS neg_id,
+             md5(CAST(a.vec_id AS VARCHAR) || '|'
+                 || CAST(c.vec_id AS VARCHAR)) AS h
+      FROM v a JOIN v c ON a.b = c.b AND a.label <> c.label),
+r AS (SELECT vec_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY h, neg_id) AS rank
+      FROM p)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(neg_id AS BIGINT) AS neg_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 ORDER BY vec_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8495,6 +8578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_holt": q_revenue_holt,
         "wallet_balance": q_wallet_balance,
         "image_borders": q_image_borders,
+        "fk_violations": q_fk_violations,
+        "negative_samples": q_negative_samples,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8712,6 +8797,8 @@ def oracle_sql() -> dict[str, str]:
         "part_link_prediction": SQL_PART_LINK_PREDICTION,
         "revenue_holt": SQL_REVENUE_HOLT,
         "wallet_balance": SQL_WALLET_BALANCE,
+        "fk_violations": SQL_FK_VIOLATIONS,
+        "negative_samples": SQL_NEGATIVE_SAMPLES,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -1044,3 +1044,52 @@ def grid_density_clusters(ds, vec_col: str = "embedding",
     out = (out[["cx", "cy", "n", "cluster_id"]]
            .sort_values(["cx", "cy"]).reset_index(drop=True))
     return out.astype({c: "int64" for c in out.columns})
+
+
+def negative_samples(ds, id_col: str, label_col: str, k: int = 3,
+                     n_buckets: int = 8):
+    """Deterministic negative sampling for contrastive training: per
+    anchor, the ``k`` different-label candidates in the anchor's id
+    bucket (``id % n_buckets``) ranked by ``md5(f"{anchor}|{cand}")``
+    ascending (then candidate id) — a reproducible pseudo-random draw
+    with NO RNG state, identical across runs, layouts, and the SQL twin
+    (DuckDB ``md5`` = hashlib md5, byte-for-byte).
+
+    Scale shape: one keyed shuffle on the bucket id; the in-bucket fold
+    hashes O(m²/labels) candidate pairs per bucket — size ``n_buckets``
+    ∝ corpus so buckets hold a few hundred rows (the same knob every
+    bucketed self-join here exposes).  Output: (id, neg_id, rank),
+    int64."""
+    import hashlib
+
+    import pandas as pd
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            label_col: batch.column(label_col).cast(pa.int64()),
+            "_b": pa.array(ids.astype(np.int64) % n_buckets)})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g[id_col].to_numpy(np.int64)
+        labels = g[label_col].to_numpy(np.int64)
+        out_a, out_n, out_r = [], [], []
+        for i in range(len(ids)):
+            cands = ids[labels != labels[i]]
+            if len(cands) == 0:
+                continue
+            a = ids[i]
+            hs = np.array([hashlib.md5(f"{a}|{c}".encode()).hexdigest()
+                           for c in cands])
+            order = np.lexsort((cands, hs))[:k]
+            out_a.extend([a] * len(order))
+            out_n.extend(cands[order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+        return pd.DataFrame({id_col: pd.array(out_a, dtype="int64"),
+                             "neg_id": pd.array(out_n, dtype="int64"),
+                             "rank": pd.array(out_r, dtype="int64")})
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns([id_col, "neg_id", "rank"]))

@@ -1,0 +1,71 @@
+"""Round-4m operators: FK referential-integrity audit, deterministic
+hash-ranked negative sampling."""
+
+import hashlib
+
+import pandas as pd
+import ray.data as rd
+
+
+def test_fk_violations_detects_orphans(ray_session, tmp_path):
+    from __ray_entry__ import q_fk_violations
+
+    pd.DataFrame({"c_custkey": [1, 2]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({"o_orderkey": [10, 11, 12],
+                  "o_custkey": [1, 2, 99]}).to_parquet(   # 99 orphan
+        tmp_path / "orders.parquet")
+    pd.DataFrame({"l_orderkey": [10, 10, 77],             # 77 orphan
+                  "l_partkey": [5, 6, 5]}).to_parquet(    # 6 orphan
+        tmp_path / "lineitem.parquet")
+    pd.DataFrame({"p_partkey": [5]}).to_parquet(tmp_path / "part.parquet")
+    out = q_fk_violations(str(tmp_path)).set_index("fk_edge")["n_orphans"]
+    assert out["orders.o_custkey -> customer"] == 1
+    assert out["lineitem.l_orderkey -> orders"] == 1
+    assert out["lineitem.l_partkey -> part"] == 1
+
+
+def test_negative_samples_hand_case(ray_session):
+    from markdown_lab_ray.stages.similarity import negative_samples
+
+    # one bucket (n_buckets=1): anchors see every other-label candidate
+    df = pd.DataFrame({"vec_id": [1, 2, 3, 4],
+                       "label": [0, 0, 1, 1]})
+    out = (negative_samples(rd.from_pandas(df), "vec_id", "label",
+                            k=2, n_buckets=1)
+           .to_pandas().sort_values(["vec_id", "rank"])
+           .reset_index(drop=True))
+    # every anchor gets exactly 2 negatives, none sharing its label
+    assert out.groupby("vec_id")["rank"].apply(list).tolist() == \
+        [[1, 2]] * 4
+    lab = dict(zip(df["vec_id"], df["label"]))
+    assert all(lab[a] != lab[n]
+               for a, n in zip(out["vec_id"], out["neg_id"]))
+    # rank order is the md5(a|c) order, bit-for-bit
+    for a in (1, 2):
+        hs = sorted((hashlib.md5(f"{a}|{c}".encode()).hexdigest(), c)
+                    for c in (3, 4))
+        want = [c for _, c in hs]
+        got = out[out["vec_id"] == a].sort_values("rank")[
+            "neg_id"].tolist()
+        assert got == want, a
+    # layout independence
+    out2 = (negative_samples(rd.from_pandas(df).repartition(3),
+                             "vec_id", "label", k=2, n_buckets=1)
+            .to_pandas().sort_values(["vec_id", "rank"])
+            .reset_index(drop=True))
+    assert out.equals(out2)
+
+
+def test_negative_samples_bucket_scoping_and_k_cut(ray_session):
+    from markdown_lab_ray.stages.similarity import negative_samples
+
+    # bucket 0: {0 (label 0), 2 (label 1)}; bucket 1: {1, 3} same label
+    # → ids 1 and 3 have NO in-bucket negatives and emit nothing
+    df = pd.DataFrame({"vec_id": [0, 1, 2, 3],
+                       "label": [0, 0, 1, 0]})
+    out = (negative_samples(rd.from_pandas(df), "vec_id", "label",
+                            k=5, n_buckets=2)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert out[["vec_id", "neg_id", "rank"]].values.tolist() == \
+        [[0, 2, 1], [2, 0, 1]]
