@@ -8359,6 +8359,49 @@ FROM r WHERE rank <= 3 ORDER BY vec_id, rank
 """
 
 
+def q_corpus_fingerprint(sf_dir: str):
+    """Order-insensitive documents-corpus checksum (60-bit md5 row
+    hashes: modular sum + XOR + count) — the resume/replication
+    equality audit."""
+    from markdown_lab_ray.stages.analytics import dataset_fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dataset_fingerprint(docs, ["doc_id", "text"])
+
+
+SQL_CORPUS_FINGERPRINT = """
+WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || '|' || text), 1, 15))
+                       AS BIGINT) AS v
+           FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(v AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+         AS sum_mod,
+       CAST(bit_xor(v) AS BIGINT) AS xor_fp
+FROM h
+"""
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Skip-gram event-type pair counts within a 1-hour same-user
+    window (strictly-later pairs; searchsorted window enumeration)."""
+    from markdown_lab_ray.stages.analytics import windowed_cooccurrence
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = windowed_cooccurrence(ev).to_pandas()
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True).astype({"n_pairs": "int64"}))
+
+
+SQL_EVENT_COOCCURRENCE = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b ON a.user_id = b.user_id
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8580,6 +8623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_borders": q_image_borders,
         "fk_violations": q_fk_violations,
         "negative_samples": q_negative_samples,
+        "corpus_fingerprint": q_corpus_fingerprint,
+        "event_cooccurrence": q_event_cooccurrence,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8799,6 +8844,8 @@ def oracle_sql() -> dict[str, str]:
         "wallet_balance": SQL_WALLET_BALANCE,
         "fk_violations": SQL_FK_VIOLATIONS,
         "negative_samples": SQL_NEGATIVE_SAMPLES,
+        "corpus_fingerprint": SQL_CORPUS_FINGERPRINT,
+        "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -4221,3 +4221,107 @@ def clamped_balance(ds, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(slim, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns(list(empty)))
+
+
+def dataset_fingerprint(ds, cols, fmt: str | None = None,
+                        mod: int = 9223372036854775783):
+    """Order-insensitive corpus checksum for resume / replication
+    audits: per row h = int(md5("col1|col2|…")[:15hex], 16) (60-bit),
+    fingerprint = (Σh mod <largest prime < 2⁶³>, XOR h, count).  Equal
+    datasets match all three regardless of row order or layout; the
+    SQL twin computes the identical triple (DuckDB md5 = hashlib md5,
+    '0x'-cast = int(,16)).  Per-batch partials (one row each) are the
+    only thing shuffled; md5-per-row IS the work, vectorization doesn't
+    apply.  Output one row: (n_rows, sum_mod, xor_fp) int64."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrays = [batch.column(c).to_pylist() for c in cols]
+        s = 0
+        x = 0
+        for vals in zip(*arrays):
+            h = int(hashlib.md5(
+                "|".join(str(v) for v in vals).encode()).hexdigest()[:15],
+                16)
+            s += h
+            x ^= h
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                         "s": pa.array([s % mod], pa.int64()),
+                         "x": pa.array([x], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "n_rows": int(parts["n"].sum()),
+        "sum_mod": int(parts["s"].astype(object).sum() % mod),
+        "xor_fp": int(np.bitwise_xor.reduce(
+            parts["x"].to_numpy(np.int64))) if len(parts) else 0,
+    }]).astype("int64")
+
+
+def windowed_cooccurrence(ds, user_col: str = "user_id",
+                          ts_col: str = "ts", type_col: str = "event_type",
+                          window_us: int = 3_600_000_000,
+                          n_buckets: int = 64):
+    """Skip-gram event-type co-occurrence: ordered (type_a, type_b)
+    pair counts where b follows a for the SAME user within
+    ``window_us`` (strictly later — equal timestamps never pair, the
+    SQL twin's ``b.ts > a.ts`` contract).  The behavioral-sequence
+    statistic PMI/embedding trainers consume.
+
+    Scale shape: one keyed shuffle on ``hash(user) % n_buckets``; the
+    in-bucket fold sorts each user's events once and enumerates window
+    pairs via ``searchsorted`` ends + ``repeat``/``arange`` index
+    arithmetic (no Python pair loop), emitting per-bucket (a, b, n)
+    partials; one keyed Sum merges buckets.  O(pairs) work — the
+    window bounds pairs per event.  Output: (type_a, type_b, n_pairs)."""
+    from ray.data.aggregate import Sum
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            user_col: batch.column(user_col).to_numpy(
+                zero_copy_only=False),
+            "_ts": batch.column(ts_col).cast(pa.timestamp("us"))
+                   .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            type_col: batch.column(type_col).to_numpy(
+                zero_copy_only=False)})
+        df["_b"] = key_buckets(df[user_col].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "_ts"], kind="mergesort")
+        users = g[user_col].to_numpy()
+        ts = g["_ts"].to_numpy(np.int64)
+        types = g[type_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"type_a": pd.array([], dtype="object"),
+                                 "type_b": pd.array([], dtype="object"),
+                                 "n": pd.array([], dtype="int64")})
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[starts, n]
+        idx_i_parts, idx_j_parts = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            # first strictly-later index and last in-window index
+            lo = np.searchsorted(seg, seg + 1, side="left")
+            hi = np.searchsorted(seg, seg + window_us, side="right")
+            cnt = hi - lo
+            idx_i_parts.append(np.repeat(np.arange(s, e), cnt))
+            off = np.concatenate([np.arange(l, h) for l, h in
+                                  zip(lo, hi)]) if cnt.sum() else \
+                np.array([], np.int64)
+            idx_j_parts.append(off + s)
+        ii = np.concatenate(idx_i_parts)
+        jj = np.concatenate(idx_j_parts)
+        out = (pd.DataFrame({"type_a": types[ii], "type_b": types[jj]})
+               .groupby(["type_a", "type_b"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n", alias_name="n_pairs")))

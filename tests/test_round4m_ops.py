@@ -69,3 +69,50 @@ def test_negative_samples_bucket_scoping_and_k_cut(ray_session):
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert out[["vec_id", "neg_id", "rank"]].values.tolist() == \
         [[0, 2, 1], [2, 0, 1]]
+
+
+def test_dataset_fingerprint_order_insensitive(ray_session):
+    from markdown_lab_ray.stages.analytics import dataset_fingerprint
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["alpha", "beta", "gamma"]})
+    a = dataset_fingerprint(rd.from_pandas(df), ["doc_id", "text"])
+    b = dataset_fingerprint(
+        rd.from_pandas(df.iloc[::-1].reset_index(drop=True))
+        .repartition(3), ["doc_id", "text"])
+    assert a.equals(b)
+    assert a["n_rows"].iloc[0] == 3
+    # known value: 60-bit prefix of md5("1|alpha")
+    h = int(hashlib.md5(b"1|alpha").hexdigest()[:15], 16)
+    one = dataset_fingerprint(rd.from_pandas(df.head(1)),
+                              ["doc_id", "text"])
+    assert one["sum_mod"].iloc[0] == h == one["xor_fp"].iloc[0]
+    # any difference moves the fingerprint
+    df2 = df.assign(text=["alpha", "beta", "gamma!"])
+    c = dataset_fingerprint(rd.from_pandas(df2), ["doc_id", "text"])
+    assert not a.equals(c)
+
+
+def test_windowed_cooccurrence_hand_case(ray_session):
+    from markdown_lab_ray.stages.analytics import windowed_cooccurrence
+
+    base = pd.Timestamp("2020-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": [base, base,                             # tie: never pairs
+               base + pd.Timedelta(minutes=30),
+               base + pd.Timedelta(minutes=100),       # out of A's window
+               base, base + pd.Timedelta(minutes=59)],
+        "event_type": ["A", "B", "C", "D", "A", "C"]})
+    out = (windowed_cooccurrence(rd.from_pandas(df))
+           .to_pandas().sort_values(["type_a", "type_b"])
+           .reset_index(drop=True))
+    # user1: A→C, B→C (ties A,B both pair with C); C→D (70min>60? no —
+    # 100−30=70min > 60 → NOT a pair). user2: A→C (59min).
+    assert out[["type_a", "type_b", "n_pairs"]].values.tolist() == [
+        ["A", "C", 2], ["B", "C", 1]]
+    # layout independence
+    out2 = (windowed_cooccurrence(rd.from_pandas(df).repartition(4))
+            .to_pandas().sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+    assert out.equals(out2)
