@@ -8402,6 +8402,60 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_doc_percentiles(sf_dir: str):
+    """Corpus percentile normalization of document length (RANK-floor
+    basis points; one distinct-value Count shuffle + broadcast
+    assign)."""
+    from markdown_lab_ray.stages.analytics import score_percentiles
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = score_percentiles(docs, "doc_id", "n_chars").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PERCENTILES = """
+SELECT doc_id, n_chars,
+       CAST((RANK() OVER (ORDER BY n_chars) - 1) * 10000
+            // GREATEST((SELECT COUNT(*) FROM documents) - 1, 1)
+            AS BIGINT) AS pct_bp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_crawl_boilerplate(sf_dir: str):
+    """Per-host boilerplate line detection + strip accounting over a
+    small crawl's converted markdown (nav/footer lines appearing on
+    ≥60% of a host's pages are dropped; md5s, never text, shuffle)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+    from markdown_lab_ray.stages.text import strip_boilerplate
+
+    spec = SiteSpec(n_hosts=4, pages_per_host=10, n_images=30)
+    cfg = EngineConfig(requests_per_second=0.1, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, seen_shards=4,
+                       fetch_concurrency=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        import glob as _glob
+        import os as _os
+
+        run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), tmp, cfg)
+        doc_files = sorted(_glob.glob(
+            _os.path.join(tmp, "rounds", "round=*", "docs", "*.parquet")))
+        docs = rd.read_parquet(doc_files,
+                               columns=["url", "host", "payload",
+                                        "status"]).filter(
+            expr="status == 200")
+        out = strip_boilerplate(docs, "host", "payload", "url",
+                                min_ratio_bp=6000, min_pages=3
+                                ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8625,6 +8679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": q_negative_samples,
         "corpus_fingerprint": q_corpus_fingerprint,
         "event_cooccurrence": q_event_cooccurrence,
+        "doc_percentiles": q_doc_percentiles,
+        "crawl_boilerplate": q_crawl_boilerplate,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8846,6 +8902,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": SQL_NEGATIVE_SAMPLES,
         "corpus_fingerprint": SQL_CORPUS_FINGERPRINT,
         "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
+        "doc_percentiles": SQL_DOC_PERCENTILES,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -4325,3 +4325,42 @@ def windowed_cooccurrence(ds, user_col: str = "user_id",
             .groupby("_b").map_groups(fold, batch_format="pandas")
             .groupby(["type_a", "type_b"])
             .aggregate(Sum("n", alias_name="n_pairs")))
+
+
+def score_percentiles(ds, id_col: str, value_col: str):
+    """Corpus-wide percentile normalization of an integer score (the
+    rank-normalize pass quality filters use so thresholds transfer
+    across corpora): pct_bp = (count strictly less) · 10⁴ // (n − 1),
+    ties share the floor rank (SQL RANK semantics).
+
+    Scale shape: ONE keyed Count over distinct score VALUES (the only
+    shuffle — O(value domain) rows, not O(corpus)); the driver sorts
+    the distinct values and prefix-sums strict-less counts (bounded by
+    the value domain, the ``daily_cents`` precedent); the (values →
+    pct) table broadcasts once and every batch assigns by
+    ``searchsorted``.  Output: (id, value, pct_bp), int64."""
+    import ray
+    from ray.data.aggregate import Count
+
+    dist = (ds.groupby(value_col).aggregate(Count(alias_name="_n"))
+            ).to_pandas().sort_values(value_col)
+    vals = dist[value_col].to_numpy(np.int64)
+    cnts = dist["_n"].to_numpy(np.int64)
+    n = int(cnts.sum())
+    less = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    denom = max(n - 1, 1)
+    pct = less * 10_000 // denom
+    ref = ray.put((vals, pct))
+
+    def assign(batch: pa.Table, ref) -> pa.Table:
+        v_sorted, p = ray.get(ref)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v_sorted, v)
+        return pa.table({
+            id_col: batch.column(id_col),
+            value_col: pa.array(v, pa.int64()),
+            "pct_bp": pa.array(p[idx], pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          fn_kwargs=dict(ref=ref))

@@ -1249,3 +1249,117 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 10,
     return pd.DataFrame(merges, columns=["rank", "left", "right",
                                          "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"})
+
+
+def boilerplate_lines(ds, group_col: str, text_col: str, id_col: str,
+                      min_ratio_bp: int = 5000, min_pages: int = 2):
+    """Per-group boilerplate LINE detection — the nav/footer stripping
+    pass a crawl corpus runs before training: a line is boilerplate for
+    a group (host/source) when it appears on ≥ ``min_pages`` pages AND
+    on ≥ ``min_ratio_bp``/10⁴ of the group's pages.  Counting is
+    per-PAGE-distinct (a line repeated within one page counts once).
+
+    Scale shape: per-batch explode to (group, line_md5) page-distinct
+    partial rows (the line TEXT never shuffles, only 16-byte hashes),
+    one keyed Count per (group, line_md5), plus a tiny per-group page
+    Count; ratio filter in-stream against the broadcast page counts.
+    Output: (group, line_md5, n_pages, group_pages, ratio_bp)."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def page_partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        g = pd.Series(groups).value_counts()
+        return pa.table({group_col: pa.array(g.index.astype(str)),
+                         "_n": pa.array(g.to_numpy(np.int64))})
+
+    pages = (ds.map_batches(page_partial, batch_format="pyarrow")
+             .groupby(group_col).aggregate(Sum("_n", alias_name="pages"))
+             ).to_pandas()
+    pages_ref = ray.put(dict(zip(pages[group_col], pages["pages"])))
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        out_g, out_h = [], []
+        for g, text in zip(batch.column(group_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            seen = set()
+            for line in (text or "").split("\n"):
+                if not line.strip():
+                    continue
+                h = hashlib.md5(line.encode()).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+                    out_g.append(g)
+                    out_h.append(h)
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "line_md5": pa.array(out_h, pa.string()),
+                         "_c": pa.array(np.ones(len(out_g), np.int64))})
+
+    counts = (ds.map_batches(line_partial, batch_format="pyarrow")
+              .groupby([group_col, "line_md5"])
+              .aggregate(Sum("_c", alias_name="n_pages")))
+
+    def attach_filter(batch: pa.Table, ref) -> pa.Table:
+        totals = ray.get(ref)
+        gp = np.array([totals.get(g, 0) for g in
+                       batch.column(group_col).to_pylist()], np.int64)
+        n = batch.column("n_pages").to_numpy(zero_copy_only=False)
+        keep = (n >= min_pages) & (n * 10_000 >= min_ratio_bp * gp)
+        ratio = np.zeros(len(gp), np.int64)
+        nz = gp > 0
+        ratio[nz] = n[nz] * 10_000 // gp[nz]
+        t = batch.append_column(
+            "group_pages", pa.array(gp, pa.int64())).append_column(
+            "ratio_bp", pa.array(ratio, pa.int64()))
+        return t.filter(pa.array(keep))
+
+    return counts.map_batches(attach_filter, batch_format="pyarrow",
+                              fn_kwargs=dict(ref=pages_ref))
+
+
+def strip_boilerplate(ds, group_col: str, text_col: str, id_col: str,
+                      min_ratio_bp: int = 5000, min_pages: int = 2):
+    """Companion pass: per document, drop the group's boilerplate lines
+    (from ``boilerplate_lines``) and report what survived.  The
+    boilerplate SET (md5s only) broadcasts once via ``ray.put`` —
+    it is O(distinct nav/footer lines), tiny by construction.
+    Output: (id, n_lines_kept, n_chars_kept, n_lines_dropped)."""
+    import hashlib
+
+    import ray
+
+    bp = boilerplate_lines(ds, group_col, text_col, id_col,
+                           min_ratio_bp, min_pages).to_pandas()
+    bp_ref = ray.put({(g, h) for g, h in
+                      zip(bp[group_col], bp["line_md5"])})
+
+    def strip(batch: pa.Table, ref) -> pa.Table:
+        bad = ray.get(ref)
+        ids, kept_n, kept_c, dropped = [], [], [], []
+        for i, g, text in zip(batch.column(id_col).to_pylist(),
+                              batch.column(group_col).to_pylist(),
+                              batch.column(text_col).to_pylist()):
+            k = c = d = 0
+            for line in (text or "").split("\n"):
+                if not line.strip():
+                    continue
+                if (g, hashlib.md5(line.encode()).hexdigest()) in bad:
+                    d += 1
+                else:
+                    k += 1
+                    c += len(line)
+            ids.append(i)
+            kept_n.append(k)
+            kept_c.append(c)
+            dropped.append(d)
+        return pa.table({
+            id_col: pa.array(ids, pa.string()),
+            "n_lines_kept": pa.array(kept_n, pa.int64()),
+            "n_chars_kept": pa.array(kept_c, pa.int64()),
+            "n_lines_dropped": pa.array(dropped, pa.int64())})
+
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          fn_kwargs=dict(ref=bp_ref))

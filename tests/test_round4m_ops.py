@@ -116,3 +116,56 @@ def test_windowed_cooccurrence_hand_case(ray_session):
             .to_pandas().sort_values(["type_a", "type_b"])
             .reset_index(drop=True))
     assert out.equals(out2)
+
+
+def test_boilerplate_lines_and_strip(ray_session):
+    from markdown_lab_ray.stages.text import boilerplate_lines, strip_boilerplate
+
+    nav = "# Site Nav"
+    foot = "(c) footer"
+    docs = pd.DataFrame({
+        "host": ["a", "a", "a", "b", "b"],
+        "url": [f"u{i}" for i in range(5)],
+        "payload": [
+            f"{nav}\nunique one\n{foot}",
+            f"{nav}\nunique two\n{foot}\n{foot}",   # dup line: counts once
+            f"{nav}\nunique three",
+            f"{nav}\nonly page b1",                 # host b: nav on 1 of 2
+            "no nav here\n\n  \n",                  # blanks never count
+        ]})
+    ds = rd.from_pandas(docs)
+    bp = (boilerplate_lines(ds, "host", "payload", "url",
+                            min_ratio_bp=6000, min_pages=2)
+          .to_pandas().sort_values(["host", "line_md5"]))
+    # host a (3 pages): nav on 3/3 (100%), foot on 2/3 (66%) → both in;
+    # host b (2 pages): nav on 1/2 (50%) → below 60% AND min_pages
+    assert bp["host"].tolist() == ["a", "a"]
+    assert sorted(bp["n_pages"]) == [2, 3]
+    assert bp["group_pages"].tolist() == [3, 3]
+    stripped = (strip_boilerplate(ds, "host", "payload", "url",
+                                  min_ratio_bp=6000, min_pages=2)
+                .to_pandas().sort_values("url").reset_index(drop=True))
+    assert stripped["n_lines_dropped"].tolist() == [2, 3, 1, 0, 0]
+    assert stripped["n_lines_kept"].tolist() == [1, 1, 1, 2, 1]
+    assert stripped.loc[0, "n_chars_kept"] == len("unique one")
+    # layout independence
+    s2 = (strip_boilerplate(rd.from_pandas(docs).repartition(4),
+                            "host", "payload", "url",
+                            min_ratio_bp=6000, min_pages=2)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    assert stripped.equals(s2)
+
+
+def test_score_percentiles_rank_ties(ray_session):
+    from markdown_lab_ray.stages.analytics import score_percentiles
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                       "n_chars": [10, 20, 20, 30, 40]})
+    out = (score_percentiles(rd.from_pandas(df), "doc_id", "n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # strict-less counts: 0,1,1,3,4 → ×10000//4 = 0,2500,2500,7500,10000
+    assert out["pct_bp"].tolist() == [0, 2500, 2500, 7500, 10000]
+    # single row → denom guard
+    one = score_percentiles(rd.from_pandas(df.head(1)), "doc_id",
+                            "n_chars").to_pandas()
+    assert one["pct_bp"].tolist() == [0]
