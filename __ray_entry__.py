@@ -8456,6 +8456,51 @@ def q_crawl_boilerplate(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_lineitem_dashboard(sf_dir: str):
+    """Shared-scan dashboard: four lineitem aggregates off ONE table
+    pass (long-format union, one keyed Sum)."""
+    from markdown_lab_ray.stages.analytics import lineitem_dashboard
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    out = lineitem_dashboard(li).to_pandas()
+    return (out.sort_values(["metric", "k1", "k2"])
+            .reset_index(drop=True).astype({"val": "int64"}))
+
+
+SQL_LINEITEM_DASHBOARD = """
+WITH c AS (SELECT l_returnflag AS flag, l_linestatus AS stat,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT) AS cents,
+                  CAST(strftime(l_shipdate, '%Y%m') AS BIGINT) AS ym
+           FROM lineitem)
+SELECT * FROM (
+  SELECT 'flag_qty' AS metric, flag AS k1, stat AS k2,
+         CAST(SUM(qty) AS BIGINT) AS val FROM c GROUP BY flag, stat
+  UNION ALL
+  SELECT 'flag_rev', flag, stat, CAST(SUM(cents) AS BIGINT)
+  FROM c GROUP BY flag, stat
+  UNION ALL
+  SELECT 'month_rev', CAST(ym AS VARCHAR), '', CAST(SUM(cents) AS BIGINT)
+  FROM c GROUP BY ym
+  UNION ALL
+  SELECT 'qty_hist', CAST(qty AS VARCHAR), '', CAST(COUNT(*) AS BIGINT)
+  FROM c GROUP BY qty)
+ORDER BY metric, k1, k2
+"""
+
+
+def q_user_overlap_kmv(sf_dir: str):
+    """KMV distinct + set-overlap estimates between event types'
+    user sets (exact below k=256 distinct; ρ-Jaccard above)."""
+    from markdown_lab_ray.stages.sketch import kmv_overlap
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_overlap(ev, "event_type", "user_id", k=256)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8681,6 +8726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": q_event_cooccurrence,
         "doc_percentiles": q_doc_percentiles,
         "crawl_boilerplate": q_crawl_boilerplate,
+        "lineitem_dashboard": q_lineitem_dashboard,
+        "user_overlap_kmv": q_user_overlap_kmv,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8903,6 +8950,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fingerprint": SQL_CORPUS_FINGERPRINT,
         "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
         "doc_percentiles": SQL_DOC_PERCENTILES,
+        "lineitem_dashboard": SQL_LINEITEM_DASHBOARD,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

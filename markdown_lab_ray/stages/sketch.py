@@ -573,3 +573,82 @@ def cms_heavy_hitters(ds, text_col: str = "text", k: int = 24,
     exact = exact[exact["n_term"] * k > n_total]
     return (exact.sort_values(["n_term", "term"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def _kmv_hash(values) -> np.ndarray:
+    """Deterministic 60-bit hashes for KMV (md5 prefix — stable across
+    processes, layouts, and runs; no seed state)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+         for v in values], dtype=np.int64)
+
+
+def kmv_overlap(ds, key_col: str, item_col: str, k: int = 256):
+    """KMV (k-minimum-values) distinct sketch with SET-OVERLAP
+    estimation — the one thing HLL can't do: per key, keep the k
+    smallest distinct item hashes; |A| ≈ (k−1)·2⁶⁰/h_(k); for a pair,
+    the Jaccard estimate is ρ = |K(A∪B) ∩ K(A) ∩ K(B)| / k over the
+    union's k-min set, and |A∩B| ≈ ρ·|A∪B|.  (Beyer et al. 2007,
+    public.)  Exact when a key has ≤ k distinct items (the sketch IS
+    the set).
+
+    Scale shape: per-batch (key, sorted-k-min) partials → one keyed
+    fold merges lists (k-bounded rows, items never shuffle);
+    the pairwise step runs over the O(keys²)·k driver-side sketches —
+    keys are event types / languages here (bounded domain), NOT users.
+    Output: (key_a, key_b, est_a, est_b, est_union, est_inter) int64,
+    plus self rows (key, key, est, est, est, est)."""
+    import pandas as pd
+
+    from .bucketing import key_buckets  # noqa: F401  (doc symmetry)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key_col).to_numpy(zero_copy_only=False),
+            "v": batch.column(item_col).to_numpy(zero_copy_only=False)})
+        rows_k, rows_h = [], []
+        for key, g in df.groupby("k", sort=False):
+            hs = np.unique(_kmv_hash(pd.unique(g["v"])))[:k]
+            rows_k.append(str(key))
+            rows_h.append(hs.tolist())
+        return pa.table({key_col: pa.array(rows_k, pa.string()),
+                         "kmin": pa.array(rows_h,
+                                          pa.list_(pa.int64()))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[key_col].iloc[0]
+        hs = np.unique(np.concatenate(
+            [np.asarray(x, np.int64) for x in g["kmin"]]))[:k]
+        return pd.DataFrame({key_col: [key], "kmin": [hs.tolist()]})
+
+    sketches = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(key_col).map_groups(merge, batch_format="pandas")
+                ).to_pandas()
+
+    FULL = 1 << 60  # Python int: (k−1)·2⁶⁰ must not wrap in int64
+
+    def est(hs: np.ndarray) -> int:
+        if len(hs) < k:          # exact: sketch holds the whole set
+            return int(len(hs))
+        return (k - 1) * FULL // int(hs[k - 1])
+
+    keys = sketches[key_col].tolist()
+    mins = [np.asarray(x, np.int64) for x in sketches["kmin"]]
+    out = []
+    for i in range(len(keys)):
+        a = est(mins[i])
+        out.append((keys[i], keys[i], a, a, a, a))
+        for j in range(i + 1, len(keys)):
+            b = est(mins[j])
+            u = np.unique(np.concatenate([mins[i], mins[j]]))[:k]
+            eu = est(u)
+            both = np.intersect1d(u, mins[i], assume_unique=True)
+            both = np.intersect1d(both, mins[j], assume_unique=True)
+            inter = len(both) * eu // max(len(u), 1)
+            out.append((keys[i], keys[j], a, b, eu, int(inter)))
+    cols = ["key_a", "key_b", "est_a", "est_b", "est_union", "est_inter"]
+    df = pd.DataFrame(out, columns=cols)
+    return df.astype({c: "int64" for c in cols[2:]}).sort_values(
+        ["key_a", "key_b"]).reset_index(drop=True)

@@ -169,3 +169,38 @@ def test_score_percentiles_rank_ties(ray_session):
     one = score_percentiles(rd.from_pandas(df.head(1)), "doc_id",
                             "n_chars").to_pandas()
     assert one["pct_bp"].tolist() == [0]
+
+
+def test_kmv_exact_below_k(ray_session):
+    from markdown_lab_ray.stages.sketch import kmv_overlap
+
+    # sets below k are EXACT: A users {1..6}, B users {4..9} → |A|=6,
+    # |B|=6, |A∪B|=9, |A∩B|=3
+    df = pd.DataFrame({
+        "event_type": ["A"] * 6 + ["B"] * 6,
+        "user_id": [1, 2, 3, 4, 5, 6, 4, 5, 6, 7, 8, 9]})
+    out = kmv_overlap(rd.from_pandas(df), "event_type", "user_id", k=256)
+    pair = out[(out["key_a"] == "A") & (out["key_b"] == "B")].iloc[0]
+    assert (pair["est_a"], pair["est_b"]) == (6, 6)
+    assert (pair["est_union"], pair["est_inter"]) == (9, 3)
+    # layout independence
+    out2 = kmv_overlap(rd.from_pandas(df).repartition(5),
+                       "event_type", "user_id", k=256)
+    assert out.equals(out2)
+
+
+def test_kmv_estimate_accuracy_above_k(ray_session):
+    from markdown_lab_ray.stages.sketch import kmv_overlap
+
+    # 4000 distinct users split across two types with 2000 shared:
+    # estimates at k=256 should land within 15%
+    a = list(range(0, 3000))
+    b = list(range(1000, 4000))
+    df = pd.DataFrame({"event_type": ["A"] * len(a) + ["B"] * len(b),
+                       "user_id": a + b})
+    out = kmv_overlap(rd.from_pandas(df).repartition(8),
+                      "event_type", "user_id", k=256)
+    pair = out[(out["key_a"] == "A") & (out["key_b"] == "B")].iloc[0]
+    assert abs(pair["est_a"] - 3000) / 3000 < 0.15
+    assert abs(pair["est_union"] - 4000) / 4000 < 0.15
+    assert abs(pair["est_inter"] - 2000) / 2000 < 0.30
