@@ -8501,6 +8501,130 @@ def q_user_overlap_kmv(sf_dir: str):
     return kmv_overlap(ev, "event_type", "user_id", k=256)
 
 
+def q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the correlated-AVG-subquery
+    pattern.  The mean compare is exact cross-multiplication
+    (qty·5·count < Σqty, all int64); per-part (Σqty, count) rides ONE
+    keyed Sum and joins back bucketed; one global Sum finishes."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    def slim(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "qty": b.column("l_quantity").cast(pa.int64()),
+            "cents": pa.array(
+                np.floor(price * 100 + 0.5).astype(np.int64), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        slim, batch_format="pyarrow")
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (pd.DataFrame({"l_partkey": b.column("l_partkey").to_numpy(
+            zero_copy_only=False),
+            "q": b.column("qty").to_numpy(zero_copy_only=False)})
+            .groupby("l_partkey", sort=False)
+            .agg(_s=("q", "sum"), _n=("q", "size")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = (li.map_batches(qty_partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("_s", alias_name="sum_qty"),
+                           Sum("_n", alias_name="n_lines")))
+    joined = bucketed_hash_join(li, per_part, key="l_partkey",
+                                n_buckets=16)
+
+    def small(b: pa.Table) -> pa.Table:
+        q = b.column("qty").to_numpy(zero_copy_only=False)
+        s = b.column("sum_qty").to_numpy(zero_copy_only=False)
+        n = b.column("n_lines").to_numpy(zero_copy_only=False)
+        keep = q * 5 * n < s
+        return pa.table({"cents": pa.array(
+            b.column("cents").to_numpy(zero_copy_only=False)[keep],
+            pa.int64())})
+
+    total = (joined.map_batches(small, batch_format="pyarrow")
+             .aggregate(Sum("cents", alias_name="revenue_cents")))
+    return pd.DataFrame(
+        [{"revenue_cents": int(total["revenue_cents"] or 0)}])
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH pp AS (SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_partkey)
+SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+FROM lineitem, pp
+WHERE lineitem.l_partkey = pp.l_partkey
+  AND CAST(l_quantity AS BIGINT) * 5 * n < s
+"""
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds a
+    threshold, joined back to order/customer detail — the HAVING-semi
+    pattern.  Per-order Σqty via one keyed Sum; qualifying orderkeys
+    (few) join back bucketed; customer broadcast is avoided by keeping
+    custkey from orders."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    THRESH = 150
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    per_order = (li.map_batches(
+        lambda b: pa.table({"o_orderkey": b["l_orderkey"],
+                            "q": b["l_quantity"].cast(pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("o_orderkey").aggregate(Sum("q", alias_name="total_qty")))
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b["total_qty"],
+                                      pa.scalar(THRESH, pa.int64()))),
+        batch_format="pyarrow")
+
+    def ord_slim(b: pa.Table) -> pa.Table:
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "price_cents": pa.array(
+                np.floor(price * 100 + 0.5).astype(np.int64), pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        ord_slim, batch_format="pyarrow")
+    out = bucketed_hash_join(orders, big, key="o_orderkey",
+                             n_buckets=16).to_pandas()
+    out = (out[["o_custkey", "o_orderkey", "price_cents", "total_qty"]]
+           .sort_values(["total_qty", "o_orderkey"],
+                        ascending=[False, True]).reset_index(drop=True))
+    return out.astype({c: "int64" for c in out.columns})
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH t AS (SELECT l_orderkey,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                    AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+SELECT o_custkey, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       total_qty
+FROM orders JOIN t ON o_orderkey = l_orderkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8728,6 +8852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_boilerplate": q_crawl_boilerplate,
         "lineitem_dashboard": q_lineitem_dashboard,
         "user_overlap_kmv": q_user_overlap_kmv,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "large_volume_orders": q_large_volume_orders,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -8951,6 +9077,8 @@ def oracle_sql() -> dict[str, str]:
         "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
         "doc_percentiles": SQL_DOC_PERCENTILES,
         "lineitem_dashboard": SQL_LINEITEM_DASHBOARD,
+        "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+        "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,
