@@ -295,3 +295,70 @@ def read_sharded_parquet(out_dir: str, columns=None):
     if not files:
         return rd.from_items([])
     return rd.read_parquet(files, columns=columns)
+
+
+def write_with_lineage(ds, out_dir: str, key_col: str, inputs: list[str],
+                       pipeline: str, fingerprint_cols=None,
+                       n_shards: int = 64, resume: bool = True):
+    """Sharded sink + LINEAGE manifest (the north rule's per-partition
+    lineage + metrics, generalized to any Dataset sink): after the
+    resumable sharded write, a ``_LINEAGE.json`` records the input
+    paths, the producing pipeline name, the sharding layout, the row
+    count, and — when ``fingerprint_cols`` is given — the
+    order-insensitive dataset fingerprint triple, so any later reader
+    (or a resumed run, or a replica on another cluster) can verify the
+    output matches byte-for-byte without re-running the pipeline.
+
+    The fingerprint pass streams over the COMPLETE shards (one extra
+    column-pruned read); skip it for payload-heavy sinks by leaving
+    ``fingerprint_cols`` None.  Returns the manifest dict."""
+    from ..stages.analytics import dataset_fingerprint
+
+    shards = write_sharded_parquet(ds, out_dir, key_col,
+                                   n_shards=n_shards, resume=resume)
+    manifest = {
+        "pipeline": pipeline,
+        "inputs": sorted(inputs),
+        "key_col": key_col,
+        "n_shards": n_shards,
+        "shards_written_this_run": sorted(shards),
+    }
+    back = read_sharded_parquet(out_dir, columns=fingerprint_cols)
+    manifest["n_rows"] = back.count()
+    if fingerprint_cols:
+        fp = dataset_fingerprint(back, fingerprint_cols)
+        manifest["fingerprint"] = {
+            "cols": list(fingerprint_cols),
+            "sum_mod": int(fp["sum_mod"].iloc[0]),
+            "xor_fp": int(fp["xor_fp"].iloc[0]),
+            "n_rows": int(fp["n_rows"].iloc[0]),
+        }
+    with open(os.path.join(out_dir, "_LINEAGE.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_lineage(out_dir: str) -> dict:
+    """Re-derive the fingerprint of a ``write_with_lineage`` sink and
+    compare against its manifest.  Returns {"ok": bool, "expected":
+    …, "actual": …}; sinks written without a fingerprint verify row
+    count only."""
+    with open(os.path.join(out_dir, "_LINEAGE.json")) as f:
+        manifest = json.load(f)
+    fp = manifest.get("fingerprint")
+    back = read_sharded_parquet(out_dir,
+                                columns=fp["cols"] if fp else None)
+    if fp is None:
+        actual = {"n_rows": back.count()}
+        return {"ok": actual["n_rows"] == manifest["n_rows"],
+                "expected": {"n_rows": manifest["n_rows"]},
+                "actual": actual}
+    from ..stages.analytics import dataset_fingerprint
+
+    got = dataset_fingerprint(back, fp["cols"])
+    actual = {"sum_mod": int(got["sum_mod"].iloc[0]),
+              "xor_fp": int(got["xor_fp"].iloc[0]),
+              "n_rows": int(got["n_rows"].iloc[0])}
+    expected = {k: fp[k] for k in ("sum_mod", "xor_fp", "n_rows")}
+    return {"ok": actual == expected, "expected": expected,
+            "actual": actual}

@@ -204,3 +204,29 @@ def test_kmv_estimate_accuracy_above_k(ray_session):
     assert abs(pair["est_a"] - 3000) / 3000 < 0.15
     assert abs(pair["est_union"] - 4000) / 4000 < 0.15
     assert abs(pair["est_inter"] - 2000) / 2000 < 0.30
+
+
+def test_write_with_lineage_and_verify(ray_session, tmp_path):
+    from markdown_lab_ray.sources.io import verify_lineage, write_with_lineage
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "text": [f"t{i}" for i in range(20)]})
+    out = str(tmp_path / "sink")
+    m = write_with_lineage(rd.from_pandas(df), out, "doc_id",
+                           inputs=["synthetic://docs"],
+                           pipeline="test_pipeline",
+                           fingerprint_cols=["doc_id", "text"],
+                           n_shards=4)
+    assert m["n_rows"] == 20 and m["pipeline"] == "test_pipeline"
+    assert set(m["fingerprint"]) == {"cols", "sum_mod", "xor_fp", "n_rows"}
+    v = verify_lineage(out)
+    assert v["ok"], v
+    # corrupt one shard → verification must fail
+    import glob
+    victim = sorted(glob.glob(f"{out}/shard=*/*.parquet"))[0]
+    shard_df = pd.read_parquet(victim)
+    shard_df.loc[0, "text"] = "tampered"
+    shard_df.to_parquet(victim)
+    v2 = verify_lineage(out)
+    assert not v2["ok"]
+    assert v2["expected"]["n_rows"] == v2["actual"]["n_rows"]  # same rows
