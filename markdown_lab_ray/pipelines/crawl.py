@@ -327,10 +327,46 @@ class FetchConvertStage(FetchStage):
         return docs_tbl
 
 
+# per-worker-process memo for the fused convert path: a RECRAWL of an
+# unchanged page (the 304 revalidation path serves the identical body
+# from cache) skips the parse+render entirely.  Keyed by (md5(html),
+# loc) — the base URL participates in link resolution, so the same
+# body on two URLs renders differently and must not share an entry.
+_CONVERT_MEMO: "OrderedDict[tuple, tuple]" = None  # type: ignore
+_CONVERT_MEMO_CAP = 512
+
+
+def _convert_memoized(html: str, loc: str):
+    """(title, payload, links, images) for a 200 page, LRU-memoized per
+    worker process."""
+    import hashlib
+    from collections import OrderedDict
+
+    global _CONVERT_MEMO
+    if _CONVERT_MEMO is None:
+        _CONVERT_MEMO = OrderedDict()
+    key = (hashlib.md5(html.encode()).hexdigest(), loc)
+    hit = _CONVERT_MEMO.get(key)
+    if hit is not None:
+        _CONVERT_MEMO.move_to_end(key)
+        return hit
+    try:
+        doc = parse_html_to_document(html, loc)
+        links = extract_links(html, loc)
+    except Exception:
+        doc, links = dict(EMPTY_DOC, base_url=loc), []
+    out = (doc["title"], document_to_markdown(doc), links, doc["images"])
+    _CONVERT_MEMO[key] = out
+    if len(_CONVERT_MEMO) > _CONVERT_MEMO_CAP:
+        _CONVERT_MEMO.popitem(last=False)
+    return out
+
+
 def crawl_convert_batch(batch: pa.Table) -> pa.Table:
     """Fetched pages → docs rows: title, markdown payload, outgoing
-    links (M3 semantics), image (alt, src) pairs.  One parse per page;
-    chunks and next-round frontier rows both derive from this table."""
+    links (M3 semantics), image (alt, src) pairs.  One parse per page
+    (memoized against recrawls of unchanged content); chunks and
+    next-round frontier rows both derive from this table."""
     locs = batch.column("loc").to_pylist()
     htmls = batch.column("html").to_pylist()
     statuses = batch.column("status").to_pylist()
@@ -346,19 +382,20 @@ def crawl_convert_batch(batch: pa.Table) -> pa.Table:
             # redirect_target documents why we never follow inline)
             target = redirect_target(status, html, loc)
             doc = dict(EMPTY_DOC, base_url=loc)
-            links = [target] if target else []
+            title, payload, links, images = (
+                doc["title"], document_to_markdown(doc),
+                [target] if target else [], doc["images"])
         elif status != 200 or not html:
-            doc, links = dict(EMPTY_DOC, base_url=loc), []
+            doc = dict(EMPTY_DOC, base_url=loc)
+            title, payload, links, images = (
+                doc["title"], document_to_markdown(doc), [],
+                doc["images"])
         else:
-            try:
-                doc = parse_html_to_document(html, loc)
-                links = extract_links(html, loc)
-            except Exception:
-                doc, links = dict(EMPTY_DOC, base_url=loc), []
-        titles.append(doc["title"])
-        payloads.append(document_to_markdown(doc))
+            title, payload, links, images = _convert_memoized(html, loc)
+        titles.append(title)
+        payloads.append(payload)
         links_col.append(links)
-        images_col.append(doc["images"])
+        images_col.append(images)
 
     return pa.table({
         "url": pa.array(locs, pa.string()),

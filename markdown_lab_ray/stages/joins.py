@@ -683,3 +683,50 @@ def salted_hash_join(left_ds, right_ds, key: str, salt_col: str,
     both = left_tagged.union(right_tagged)
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pandas")
+
+
+def auto_hash_join(left_ds, right, key: str, how: str = "inner",
+                   broadcast_max_bytes: int = 64 << 20,
+                   n_buckets: int = 32):
+    """Strategy-switching join (the ``attach_image_table`` rule,
+    generalized to any key/table): ``right`` may be an in-memory
+    ``pa.Table`` or a Dataset.  Broadcast — ``ray.put`` once, zero-copy
+    ``pc.index_in`` probe per batch — ONLY when the right side is
+    in-memory AND measured-small (``nbytes ≤ broadcast_max_bytes``); a
+    Dataset right side (the 100-TB case: its size is unknowable without
+    a scan) ALWAYS takes the one-shuffle bucketed path.  Results are
+    identical either way (equality-tested).  ``how``: inner | left
+    (left misses null-fill the right columns).  Non-key column names
+    must be disjoint (the ``bucketed_hash_join`` contract)."""
+    import ray
+    import ray.data as rd
+
+    if not (isinstance(right, pa.Table)
+            and right.nbytes <= broadcast_max_bytes):
+        right_ds = rd.from_arrow(right) if isinstance(right, pa.Table) \
+            else right
+        return bucketed_hash_join(left_ds, right_ds, key,
+                                  n_buckets=n_buckets, how=how)
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right = right.combine_chunks()
+    ref = ray.put(right)
+    pad_cols = [(n, right.schema.field(n).type)
+                for n in right.column_names if n != key]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        r = ray.get(ref)
+        idx = pc.index_in(batch.column(key), value_set=r.column(key))
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            batch = batch.filter(valid)
+            idx = idx.filter(valid)
+        cols = {n: batch.column(n) for n in batch.column_names}
+        for n, _t in pad_cols:
+            cols[n] = r.column(n).take(idx)  # null idx → null value
+        return pa.table(cols)
+
+    return left_ds.map_batches(probe, batch_format="pyarrow")

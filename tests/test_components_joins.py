@@ -203,3 +203,39 @@ def test_bucketed_hash_join_full_outer(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["lv"].isna().tolist() == [False, False, True]
     assert out["rv"].isna().tolist() == [True, False, False]
+
+
+def test_auto_hash_join_strategies_agree(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.joins import auto_hash_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({"k": rng.randint(0, 30, 200),
+                         "lv": rng.randint(0, 10**6, 200)})
+    right = pa.table({"k": pa.array(range(0, 30, 2), pa.int64()),
+                      "rv": pa.array([f"r{i}" for i in range(15)])})
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(["k", "lv"])
+                .reset_index(drop=True))
+
+    for how in ("inner", "left"):
+        small = norm(auto_hash_join(rd.from_pandas(left), right, "k",
+                                    how=how))           # broadcast path
+        forced = norm(auto_hash_join(rd.from_pandas(left), right, "k",
+                                     how=how,
+                                     broadcast_max_bytes=0))  # bucketed
+        as_ds = norm(auto_hash_join(rd.from_pandas(left),
+                                    rd.from_arrow(right), "k", how=how))
+        assert small.equals(forced), how
+        assert small.equals(as_ds), how
+    inner = norm(auto_hash_join(rd.from_pandas(left), right, "k"))
+    assert (inner["k"] % 2 == 0).all()          # odd keys dropped
+    leftj = norm(auto_hash_join(rd.from_pandas(left), right, "k",
+                                how="left"))
+    assert len(leftj) == 200
+    assert leftj.loc[leftj["k"] % 2 == 1, "rv"].isna().all()

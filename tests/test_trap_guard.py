@@ -113,3 +113,38 @@ def test_trap_guard_parity_and_cut(ray_session, tmp_path):
     order_off = read_crawl_order(out_off)
     assert order_off["loc"].tolist() == oracle_off["order"]
     assert sum("/cal/" in loc for loc in order_off["loc"]) == 12
+
+
+def test_convert_memo_skips_reparse(monkeypatch):
+    """A recrawled unchanged page (same body + url) must not re-parse:
+    the per-worker memo serves (title, payload, links, images)."""
+    import pyarrow as pa
+
+    import markdown_lab_ray.pipelines.crawl as crawl
+
+    calls = {"n": 0}
+    real = crawl.parse_html_to_document
+
+    def counting(html, loc):
+        calls["n"] += 1
+        return real(html, loc)
+
+    monkeypatch.setattr(crawl, "parse_html_to_document", counting)
+    monkeypatch.setattr(crawl, "_CONVERT_MEMO", None)  # fresh cache
+    batch = pa.table({
+        "loc": ["http://a.test/x", "http://b.test/x"],
+        "host": ["a.test", "b.test"],
+        "depth": [0, 0],
+        "status": pa.array([200, 200], pa.int32()),
+        "html": ["<html><head><title>T</title></head><body><main>"
+                 '<p>hello</p><a href="/y">y</a></main></body></html>'] * 2,
+    })
+    out1 = crawl.crawl_convert_batch(batch)
+    assert calls["n"] == 2          # same body, DIFFERENT urls: no share
+    out2 = crawl.crawl_convert_batch(batch)
+    assert calls["n"] == 2          # full memo hit on the recrawl
+    assert out1.equals(out2)
+    # links resolved against each page's own base url
+    links = out1.column("links").to_pylist()
+    assert links[0] == ["http://a.test/y"]
+    assert links[1] == ["http://b.test/y"]
