@@ -787,6 +787,7 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
                   out_dir: str, cfg: EngineConfig | None = None,
                   min_priority=None, include_patterns=None,
                   exclude_patterns=None, limit=None,
+                  freshness_priority: bool = False,
                   resume: bool = False) -> CrawlResult:
     """Run the BSP crawl.  Ray must already be initialised by the caller
     (driver/bench/tests own the session)."""
@@ -860,7 +861,8 @@ def run_crawl_ray(web_factory, seed_urls: list[str],
             fn_kwargs=dict(
                 web_factory=web_factory, min_priority=min_priority,
                 include_patterns=include_patterns,
-                exclude_patterns=exclude_patterns, limit=limit)
+                exclude_patterns=exclude_patterns, limit=limit,
+                freshness_priority=freshness_priority)
         ).materialize()  # frontier rows are metadata-sized
     result.t_discovery = round(_time.time() - t_disc, 2)
 

@@ -64,10 +64,21 @@ def dedup_candidates(rows: list[dict]) -> list[dict]:
     return list(best.values())
 
 
+# freshness scheduling: sitemap <changefreq> → default priority when
+# the row declares none (sitemap-spec default is 0.5 — faster-changing
+# pages sort above it, static archives below).  Opt-in via the
+# ``freshness_priority`` discover/crawl flag; shared by engine and
+# oracle so order parity holds by construction.
+CHANGEFREQ_PRIORITY = {"always": 0.95, "hourly": 0.9, "daily": 0.8,
+                       "weekly": 0.6, "monthly": 0.4, "yearly": 0.2,
+                       "never": 0.1}
+
+
 def discover_seed_frontier(resolve_fn, robots_cache, seed_url: str,
                            seed_idx: int,
                            min_priority=None, include_patterns=None,
-                           exclude_patterns=None, limit=None) -> list[dict]:
+                           exclude_patterns=None, limit=None,
+                           freshness_priority: bool = False) -> list[dict]:
     """Expand one seed into ordered frontier rows (reference discovery
     semantics; pure given a resolver).  ``robots_cache`` must provide
     ``rules_for(host)``."""
@@ -102,11 +113,16 @@ def discover_seed_frontier(resolve_fn, robots_cache, seed_url: str,
                                       limit)
     out = []
     for i, row in enumerate(discovered):
+        priority = row["priority"]
+        if (freshness_priority and priority is None
+                and row["changefreq"]):
+            priority = CHANGEFREQ_PRIORITY.get(
+                str(row["changefreq"]).lower())
         out.append({
             "loc": row["loc"],
             "lastmod": row["lastmod"],
             "changefreq": row["changefreq"],
-            "priority": row["priority"],
+            "priority": priority,
             "host": get_domain_from_url(row["loc"]),
             "depth": 0,
             "seq_no": seed_idx * SEED_STRIDE + i,

@@ -31,7 +31,8 @@ from .crawl_spec import (
 def run_crawl_oracle(resolve_fn, seed_urls: list[str],
                      cfg: EngineConfig | None = None,
                      min_priority=None, include_patterns=None,
-                     exclude_patterns=None, limit=None) -> dict:
+                     exclude_patterns=None, limit=None,
+                     freshness_priority: bool = False) -> dict:
     """Returns {"order": [loc...], "order_detail": DataFrame,
     "seen": set(seen_key), "fetched": int, "failed": int}."""
     cfg = cfg or EngineConfig()
@@ -43,7 +44,7 @@ def run_crawl_oracle(resolve_fn, seed_urls: list[str],
     for idx, seed in enumerate(seed_urls):
         candidates.extend(discover_seed_frontier(
             resolve_fn, robots, seed, idx, min_priority, include_patterns,
-            exclude_patterns, limit))
+            exclude_patterns, limit, freshness_priority))
 
     order_rows: list[dict] = []
     fetched = failed = 0

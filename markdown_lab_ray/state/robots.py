@@ -13,26 +13,59 @@ without actor hops.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
 from ..kernels.sitemap import sitemaps_from_robots
+
+_PATTERN_CACHE: dict[str, re.Pattern] = {}
+
+
+def _rule_regex(pattern: str) -> re.Pattern:
+    """RFC 9309 rule → anchored regex: ``*`` matches any octet
+    sequence, a trailing ``$`` anchors the end; everything else is
+    literal.  Matches from the start of path(+query) — plain-prefix
+    rules behave exactly as the old ``startswith``."""
+    rx = _PATTERN_CACHE.get(pattern)
+    if rx is None:
+        body = pattern[:-1] if pattern.endswith("$") else pattern
+        parts = [re.escape(p) for p in body.split("*")]
+        rx = re.compile("^" + ".*".join(parts)
+                        + ("$" if pattern.endswith("$") else ""))
+        _PATTERN_CACHE[pattern] = rx
+    return rx
 
 
 @dataclass
 class RobotsRules:
     sitemaps: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
+    allow: list[str] = field(default_factory=list)
     fetched: bool = False  # False → robots.txt was absent (everything allowed)
     crawl_delay: float | None = None  # UA:* Crawl-delay seconds (None = none)
 
     def allows(self, url: str) -> bool:
-        path = urlsplit(url).path or "/"
-        return not any(rule and path.startswith(rule) for rule in self.disallow)
+        """RFC 9309 precedence: the LONGEST matching rule wins (octet
+        length of the pattern), Allow beating Disallow on ties; no
+        match → allowed.  ``*``/``$`` wildcards supported in both rule
+        kinds.  The match target is path + '?query' when present."""
+        parts = urlsplit(url)
+        target = (parts.path or "/") + (
+            f"?{parts.query}" if parts.query else "")
+        best_len, best_allow = -1, True
+        for is_allow, rules in ((False, self.disallow),
+                                (True, self.allow)):
+            for rule in rules:
+                if rule and _rule_regex(rule).match(target):
+                    n = len(rule)
+                    if n > best_len or (n == best_len and is_allow):
+                        best_len, best_allow = n, is_allow
+        return best_allow
 
 
 def parse_robots(body: str) -> RobotsRules:
-    """Parse sitemap lines plus Disallow / Crawl-delay rules in
+    """Parse sitemap lines plus Allow / Disallow / Crawl-delay rules in
     ``User-agent: *`` groups (invalid or non-positive delays ignored —
     the de-facto standard big crawlers follow)."""
     rules = RobotsRules(sitemaps=sitemaps_from_robots(body), fetched=True)
@@ -48,6 +81,8 @@ def parse_robots(body: str) -> RobotsRules:
             applies = value == "*"
         elif field_name == "disallow" and applies and value:
             rules.disallow.append(value)
+        elif field_name == "allow" and applies and value:
+            rules.allow.append(value)
         elif field_name == "crawl-delay" and applies and value:
             try:
                 delay = float(value)

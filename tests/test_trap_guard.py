@@ -148,3 +148,54 @@ def test_convert_memo_skips_reparse(monkeypatch):
     links = out1.column("links").to_pylist()
     assert links[0] == ["http://a.test/y"]
     assert links[1] == ["http://b.test/y"]
+
+
+def test_robots_wildcards_and_allow_precedence():
+    from markdown_lab_ray.state.robots import parse_robots
+
+    r = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /private\n"          # plain prefix (old semantics)
+        "Disallow: /*.pdf$\n"           # wildcard + end anchor
+        "Disallow: /shop/\n"
+        "Allow: /shop/sale\n"           # longer match overrides
+        "Disallow: /a*b\n")
+    assert not r.allows("http://x.test/private/page")
+    assert r.allows("http://x.test/pub/page")
+    assert not r.allows("http://x.test/docs/file.pdf")
+    assert r.allows("http://x.test/docs/file.pdfx")   # $ anchors end
+    assert not r.allows("http://x.test/shop/cart")
+    assert r.allows("http://x.test/shop/sale/item")   # Allow wins (longer)
+    assert not r.allows("http://x.test/aXYZb")        # * spans chars
+    # query participates in matching (RFC 9309 path+query target)
+    r2 = parse_robots("User-agent: *\nDisallow: /s?*session=\n")
+    assert not r2.allows("http://x.test/s?a=1&session=42")
+    assert r2.allows("http://x.test/s?a=1")
+    # tie length: Allow beats Disallow
+    r3 = parse_robots("User-agent: *\nDisallow: /p\nAllow: /p\n")
+    assert r3.allows("http://x.test/p/x")
+
+
+def test_freshness_priority_parity_and_reorder(ray_session, tmp_path):
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import read_crawl_order, run_crawl_ray
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+
+    spec = SiteSpec(seed=5, n_hosts=3, pages_per_host=12)
+    # small budget so ordering (not just membership) is visible
+    cfg = EngineConfig(requests_per_second=0.05, round_seconds=60.0,
+                       max_rounds=2, max_depth=1, seen_shards=2,
+                       fetch_concurrency=2)
+    base = run_crawl_oracle(SyntheticWeb(spec).resolve, spec.seed_urls(),
+                            cfg)
+    fresh = run_crawl_oracle(SyntheticWeb(spec).resolve, spec.seed_urls(),
+                             cfg, freshness_priority=True)
+    # the synthetic sitemaps carry changefreq values → order must move
+    assert base["order"] != fresh["order"]
+    assert base["seen"] != fresh["seen"] or base["order"] != fresh["order"]
+    out = str(tmp_path / "crawl")
+    run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), out, cfg,
+                  freshness_priority=True)
+    order = read_crawl_order(out)
+    assert order["loc"].tolist() == fresh["order"]
+    assert set(order["seen_key"]) == fresh["seen"]
