@@ -8625,6 +8625,44 @@ ORDER BY total_qty DESC, o_orderkey
 """
 
 
+def q_stream_ingest(sf_dir: str):
+    """Exactly-once stateful streaming ingest: events replayed as
+    scrambled, duplicated micro-batches through keyed upsert shard
+    actors — the final per-user latest state must equal the clean
+    declarative argmax (that equivalence IS the exactly-once test)."""
+    from markdown_lab_ray.state.streaming import run_microbatch_ingest
+
+    ev = (_read(sf_dir, "events",
+                ["user_id", "ts", "event_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "key": b["user_id"],
+              "ts": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+              "event_id": b["event_id"],
+              "value": pa.array(np.floor(
+                  b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+              ).astype(np.int64), pa.int64())}),
+              batch_format="pyarrow")).to_pandas()
+    out = run_microbatch_ingest(ev, n_shards=4, batch_rows=137,
+                                replay_dup_every=3)
+    return (out.rename(columns={"key": "user_id", "ts": "ts_us",
+                                "value": "cents"})
+            .sort_values("user_id").reset_index(drop=True)
+            .astype({"user_id": "int64", "ts_us": "int64",
+                     "event_id": "int64", "cents": "int64"}))
+
+
+SQL_STREAM_INGEST = """
+WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC)
+                    AS rn
+           FROM events)
+SELECT user_id, CAST(ts_us AS BIGINT) AS ts_us, event_id, cents
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8854,6 +8892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_kmv": q_user_overlap_kmv,
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
+        "stream_ingest": q_stream_ingest,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -9079,6 +9118,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_dashboard": SQL_LINEITEM_DASHBOARD,
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
+        "stream_ingest": SQL_STREAM_INGEST,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,
