@@ -8663,6 +8663,87 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_matryoshka(sf_dir: str):
+    """Matryoshka truncation audit: exact integer energy retention of
+    the first 32/16/8 embedding dims."""
+    from markdown_lab_ray.stages.similarity import matryoshka_audit
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return matryoshka_audit(emb, "embedding", levels=(32, 16, 8))
+
+
+SQL_MATRYOSHKA = """
+WITH q AS (SELECT list_transform(
+                    embedding,
+                    v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS e
+           FROM embeddings),
+n AS (SELECT
+        CAST(list_sum(list_transform(e, x -> x * x)) AS HUGEINT) AS full2,
+        CAST(list_sum(list_transform(e[1:32], x -> x * x)) AS HUGEINT)
+          AS p32,
+        CAST(list_sum(list_transform(e[1:16], x -> x * x)) AS HUGEINT)
+          AS p16,
+        CAST(list_sum(list_transform(e[1:8], x -> x * x)) AS HUGEINT)
+          AS p8
+      FROM q)
+SELECT dim, CAST(s // c AS BIGINT) AS mean_retention_bp,
+       CAST(c AS BIGINT) AS n_vecs
+FROM (
+  SELECT 32 AS dim,
+         SUM(CASE WHEN full2 = 0 THEN 0 ELSE p32 * 10000 // full2 END)
+           AS s, COUNT(*) AS c FROM n
+  UNION ALL
+  SELECT 16, SUM(CASE WHEN full2 = 0 THEN 0
+                      ELSE p16 * 10000 // full2 END), COUNT(*) FROM n
+  UNION ALL
+  SELECT 8, SUM(CASE WHEN full2 = 0 THEN 0
+                     ELSE p8 * 10000 // full2 END), COUNT(*) FROM n)
+ORDER BY dim DESC
+"""
+
+
+def q_deletion_propagation(sf_dir: str):
+    """GDPR deletion propagation audit: a deterministic delete-list
+    (ids ≡ 0 mod 97) reached into documents + embeddings via bucketed
+    SEMI joins — keys only, delete list never broadcast."""
+    from markdown_lab_ray.stages.trainprep import propagate_deletions
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    emb = _read(sf_dir, "embeddings", ["vec_id"])
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[ids % 97 == 0],
+                                            pa.int64())})
+
+    dels = docs.map_batches(pick, batch_format="pyarrow")
+    return propagate_deletions(dels, [
+        ("documents", docs, "doc_id"),
+        ("embeddings", emb, "vec_id"),
+    ])
+
+
+SQL_DELETION_PROPAGATION = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+SELECT * FROM (
+  SELECT 'documents' AS artifact,
+         CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_before,
+         CAST((SELECT COUNT(*) FROM documents
+               WHERE doc_id IN (SELECT doc_id FROM d)) AS BIGINT)
+           AS n_purged,
+         CAST((SELECT COUNT(*) FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM d)) AS BIGINT)
+           AS n_after
+  UNION ALL
+  SELECT 'embeddings',
+         CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM embeddings
+               WHERE vec_id IN (SELECT doc_id FROM d)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM embeddings
+               WHERE vec_id NOT IN (SELECT doc_id FROM d)) AS BIGINT))
+ORDER BY artifact
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8893,6 +8974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
         "stream_ingest": q_stream_ingest,
+        "matryoshka": q_matryoshka,
+        "deletion_propagation": q_deletion_propagation,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -9119,6 +9202,8 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
         "stream_ingest": SQL_STREAM_INGEST,
+        "matryoshka": SQL_MATRYOSHKA,
+        "deletion_propagation": SQL_DELETION_PROPAGATION,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

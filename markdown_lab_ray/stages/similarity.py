@@ -1093,3 +1093,46 @@ def negative_samples(ds, id_col: str, label_col: str, k: int = 3,
     return (ds.map_batches(slim, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns([id_col, "neg_id", "rank"]))
+
+
+def matryoshka_audit(ds, vec_col: str = "embedding",
+                     levels=(32, 16, 8)):
+    """Matryoshka-truncation audit: how much of each embedding's energy
+    (squared L2 norm) the first ``L`` dimensions retain — the check run
+    before serving truncated vectors (MRL-style) to cut index cost.
+    Components quantize to int64 micro-units so retention is EXACT
+    integer arithmetic (prefix² · 10⁴ // full², per vector; mean =
+    Σ // n) and the SQL twin (list_transform lambdas) hashes
+    identically.  One streaming pass, per-batch partials.
+    Output: (dim, mean_retention_bp, n_vecs) per level, dim desc."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    levels = tuple(sorted(levels, reverse=True))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, np.float64) for v in
+                      batch.column(vec_col).to_pylist()])
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64).astype(object)
+        sq = q * q                       # object dtype: exact bigints
+        full2 = sq.sum(axis=1)
+        rows = []
+        for lv in levels:
+            p2 = sq[:, :lv].sum(axis=1)
+            ret = [0 if f == 0 else int(p * 10_000 // f)
+                   for p, f in zip(p2, full2)]
+            rows.append((lv, int(sum(ret)), len(ret)))
+        return pa.table({
+            "dim": pa.array([r[0] for r in rows], pa.int64()),
+            "_s": pa.array([r[1] for r in rows], pa.int64()),
+            "_n": pa.array([r[2] for r in rows], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim").aggregate(Sum("_s", alias_name="s"),
+                                     Sum("_n", alias_name="n"))
+           ).to_pandas()
+    agg["mean_retention_bp"] = (agg["s"] // agg["n"]).astype("int64")
+    agg["n_vecs"] = agg.pop("n").astype("int64")
+    return (agg[["dim", "mean_retention_bp", "n_vecs"]]
+            .sort_values("dim", ascending=False).reset_index(drop=True)
+            .astype({"dim": "int64"}))

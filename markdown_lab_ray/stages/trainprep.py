@@ -839,3 +839,32 @@ def fd_violations(ds, det_col: str, dep_col: str, n_buckets: int = 64):
     folded = tagged.groupby("_b").map_groups(fold, batch_format="pandas")
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)
+
+
+def propagate_deletions(delete_keys_ds, artifacts):
+    """Right-to-be-forgotten propagation audit: given a delete-list
+    Dataset (single key column) and derived ARTIFACTS [(name, ds,
+    key_col)…], count per artifact how many rows the deletion reaches —
+    each via the bucketed SEMI join (keys only cross the wire; the
+    delete list is never broadcast, so a 10⁸-row GDPR backlog works the
+    same as ten ids).  Pair with ``bucketed_anti_join`` to materialize
+    the purged artifact itself.  Output: (artifact, n_before, n_purged,
+    n_after) per artifact, name-sorted."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .joins import bucketed_anti_join, bucketed_semi_join  # noqa: F401
+
+    del_key = delete_keys_ds.schema().names[0]
+    rows = []
+    for name, ds, key_col in sorted(artifacts, key=lambda a: a[0]):
+        n_before = ds.count()
+        keys = ds.map_batches(
+            lambda b, kc=key_col: pa.table({del_key: b[kc]}),
+            batch_format="pyarrow")
+        n_purged = bucketed_semi_join(keys, delete_keys_ds, key=del_key,
+                                      n_buckets=16).count()
+        rows.append((name, n_before, n_purged, n_before - n_purged))
+    out = pd.DataFrame(rows, columns=["artifact", "n_before", "n_purged",
+                                      "n_after"])
+    return out.astype({c: "int64" for c in out.columns[1:]})

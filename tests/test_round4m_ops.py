@@ -230,3 +230,30 @@ def test_write_with_lineage_and_verify(ray_session, tmp_path):
     v2 = verify_lineage(out)
     assert not v2["ok"]
     assert v2["expected"]["n_rows"] == v2["actual"]["n_rows"]  # same rows
+
+
+def test_matryoshka_known_vectors(ray_session):
+    from markdown_lab_ray.stages.similarity import matryoshka_audit
+
+    # vector [1,0,...,0] retains 100% at every prefix; [0.5]*4 pad 0
+    # retains 2/4 at dim 2 → 5000 bp
+    v1 = [1.0] + [0.0] * 7
+    v2 = [0.5] * 4 + [0.0] * 4
+    df = pd.DataFrame({"embedding": [v1, v2]})
+    out = matryoshka_audit(rd.from_pandas(df), levels=(4, 2))
+    out = out.set_index("dim")
+    assert out.loc[4, "mean_retention_bp"] == 10_000     # both full
+    # v1: 10000; v2 at dim2: 2·(5e5)²/4·(5e5)² = 5000 → mean 7500
+    assert out.loc[2, "mean_retention_bp"] == 7500
+    assert (out["n_vecs"] == 2).all()
+
+
+def test_propagate_deletions_counts(ray_session):
+    from markdown_lab_ray.stages.trainprep import propagate_deletions
+
+    dels = rd.from_pandas(pd.DataFrame({"k": [2, 4, 99]}))
+    art1 = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3, 4, 2]}))
+    art2 = rd.from_pandas(pd.DataFrame({"vec_id": [5, 6]}))
+    out = propagate_deletions(dels, [("docs", art1, "doc_id"),
+                                     ("vecs", art2, "vec_id")])
+    assert out.values.tolist() == [["docs", 5, 3, 2], ["vecs", 2, 0, 2]]
