@@ -150,6 +150,7 @@ def cmd_crawl(args) -> int:
             seeds = parse_links_file(f.read())
 
     res = run_crawl_ray(web_factory, seeds, args.out, cfg,
+                        freshness_priority=args.freshness,
                         resume=args.resume)
     print(f"rounds={res.rounds} fetched={res.fetched} failed={res.failed} "
           f"out={args.out}")
@@ -443,6 +444,10 @@ def main(argv=None) -> int:
     p.add_argument("--trap-cap", type=int,
                    help="crawler-trap guard: max links per path "
                         "template leaving any single page (0 = off)")
+    p.add_argument("--freshness", action="store_true",
+                   help="map sitemap changefreq to frontier priority "
+                        "when a row declares none (freshness-aware "
+                        "scheduling)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_crawl)
