@@ -8744,6 +8744,103 @@ ORDER BY artifact
 """
 
 
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (restart mass on a 3-part seed set) over
+    the weighted part co-occurrence graph — weighted proximity to the
+    seeds, the related-items score."""
+    from markdown_lab_ray.stages.graph import (
+        cooccurrence_counts,
+        weighted_pagerank_integer,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_counts(li, "l_orderkey", "l_partkey",
+                                min_support=1)
+
+    def both_ways(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        w = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    edges = pairs.map_batches(both_ways, batch_format="pyarrow")
+    seeds = sorted(_read(sf_dir, "lineitem", ["l_partkey"])
+                   .groupby("l_partkey").count()
+                   .to_pandas()["l_partkey"].nsmallest(3).tolist())
+    out = weighted_pagerank_integer(edges, n_iter=3,
+                                    seeds=seeds).to_pandas()
+    return (out.sort_values("node").reset_index(drop=True)
+            .astype({"node": "int64", "rank": "int64"}))
+
+
+_PPR_ITER = """
+r{t} AS (SELECT n.node,
+                CASE WHEN n.node IN (SELECT node FROM seeds)
+                     THEN 150000 ELSE 0 END
+                + COALESCE(SUM((r.rank*85*e.w)//(100*o.d)), 0) AS rank
+         FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         LEFT JOIN r{p} r ON r.node = e.src
+         LEFT JOIN wsum o ON o.src = e.src
+         GROUP BY n.node)"""
+
+SQL_PERSONALIZED_PAGERANK = ("""
+WITH pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM pairs
+  UNION ALL SELECT v, u, w FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT CAST(l_partkey AS BIGINT) AS node
+          FROM lineitem GROUP BY 1 ORDER BY 1 LIMIT 3),
+wsum AS (SELECT src, SUM(w) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                              THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+       FROM nodes),"""
+                             + ",".join(_PPR_ITER.format(t=t, p=t - 1)
+                                        for t in (1, 2, 3))
+                             + """
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+FROM r3 ORDER BY node
+""")
+
+
+def q_user_twap(sf_dir: str):
+    """Per-user time-weighted average event value (trapezoid integral
+    over the irregular sample path, exact bigint segments)."""
+    from markdown_lab_ray.stages.analytics import time_weighted_average
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value"])
+    out = time_weighted_average(ev).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_TWAP = """
+WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  LEAD(epoch_us(ts)) OVER w AS nt,
+                  LEAD(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS nv
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (SELECT user_id,
+             SUM(CAST((v + nv) AS HUGEINT) * (nt - t)) AS num,
+             MAX(COALESCE(nt, t)) - MIN(t) AS span
+      FROM s GROUP BY user_id)
+SELECT user_id, CAST(num // (2 * span) AS BIGINT) AS twap_cents,
+       CAST(span AS BIGINT) AS span_us
+FROM a WHERE span > 0 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8976,6 +9073,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_ingest": q_stream_ingest,
         "matryoshka": q_matryoshka,
         "deletion_propagation": q_deletion_propagation,
+        "personalized_pagerank": q_personalized_pagerank,
+        "user_twap": q_user_twap,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -9204,6 +9303,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_ingest": SQL_STREAM_INGEST,
         "matryoshka": SQL_MATRYOSHKA,
         "deletion_propagation": SQL_DELETION_PROPAGATION,
+        "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+        "user_twap": SQL_USER_TWAP,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

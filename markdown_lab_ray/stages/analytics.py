@@ -4420,3 +4420,63 @@ def lineitem_dashboard(ds):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["metric", "k1", "k2"])
             .aggregate(Sum("val", alias_name="val")))
+
+
+def time_weighted_average(ds, key_col: str = "user_id",
+                          ts_col: str = "ts", id_col: str = "event_id",
+                          value_col: str = "value",
+                          n_buckets: int = 64):
+    """Per-key time-weighted average (TWAP) over irregular samples:
+    trapezoid integral of the value path divided by the key's time
+    span, twap_cents = Σ(v_i + v_{i+1})·Δt_i // (2·span) — all EXACT
+    (per-key segment sums in Python bigints: cents × microsecond spans
+    overflow int64, so the fold accumulates object ints; the SQL twin
+    sums through HUGEINT).  Keys with zero span (fewer than two
+    distinct timestamps) are excluded — mirrored by the twin's
+    ``span > 0`` gate.
+
+    Scale shape: one keyed shuffle on ``hash(key) % n_buckets``; the
+    in-bucket fold sorts once and computes segments vectorized, only
+    the O(keys) result leaves.  Output: (key, twap_cents, span_us)."""
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            "_t": batch.column(ts_col).cast(pa.timestamp("us"))
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "_v": _cents(batch.column(value_col).to_numpy(
+                zero_copy_only=False))})
+        df["_b"] = key_buckets(df[key_col].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty = {key_col: "int64", "twap_cents": "int64", "span_us": "int64"}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_t", id_col], kind="mergesort")
+        if g.empty:
+            return pd.DataFrame({c: pd.array([], dtype=t)
+                                 for c, t in empty.items()})
+        keys = g[key_col].to_numpy()
+        t = g["_t"].to_numpy(np.int64).astype(object)
+        v = g["_v"].to_numpy(np.int64).astype(object)
+        same = np.ones(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = keys[1:] == keys[:-1]
+        seg = np.where(same, (np.roll(v, 1) + v) * (t - np.roll(t, 1)),
+                       0)  # object ints: exact
+        res = (pd.DataFrame({key_col: keys, "_seg": seg, "_t": t})
+               .groupby(key_col, sort=True)
+               .agg(num=("_seg", "sum"), lo=("_t", "min"),
+                    hi=("_t", "max")).reset_index())
+        span = res["hi"] - res["lo"]
+        res = res[span > 0]
+        span = span[span > 0]
+        res["twap_cents"] = [int(n // (2 * s))
+                             for n, s in zip(res["num"], span)]
+        res["span_us"] = span.astype("int64")
+        return res[[key_col, "twap_cents", "span_us"]].astype(empty)
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas")
+            .select_columns(list(empty)))

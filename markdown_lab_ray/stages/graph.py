@@ -149,7 +149,8 @@ def pagerank_integer(edges_ds, n_iter: int = 3, scale: int = 10 ** 9,
 
     ranks = nodes.map_batches(
         lambda b: b.append_column(
-            "rank", pa.array(np.full(b.num_rows, scale, np.int64))),
+            "rank", pa.array(_init_of(b.column("node").to_numpy(
+                zero_copy_only=False)))),
         batch_format="pyarrow").materialize()
 
     # per-node zero rows: unioned into every iteration's Sum so sinks
@@ -1211,7 +1212,8 @@ def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
                               scale: int = 10 ** 6,
                               damping_pct: int = 85,
                               n_buckets: int = 32,
-                              small_cutoff: int = 2_000_000):
+                              small_cutoff: int = 2_000_000,
+                              seeds=None):
     """Integer PageRank over a WEIGHTED directed edge list
     (src, dst, w int64): each iteration distributes a node's damped
     rank proportionally to edge weight —
@@ -1225,13 +1227,33 @@ def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
     Small-graph fast path under ``small_cutoff`` edges; scale path is
     the same 2-shuffles-per-iteration Pregel loop with the weight sum
     joined once up front.  Output: (node, rank int64).
+
+    ``seeds`` switches to PERSONALIZED PageRank: the restart mass
+    (``base``) lands only on the seed nodes (init rank likewise), so
+    rank measures weighted proximity TO the seed set — the
+    related-items / topical-crawl-frontier score.  The seed set is
+    small by definition and broadcasts via ``ray.put``.
     """
     import pandas as pd
 
     from ray.data.aggregate import Sum
 
     base = (scale * (100 - damping_pct)) // 100
+    seeds_arr = (np.unique(np.asarray(sorted(seeds), np.int64))
+                 if seeds is not None else None)
     edges_ds = edges_ds.materialize()
+
+    def _base_of(nodes_np: np.ndarray) -> np.ndarray:
+        if seeds_arr is None:
+            return np.full(len(nodes_np), base, np.int64)
+        return np.where(np.isin(nodes_np, seeds_arr), base, 0).astype(
+            np.int64)
+
+    def _init_of(nodes_np: np.ndarray) -> np.ndarray:
+        if seeds_arr is None:
+            return np.full(len(nodes_np), scale, np.int64)
+        return np.where(np.isin(nodes_np, seeds_arr), scale, 0).astype(
+            np.int64)
 
     def _check_bound(n_nodes: int, max_w: int) -> None:
         if n_nodes * scale * 100 * max(max_w, 1) >= 2 ** 63:
@@ -1259,12 +1281,13 @@ def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
             di = np.searchsorted(nodes_arr, dst)
             wsum = np.zeros(n, np.int64)
             np.add.at(wsum, si, w)
-            rank = np.full(n, scale, np.int64)
+            node_base = _base_of(nodes_arr)
+            rank = _init_of(nodes_arr)
             for _ in range(n_iter):
                 contrib = (rank[si] * damping_pct * w) // (100 * wsum[si])
                 inc = np.zeros(n, np.int64)
                 np.add.at(inc, di, contrib)
-                rank = base + inc
+                rank = node_base + inc
             return pa.table({"node": pa.array(nodes_arr),
                              "rank": pa.array(rank, pa.int64())})
 
@@ -1283,7 +1306,8 @@ def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
 
     ranks = nodes.map_batches(
         lambda b: b.append_column(
-            "rank", pa.array(np.full(b.num_rows, scale, np.int64))),
+            "rank", pa.array(_init_of(b.column("node").to_numpy(
+                zero_copy_only=False)))),
         batch_format="pyarrow").materialize()
     node_zeros = nodes.map_batches(
         lambda b: pa.table({
@@ -1311,7 +1335,9 @@ def weighted_pagerank_integer(edges_ds, n_iter: int = 3,
             lambda b: pa.table({
                 "node": b.column("node"),
                 "rank": pa.array(
-                    base + b.column("inc").to_numpy(
+                    _base_of(b.column("node").to_numpy(
+                        zero_copy_only=False))
+                    + b.column("inc").to_numpy(
                         zero_copy_only=False).astype(np.int64),
                     pa.int64())}),
             batch_format="pyarrow").repartition(n_buckets).materialize()

@@ -257,3 +257,46 @@ def test_propagate_deletions_counts(ray_session):
     out = propagate_deletions(dels, [("docs", art1, "doc_id"),
                                      ("vecs", art2, "vec_id")])
     assert out.values.tolist() == [["docs", 5, 3, 2], ["vecs", 2, 0, 2]]
+
+
+def test_personalized_pagerank_seed_mass(ray_session):
+    from markdown_lab_ray.stages.graph import weighted_pagerank_integer
+
+    # path graph 1—2—3 (unit weights both ways), seed {1}: all restart
+    # mass enters at node 1 — the hub (2) receives the largest flow,
+    # and the seed side (1) strictly dominates the far end (3), which
+    # only ever sees second-hand mass
+    edges = pd.DataFrame({"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2],
+                          "w": [1, 1, 1, 1]})
+    out = (weighted_pagerank_integer(rd.from_pandas(edges), n_iter=3,
+                                     seeds=[1]).to_pandas()
+           .set_index("node")["rank"])
+    assert out[2] > out[1] > out[3] > 0
+    # without seeds: symmetric graph → node 2 (center) dominates
+    full = (weighted_pagerank_integer(rd.from_pandas(edges), n_iter=3)
+            .to_pandas().set_index("node")["rank"])
+    assert full[2] > full[1] == full[3]
+    # seeded scale path (tiny cutoff forces the Pregel loop) agrees
+    loop = (weighted_pagerank_integer(rd.from_pandas(edges), n_iter=3,
+                                      seeds=[1], small_cutoff=0)
+            .to_pandas().set_index("node")["rank"])
+    assert loop.sort_index().equals(out.sort_index())
+
+
+def test_time_weighted_average_trapezoid(ray_session):
+    from markdown_lab_ray.stages.analytics import time_weighted_average
+
+    base = pd.Timestamp("2020-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": [base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=30), base],
+        "event_id": [1, 2, 3, 4],
+        "value": [1.00, 3.00, 3.00, 9.99]})
+    out = (time_weighted_average(rd.from_pandas(df)).to_pandas()
+           .set_index("user_id"))
+    # user1: seg1 (100+300)*10s + seg2 (300+300)*20s = 4e8+1.2e9 over
+    # 2*30s span → (400*1e7 + 600*2e7) // (2*3e7) = 266 cents
+    assert out.loc[1, "twap_cents"] == 266
+    assert out.loc[1, "span_us"] == 30_000_000
+    assert 2 not in out.index          # single sample → zero span
