@@ -8841,6 +8841,80 @@ FROM a WHERE span > 0 ORDER BY user_id
 """
 
 
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain (exact
+    integer π·P iteration over the distributed transition counts)."""
+    from markdown_lab_ray.stages.analytics import markov_stationary
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    out = markov_stationary(ev, n_iter=3)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_MARKOV_ITER = """
+p{t} AS (SELECT n.ty,
+                COALESCE(SUM((p.pi * tr.n) // rs.d), 0)
+                + MAX(CASE WHEN rs2.s IS NULL THEN ps.pi ELSE 0 END)
+                  AS pi
+         FROM types n
+         LEFT JOIN tr ON tr.t = n.ty
+         LEFT JOIN p{prev} p ON p.ty = tr.s
+         LEFT JOIN rs ON rs.s = tr.s
+         LEFT JOIN rs rs2 ON rs2.s = n.ty
+         LEFT JOIN p{prev} ps ON ps.ty = n.ty
+         GROUP BY n.ty)"""
+
+SQL_MARKOV_STATIONARY = ("""
+WITH seq AS (SELECT event_type AS s,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS t
+             FROM events),
+tr AS MATERIALIZED (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM seq WHERE t IS NOT NULL GROUP BY s, t),
+types AS (SELECT s AS ty FROM tr UNION SELECT t FROM tr),
+rs AS (SELECT s, CAST(SUM(n) AS BIGINT) AS d FROM tr GROUP BY s),
+p0 AS (SELECT ty, CAST(1000000 AS BIGINT) AS pi FROM types),"""
+                         + ",".join(_MARKOV_ITER.format(t=t, prev=t - 1)
+                                    for t in (1, 2, 3))
+                         + """
+SELECT ty AS event_type, CAST(pi AS BIGINT) AS pi
+FROM p3 ORDER BY event_type
+""")
+
+
+def q_selectivity_estimate(sf_dir: str):
+    """Sample-based filter-selectivity estimate (deterministic md5
+    1/16 value sample) with the exact count riding the same pass —
+    the cost-optimizer primitive, self-auditing."""
+    from markdown_lab_ray.stages.analytics import selectivity_estimate
+
+    ev = _read(sf_dir, "events", ["value"])
+    return selectivity_estimate(ev, "value", lo_cents=5_000,
+                                hi_cents=15_000, mod=16)
+
+
+SQL_SELECTIVITY_ESTIMATE = """
+WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events),
+f AS (SELECT v, v BETWEEN 5000 AND 15000 AS inside,
+             CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 = 0 AS in_sample
+      FROM c),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (WHERE inside) AS BIGINT) AS n_exact,
+             CAST(COUNT(*) FILTER (WHERE inside AND in_sample) AS BIGINT)
+               AS n_sample_hits
+      FROM f)
+SELECT n_rows, n_exact, n_sample_hits,
+       CAST(n_sample_hits * 16 AS BIGINT) AS n_estimate,
+       CAST(CASE WHEN n_exact = 0 THEN 0
+            ELSE abs(n_sample_hits * 16 - n_exact) * 10000 // n_exact
+            END AS BIGINT) AS err_bp
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9075,6 +9149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deletion_propagation": q_deletion_propagation,
         "personalized_pagerank": q_personalized_pagerank,
         "user_twap": q_user_twap,
+        "markov_stationary": q_markov_stationary,
+        "selectivity_estimate": q_selectivity_estimate,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -9305,6 +9381,8 @@ def oracle_sql() -> dict[str, str]:
         "deletion_propagation": SQL_DELETION_PROPAGATION,
         "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
         "user_twap": SQL_USER_TWAP,
+        "markov_stationary": SQL_MARKOV_STATIONARY,
+        "selectivity_estimate": SQL_SELECTIVITY_ESTIMATE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,

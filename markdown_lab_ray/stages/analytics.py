@@ -4480,3 +4480,84 @@ def time_weighted_average(ds, key_col: str = "user_id",
     return (ds.map_batches(slim, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns(list(empty)))
+
+
+def markov_stationary(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type", n_iter: int = 3,
+                      scale: int = 10 ** 6):
+    """Stationary distribution of the per-user event-type Markov chain:
+    π ← π·P iterated ``n_iter`` times from uniform, in EXACT integers —
+    step contribution ``(π[s] · n(s,t)) // rowsum(s)`` — so the
+    unrolled-CTE oracle matches bit-for-bit.  (The next-action prior a
+    session model starts from.)
+
+    Scale shape: the heavy work is ``event_transitions`` (one bucketed
+    user shuffle, then O(alphabet²) count rows); the iteration itself
+    runs on the driver over the ALPHABET×ALPHABET matrix — bounded by
+    the type alphabet, not the corpus (daily_cents precedent).
+    Output: (event_type, pi) int64, π summing to ≈ alphabet·scale."""
+    trans = event_transitions(ds, user_col, ts_col, id_col, type_col
+                              ).to_pandas()
+    types = sorted(set(trans["from_type"]) | set(trans["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    cnt = np.zeros((k, k), dtype=object)
+    for f, t, n in zip(trans["from_type"], trans["to_type"], trans["n"]):
+        cnt[idx[f], idx[t]] = int(n)
+    rowsum = cnt.sum(axis=1)
+    pi = np.full(k, scale, dtype=object)
+    for _ in range(n_iter):
+        nxt = np.zeros(k, dtype=object)
+        for s in range(k):
+            if rowsum[s] == 0:           # absorbing: mass stays put
+                nxt[s] += pi[s]
+                continue
+            for t in range(k):
+                if cnt[s, t]:
+                    nxt[t] += (pi[s] * cnt[s, t]) // rowsum[s]
+        pi = nxt
+    return pd.DataFrame({type_col: types,
+                         "pi": pd.array([int(x) for x in pi],
+                                        dtype="int64")})
+
+
+def selectivity_estimate(ds, value_col: str, lo_cents: int,
+                         hi_cents: int, mod: int = 16):
+    """Sample-based filter-selectivity estimator (the cost-optimizer
+    primitive) with its own exactness audit: rows whose ``id-free``
+    deterministic hash (md5 of the quantized value and row ordinal-free
+    salt) lands in bucket 0 of ``mod`` form the sample; the estimate is
+    ``hits · mod`` and the EXACT count rides the same pass, so the
+    output (n_rows, n_exact, n_sample_hits, n_estimate, err_bp) is
+    fully deterministic and SQL-mirrorable.  One streaming pass,
+    per-batch partial sums."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column(value_col).to_numpy(
+            zero_copy_only=False))
+        inside = (cents >= lo_cents) & (cents <= hi_cents)
+        in_sample = np.array(
+            [int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) % mod
+             == 0 for c in cents])
+        return pa.table({
+            "n": pa.array([len(cents)], pa.int64()),
+            "exact": pa.array([int(inside.sum())], pa.int64()),
+            "hits": pa.array([int((inside & in_sample).sum())],
+                             pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("exact", alias_name="exact"),
+                      Sum("hits", alias_name="hits")))
+    n = int(agg["n"] or 0)
+    exact = int(agg["exact"] or 0)
+    hits = int(agg["hits"] or 0)
+    est = hits * mod
+    err_bp = (abs(est - exact) * 10_000 // exact) if exact else 0
+    return pd.DataFrame([{
+        "n_rows": n, "n_exact": exact, "n_sample_hits": hits,
+        "n_estimate": est, "err_bp": err_bp}]).astype("int64")

@@ -300,3 +300,36 @@ def test_time_weighted_average_trapezoid(ray_session):
     assert out.loc[1, "twap_cents"] == 266
     assert out.loc[1, "span_us"] == 30_000_000
     assert 2 not in out.index          # single sample → zero span
+
+
+def test_markov_stationary_absorbing_and_flow(ray_session):
+    from markdown_lab_ray.stages.analytics import markov_stationary
+
+    # user path A→B→A→B…; C appears only as a terminal (no outgoing):
+    # C keeps its mass (absorbing), A/B trade mass evenly
+    base = pd.Timestamp("2020-01-01")
+    df = pd.DataFrame({
+        "user_id": [1] * 5 + [2, 2],
+        "ts": [base + pd.Timedelta(seconds=i) for i in range(5)]
+        + [base, base + pd.Timedelta(seconds=1)],
+        "event_id": range(7),
+        "event_type": ["A", "B", "A", "B", "A", "B", "C"]})
+    out = markov_stationary(rd.from_pandas(df), n_iter=3).set_index(
+        "event_type")["pi"]
+    # transitions: A→B ×2, B→A ×2, B→C ×1; C absorbing
+    assert out["C"] > 1_000_000          # accumulates leaked mass
+    assert out["A"] > 0 and out["B"] > 0
+    assert out.sum() <= 3_000_000        # mass conserved (floor losses)
+
+
+def test_selectivity_estimate_deterministic(ray_session):
+    from markdown_lab_ray.stages.analytics import selectivity_estimate
+
+    df = pd.DataFrame({"value": [float(i) for i in range(1, 201)]})
+    a = selectivity_estimate(rd.from_pandas(df), "value",
+                             lo_cents=5_000, hi_cents=15_000, mod=16)
+    b = selectivity_estimate(rd.from_pandas(df).repartition(7), "value",
+                             lo_cents=5_000, hi_cents=15_000, mod=16)
+    assert a.equals(b)                     # layout independence
+    assert a["n_exact"].iloc[0] == 101     # 50.00..150.00
+    assert a["n_estimate"].iloc[0] == a["n_sample_hits"].iloc[0] * 16
