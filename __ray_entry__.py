@@ -8915,6 +8915,91 @@ FROM a
 """
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue on RETURNED lines
+    in a 1996H2 order window — returnflag-filtered lineitem, ONE
+    bucketed join with date-filtered orders, keyed Sum per customer,
+    nation name attached from the broadcast tiny side."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from markdown_lab_ray.stages.joins import bucketed_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    lo = pa.scalar(np.datetime64("1996-07-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi))).select(
+                ["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "cents": pa.array(
+                np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64),
+                pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"]).map_batches(li_slim, batch_format="pyarrow")
+    joined = bucketed_hash_join(li, orders, key="o_orderkey",
+                                n_buckets=16)
+    per_cust = (joined.groupby("o_custkey")
+                .aggregate(Sum("cents", alias_name="revenue_cents")))
+    top = (per_cust.sort(["revenue_cents", "o_custkey"],
+                         descending=[True, False]).limit(20)).to_pandas()
+
+    # attach detail for the 20 winners only: the customer read is
+    # filtered per batch against the tiny key set (never to_pandas'd
+    # whole — the table is corpus-sized at the contract's scale)
+    keys = pa.array(top["o_custkey"].to_numpy(np.int64))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey",
+                  "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=keys)),
+        batch_format="pyarrow").to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["n_name"] = out["c_nationkey"].map(names)
+    out["bal_cents"] = np.floor(
+        out["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out = (out[["c_custkey", "c_name", "n_name", "bal_cents",
+                "revenue_cents"]]
+           .sort_values(["revenue_cents", "c_custkey"],
+                        ascending=[False, True]).reset_index(drop=True))
+    return out.astype({"c_custkey": "int64", "bal_cents": "int64",
+                       "revenue_cents": "int64"})
+
+
+SQL_RETURNED_REVENUE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    AND o_orderdate >= DATE '1996-07-01'
+    AND o_orderdate < DATE '1997-01-01'
+  GROUP BY o_custkey
+  ORDER BY revenue_cents DESC, o_custkey LIMIT 20)
+SELECT c_custkey, c_name, n_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+       revenue_cents
+FROM per, customer, nation
+WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+ORDER BY revenue_cents DESC, c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9151,6 +9236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_twap": q_user_twap,
         "markov_stationary": q_markov_stationary,
         "selectivity_estimate": q_selectivity_estimate,
+        "returned_revenue": q_returned_revenue,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -9383,6 +9469,7 @@ def oracle_sql() -> dict[str, str]:
         "user_twap": SQL_USER_TWAP,
         "markov_stationary": SQL_MARKOV_STATIONARY,
         "selectivity_estimate": SQL_SELECTIVITY_ESTIMATE,
+        "returned_revenue": SQL_RETURNED_REVENUE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,
