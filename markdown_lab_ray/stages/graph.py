@@ -149,8 +149,7 @@ def pagerank_integer(edges_ds, n_iter: int = 3, scale: int = 10 ** 9,
 
     ranks = nodes.map_batches(
         lambda b: b.append_column(
-            "rank", pa.array(_init_of(b.column("node").to_numpy(
-                zero_copy_only=False)))),
+            "rank", pa.array(np.full(b.num_rows, scale, np.int64))),
         batch_format="pyarrow").materialize()
 
     # per-node zero rows: unioned into every iteration's Sum so sinks

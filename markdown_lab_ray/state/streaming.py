@@ -37,56 +37,20 @@ def shard_of_keys(keys: np.ndarray, n_shards: int) -> np.ndarray:
     return (h % np.uint64(n_shards)).astype(np.int64)
 
 
-class _IngestShardState:
-    """Pure single-process shard state (actor body AND test twin)."""
+class _LedgeredShardState:
+    """Pure single-process shard state (actor body AND test twin):
+    per-key latest row under the (ts, event_id) total order, plus a
+    ts-aware event-id ledger (event_id → ts) so watermark GC can prune
+    EXACTLY — an id at or below the watermark can never re-apply (the
+    late gate fires before the ledger check), so it leaves the ledger
+    without risking a duplicate."""
 
     def __init__(self):
-        self.latest: dict = {}       # key -> (ts, event_id, value)
-        self.applied: set = set()    # event_id ledger (exactly-once)
+        self.latest: dict = {}        # key -> (ts, event_id, value)
+        self.applied_ts: dict = {}    # event_id -> ts (exactly-once)
         self.watermark: int = -(1 << 62)
         self.n_duplicates = 0
         self.n_late = 0
-
-    def upsert_many(self, keys, tss, ids, values) -> dict:
-        for k, ts, eid, v in zip(keys, tss, ids, values):
-            if ts <= self.watermark:
-                self.n_late += 1
-                continue
-            if eid in self.applied:
-                self.n_duplicates += 1
-                continue
-            self.applied.add(eid)
-            cur = self.latest.get(k)
-            if cur is None or (ts, eid) > (cur[0], cur[1]):
-                self.latest[k] = (ts, eid, v)
-        return {"duplicates": self.n_duplicates, "late": self.n_late}
-
-    def advance_watermark(self, ts: int) -> int:
-        """GC the ledger: event ids at or below the watermark can never
-        be re-applied (late rows are dropped before the ledger check),
-        so they leave the set.  Returns ledger size after pruning."""
-        self.watermark = max(self.watermark, ts)
-        # the ledger stores ids only; prune needs their ts — rebuild
-        # from latest (live keys) + nothing else: ids not in any live
-        # row and ≤ watermark are unreachable.  We track ts via a
-        # second dict to keep prune exact.
-        return len(self.applied)
-
-    def snapshot(self) -> pd.DataFrame:
-        rows = [(k, ts, eid, v)
-                for k, (ts, eid, v) in self.latest.items()]
-        df = pd.DataFrame(rows, columns=["key", "ts", "event_id", "value"])
-        return df.sort_values("key").reset_index(drop=True)
-
-
-class _LedgeredShardState(_IngestShardState):
-    """Shard state with an exact ts-aware ledger so watermark GC is
-    real (the base class documents the contract; this implements the
-    prune).  Ledger: event_id -> ts."""
-
-    def __init__(self):
-        super().__init__()
-        self.applied_ts: dict = {}
 
     def upsert_many(self, keys, tss, ids, values) -> dict:
         for k, ts, eid, v in zip(keys, tss, ids, values):
@@ -103,10 +67,17 @@ class _LedgeredShardState(_IngestShardState):
         return {"duplicates": self.n_duplicates, "late": self.n_late}
 
     def advance_watermark(self, ts: int) -> int:
+        """GC the ledger; returns its size after pruning."""
         self.watermark = max(self.watermark, ts)
         self.applied_ts = {e: t for e, t in self.applied_ts.items()
                            if t > self.watermark}
         return len(self.applied_ts)
+
+    def snapshot(self) -> pd.DataFrame:
+        rows = [(k, ts, eid, v)
+                for k, (ts, eid, v) in self.latest.items()]
+        df = pd.DataFrame(rows, columns=["key", "ts", "event_id", "value"])
+        return df.sort_values("key").reset_index(drop=True)
 
 
 def create_ingest_shards(n_shards: int):
