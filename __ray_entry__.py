@@ -9000,6 +9000,50 @@ ORDER BY revenue_cents DESC, c_custkey
 """
 
 
+def q_forecast_revenue_change(sf_dir: str):
+    """TPC-H Q6 shape: potential revenue from lifting discounts — one
+    predicate-pushdown scan (ship-year + discount band + quantity cap),
+    revenue = Σ ext·disc in exact hundredths-of-a-cent, no join, no
+    groupby: the pure scan-and-reduce benchmark."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def slim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                             pc.less(b["l_shipdate"], hi)))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        d_pct = np.floor(disc * 100 + 0.5).astype(np.int64)
+        keep = (d_pct >= 5) & (d_pct <= 7) & (qty < 24)
+        ext_c = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table({"hund": pa.array((ext_c * d_pct)[keep],
+                                          pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_extendedprice", "l_discount",
+                "l_quantity"]).map_batches(slim, batch_format="pyarrow")
+    total = li.aggregate(Sum("hund", alias_name="revenue_hund"))
+    return pd.DataFrame([{"revenue_hund": int(total["revenue_hund"]
+                                              or 0)}])
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT)
+                          * CAST(floor(l_discount * 100 + 0.5)
+                                 AS BIGINT)), 0) AS BIGINT)
+         AS revenue_hund
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9237,6 +9281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary": q_markov_stationary,
         "selectivity_estimate": q_selectivity_estimate,
         "returned_revenue": q_returned_revenue,
+        "forecast_revenue_change": q_forecast_revenue_change,
         "systematic_sample": q_systematic_sample,
         "readability": q_readability,
         "cumulative_spend": q_cumulative_spend,
@@ -9470,6 +9515,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary": SQL_MARKOV_STATIONARY,
         "selectivity_estimate": SQL_SELECTIVITY_ESTIMATE,
         "returned_revenue": SQL_RETURNED_REVENUE,
+        "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
         "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
         "readability": SQL_READABILITY,
         "lineitem_agg": SQL_LINEITEM_AGG,
