@@ -156,3 +156,46 @@ def test_product_profit_cost_term(ray_session, tmp_path):
     out = q_product_profit(str(tmp_path))
     # gross = 1000c × 90 = 90000; cost = 200c × 3 × 100 = 60000
     assert out.values.tolist() == [["NATION_3", 1996, 30000]]
+
+
+def test_forecast_revenue_change_bands(ray_session, tmp_path):
+    from __ray_entry__ import q_forecast_revenue_change
+
+    pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            ["1997-06-01", "1997-06-01", "1997-06-01", "1996-12-31"]),
+        "l_extendedprice": [100.00, 100.00, 100.00, 100.00],
+        "l_discount": [0.06, 0.04, 0.06, 0.06],   # 2nd: below band
+        "l_quantity": [10.0, 10.0, 24.0, 10.0],   # 3rd: qty cap; 4th: year
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    out = q_forecast_revenue_change(str(tmp_path))
+    # only row 1 qualifies: 10000 cents × 6 = 60000 hundredths
+    assert out["revenue_hund"].tolist() == [60000]
+
+
+def test_returned_revenue_flag_and_window(ray_session, tmp_path):
+    from __ray_entry__ import q_returned_revenue
+
+    pd.DataFrame({"n_nationkey": [0], "n_name": ["N0"]}).to_parquet(
+        tmp_path / "nation.parquet")
+    pd.DataFrame({"c_custkey": [1, 2], "c_name": ["a", "b"],
+                  "c_nationkey": [0, 0],
+                  "c_acctbal": [1.23, 4.56]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({
+        "o_orderkey": [10, 11, 12],
+        "o_custkey": [1, 2, 1],
+        "o_orderdate": pd.to_datetime(
+            ["1996-08-01", "1996-08-01", "1996-06-30"]),  # 12: pre-window
+    }).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({
+        "l_orderkey": [10, 10, 11, 12],
+        "l_returnflag": ["R", "N", "R", "R"],   # N never counts
+        "l_extendedprice": [10.00, 99.0, 20.00, 50.00],
+        "l_discount": [0.0, 0.0, 0.5, 0.0],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    out = q_returned_revenue(str(tmp_path))
+    # cust1: 1000 (order 10's R line); cust2: 1000 (20.00 × 0.5)
+    assert out["revenue_cents"].tolist() == [1000, 1000]
+    assert out["c_custkey"].tolist() == [1, 2]    # tie → custkey asc
+    assert out["bal_cents"].tolist() == [123, 456]
