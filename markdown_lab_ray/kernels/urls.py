@@ -107,7 +107,10 @@ def redirect_target(status: int, body, base_url: str):
     return None
 
 
-_LONG_HEX_RE = re.compile(r"[0-9a-fA-F]{8,}")
+# hex runs must contain at least one digit: all-letter words like
+# 'deadbeef'/'cascade' are far more likely real slugs than session ids,
+# and the digit-run collapse below still catches pure-numeric ids
+_LONG_HEX_RE = re.compile(r"(?=[0-9a-fA-F]*\d)[0-9a-fA-F]{8,}")
 _DIGIT_RUN_RE = re.compile(r"\d+")
 
 

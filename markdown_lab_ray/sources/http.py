@@ -80,9 +80,12 @@ class HttpResolver:
         session.mount("https://", adapter)
         self.session = session
 
-    def _request(self, method: str, url: str):
+    def _request(self, method: str, url: str, headers=None):
         """requests.Response | _StatusOnly (retryable status exhausted)
-        | None (connection-level terminal failure)."""
+        | None (connection-level terminal failure).  ``headers`` are
+        per-request extras merged over the session defaults (the
+        conditional-GET validators ride through here so revalidation
+        gets the same retry/backoff as every other network path)."""
         import requests
 
         def attempt():
@@ -93,7 +96,8 @@ class HttpResolver:
                 # TARGET host's politeness budget and seen-set
                 resp = self.session.request(method, url,
                                             timeout=self.timeout,
-                                            allow_redirects=False)
+                                            allow_redirects=False,
+                                            headers=headers)
             except requests.exceptions.RequestException as exc:
                 raise NetworkError(str(exc), url=url) from exc
             if resp.status_code in RETRYABLE_STATUSES:
@@ -143,15 +147,17 @@ class HttpResolver:
 
     def resolve_conditional(self, url: str, etag: str):
         """Conditional GET: ``If-None-Match`` → (304, "", etag) when the
-        server confirms the cached payload is still current."""
-        import requests
-
-        try:
-            resp = self.session.get(url, timeout=self.timeout,
-                                    allow_redirects=False,
-                                    headers={"If-None-Match": etag})
-        except requests.exceptions.RequestException:
+        server confirms the cached payload is still current.  Routed
+        through ``_request`` so a transient 429/503/connection blip
+        during revalidation gets the same retry/backoff as a full GET
+        (it would otherwise surface a perfectly cached page as a failed
+        fetch for the round)."""
+        resp = self._request("GET", url,
+                             headers={"If-None-Match": etag})
+        if resp is None:
             return 0, "", None
+        if isinstance(resp, _StatusOnly):
+            return resp.status, "", None
         if resp.status_code == 304:
             return 304, "", etag
         new_etag = (resp.headers.get("etag")

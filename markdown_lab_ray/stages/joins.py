@@ -694,15 +694,27 @@ def auto_hash_join(left_ds, right, key: str, how: str = "inner",
     ``pc.index_in`` probe per batch — ONLY when the right side is
     in-memory AND measured-small (``nbytes ≤ broadcast_max_bytes``); a
     Dataset right side (the 100-TB case: its size is unknowable without
-    a scan) ALWAYS takes the one-shuffle bucketed path.  Results are
-    identical either way (equality-tested).  ``how``: inner | left
-    (left misses null-fill the right columns).  Non-key column names
-    must be disjoint (the ``bucketed_hash_join`` contract)."""
+    a scan) ALWAYS takes the one-shuffle bucketed path.  The broadcast
+    probe is ``pc.index_in`` (first match per key), so it additionally
+    requires UNIQUE right keys; a small right table with duplicate keys
+    falls back to the bucketed path, which emits the full join
+    multiplication — results are therefore identical either way
+    (equality-tested, incl. the duplicate-key case).  ``how``: inner |
+    left (left misses null-fill the right columns).  Non-key column
+    names must be disjoint (the ``bucketed_hash_join`` contract)."""
     import ray
     import ray.data as rd
 
-    if not (isinstance(right, pa.Table)
-            and right.nbytes <= broadcast_max_bytes):
+    import pyarrow.compute as pc
+
+    broadcast_ok = (isinstance(right, pa.Table)
+                    and right.nbytes <= broadcast_max_bytes
+                    # pc.index_in keeps only the FIRST match per key:
+                    # duplicate right keys must take the bucketed path
+                    # or the join multiplication is silently lost.
+                    and pc.count_distinct(right.column(key)).as_py()
+                    == right.num_rows)
+    if not broadcast_ok:
         right_ds = rd.from_arrow(right) if isinstance(right, pa.Table) \
             else right
         return bucketed_hash_join(left_ds, right_ds, key,

@@ -86,9 +86,15 @@ class CachedResolver:
                     self.revalidated += 1
                     self._store(url, now, status, body, etag)
                     return status, body
-                self.misses += 1
-                self._store(url, now, c_status, c_body, c_etag)
-                return c_status, c_body
+                if c_status != 0:
+                    # a real HTTP answer (200 fresh body, 404 gone,
+                    # 5xx after the resolver's own retries) — return it
+                    self.misses += 1
+                    self._store(url, now, c_status, c_body, c_etag)
+                    return c_status, c_body
+                # connection-level blip (status 0) during revalidation:
+                # don't degrade it into a hard miss — fall through to
+                # the full retry-backed refetch path
         self.misses += 1
         if self.full_fn is not None:
             status, body, etag = self.full_fn(url)

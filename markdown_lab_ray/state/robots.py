@@ -37,6 +37,14 @@ def _rule_regex(pattern: str) -> re.Pattern:
     return rx
 
 
+def _rule_octets(pattern: str) -> int:
+    """RFC 9309 specificity length of a rule: octets of the pattern
+    with the ``*`` wildcards and trailing ``$`` anchor excluded (they
+    match zero-or-more / zero octets, so they must not add length)."""
+    body = pattern[:-1] if pattern.endswith("$") else pattern
+    return len(body) - body.count("*")
+
+
 @dataclass
 class RobotsRules:
     sitemaps: list[str] = field(default_factory=list)
@@ -49,7 +57,12 @@ class RobotsRules:
         """RFC 9309 precedence: the LONGEST matching rule wins (octet
         length of the pattern), Allow beating Disallow on ties; no
         match → allowed.  ``*``/``$`` wildcards supported in both rule
-        kinds.  The match target is path + '?query' when present."""
+        kinds.  Specificity is counted on the pattern's OCTETS per the
+        RFC — ``$`` anchors and ``*`` wildcards contribute zero length
+        (so ``/p*`` does not outrank ``/p``, and a ``$``-anchored rule
+        gains nothing over an unanchored one), matching how major
+        crawlers break mixed Allow/Disallow wildcard ties.  The match
+        target is path + '?query' when present."""
         parts = urlsplit(url)
         target = (parts.path or "/") + (
             f"?{parts.query}" if parts.query else "")
@@ -58,7 +71,7 @@ class RobotsRules:
                                 (True, self.allow)):
             for rule in rules:
                 if rule and _rule_regex(rule).match(target):
-                    n = len(rule)
+                    n = _rule_octets(rule)
                     if n > best_len or (n == best_len and is_allow):
                         best_len, best_allow = n, is_allow
         return best_allow
