@@ -37,6 +37,26 @@ def test_contract_shape(ray_session):
                for s in sqls.values())
 
 
+def test_round5_rotation_contract(ray_session):
+    """The driver verifies the FIRST 50 entries of queries(); the r5
+    rotation must surface 50 oracled queries disjoint from the 50 the
+    driver already verified in CORRECTNESS_r04."""
+    import json
+
+    import __ray_entry__ as entrymod
+
+    qs = list(entrymod.queries())
+    rotation = entrymod._ROUND5_ROTATION
+    assert len(rotation) == 50 and len(set(rotation)) == 50
+    assert qs[:50] == rotation
+    sqls = entrymod.oracle_sql()
+    assert all(name in sqls for name in rotation)   # all value-hashed
+    r04 = set(json.load(open("/root/repo/CORRECTNESS_r04.json")))
+    assert not r04 & set(rotation)                  # fresh coverage
+    # the r04-green 50 are still registered (coverage is a union)
+    assert r04 <= set(qs)
+
+
 def test_one_query_runs_at_sf0001(ray_session):
     import __ray_entry__ as entrymod
 
