@@ -28,18 +28,29 @@ def validate_url(url: str) -> Tuple[bool, Optional[str]]:
     return True, None
 
 
+def _normalized_from_parts(parts) -> str:
+    path = parts.path if parts.path == "/" else parts.path.rstrip("/")
+    out = f"{parts.scheme}://{parts.netloc}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    return out
+
+
 def normalize_url(url: str) -> str:
     """Strip fragment; strip trailing slash except for the root path.
 
     This is the identity function for the URL-seen set
     (ref ``url_utils.py:115-140``).
     """
+    return _normalized_from_parts(urlparse(url))
+
+
+def normalize_and_host(url: str) -> tuple[str, str]:
+    """(normalize_url(url), get_domain_from_url(url)) with ONE urlparse
+    — the crawl link-explode hot path derives norm/seen-key/seq-no/host
+    per link, so the shared parse matters at 10^10 links."""
     parts = urlparse(url)
-    path = parts.path if parts.path == "/" else parts.path.rstrip("/")
-    out = f"{parts.scheme}://{parts.netloc}{path}"
-    if parts.query:
-        out += f"?{parts.query}"
-    return out
+    return _normalized_from_parts(parts), parts.netloc
 
 
 def url_seen_key(url: str) -> str:

@@ -41,7 +41,7 @@ from ..state.politeness import (effective_budget, order_key_frame,
 from ..state.robots import LocalRobotsCache
 from ..state.seen import SeenProbe, create_seen_shards
 from ..stages.convert import EMPTY_DOC, chunk_explode_batch
-from .crawl_spec import discover_seed_frontier, links_to_frontier_rows
+from .crawl_spec import discover_seed_frontier
 
 from ..stages.schemas import FRONTIER_SCHEMA as _FRONTIER_PA_SCHEMA
 
@@ -588,14 +588,72 @@ class _ActorRobotsFactory:
 def links_explode_batch(batch: pa.Table, trap_cap: int = 0) -> pa.Table:
     """Docs rows → next-round frontier candidate rows (with per-batch
     pre-dedup to shrink the round's dedup shuffle).  ``trap_cap``
-    enables the per-page crawler-trap guard (crawl_spec docstring)."""
-    from .crawl_spec import dedup_candidates
+    enables the per-page crawler-trap guard (crawl_spec docstring).
 
-    rows = []
-    for depth, links in zip(batch.column("depth").to_pylist(),
-                            batch.column("links").to_pylist()):
-        rows.extend(links_to_frontier_rows(depth, links, trap_cap))
-    return frontier_rows_to_table(dedup_candidates(rows))
+    Vectorized (same shape as ``explode_image_refs_batch``): Arrow
+    ``list_flatten`` + ``list_parent_indices`` for the explode, kernel
+    ``starts_with`` for the scheme filter, pandas cumcount for the
+    per-page trap cap, stable sort + drop-duplicates for the spec-2a
+    pre-dedup (min-(seq_no, loc) per seen_key).  The per-URL scalars
+    (normalize / md5 seen-key / crc32 seq-no — shared with the
+    sequential oracle, parity by construction) run once over the FLAT
+    array with ONE urlparse per link; equality with the row-loop spec
+    path ``links_to_frontier_rows`` + ``dedup_candidates`` is pinned by
+    ``tests/test_crawl.py::test_links_explode_vectorized_parity``."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..kernels.urls import normalize_and_host, path_template
+    from .crawl_spec import LINK_SEQ_BASE
+
+    links = batch.column("links")
+    flat = pc.list_flatten(links)
+    parents = pc.list_parent_indices(links)
+    depths = pc.add(batch.column("depth").take(parents), 1)
+    keep = pc.fill_null(
+        pc.or_(pc.starts_with(flat, pattern="http://"),
+               pc.starts_with(flat, pattern="https://")), False)
+    flat = flat.filter(keep)
+    depths = depths.filter(keep)
+    urls = flat.to_pylist()
+    depth_np = depths.combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(depths, pa.ChunkedArray) \
+        else depths.to_numpy(zero_copy_only=False)
+    if trap_cap > 0 and urls:
+        pages = parents.filter(keep).to_numpy(zero_copy_only=False)
+        occ = (pd.DataFrame({"p": pages,
+                             "t": [path_template(u) for u in urls]})
+               .groupby(["p", "t"], sort=False).cumcount().to_numpy())
+        mask = occ < trap_cap                # first-in-page-order wins
+        urls = [u for u, m in zip(urls, mask) if m]
+        depth_np = depth_np[mask]
+    if not urls:
+        return frontier_rows_to_table([])
+    norm_host = [normalize_and_host(u) for u in urls]
+    seq = np.fromiter((LINK_SEQ_BASE + zlib.crc32(n.encode())
+                       for n, _ in norm_host), np.int64, len(norm_host))
+    seen = [hashlib.md5(n.encode("utf-8")).hexdigest()
+            for n, _ in norm_host]
+    df = pd.DataFrame({
+        "loc": urls, "seen_key": seen, "seq_no": seq,
+        "host": [h for _, h in norm_host], "depth": depth_np})
+    df = (df.sort_values(["seq_no", "loc"], kind="mergesort")
+          .drop_duplicates("seen_key", keep="first"))
+    n = len(df)
+    return pa.table({
+        "loc": pa.array(df["loc"], pa.string()),
+        "lastmod": pa.nulls(n, pa.string()),
+        "changefreq": pa.nulls(n, pa.string()),
+        "priority": pa.nulls(n, pa.float64()),
+        "host": pa.array(df["host"], pa.string()),
+        "depth": pa.array(df["depth"], pa.int64()),
+        "seq_no": pa.array(df["seq_no"], pa.int64()),
+        "seen_key": pa.array(df["seen_key"], pa.string()),
+    }, schema=_FRONTIER_PA_SCHEMA)
 
 
 def frontier_rows_to_table(rows: list[dict]) -> pa.Table:
@@ -743,15 +801,29 @@ def _update_authority_edges(host_edges: set, docs_dir: str, cfg) -> set:
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    from ..state.authority import extract_host_edges, merge_edges
+    from ..state.authority import merge_edges
 
     def partial(b: pa.Table) -> pa.Table:
-        pairs: set = set()
-        for h, links, status in zip(b.column("host").to_pylist(),
-                                    b.column("links").to_pylist(),
-                                    b.column("status").to_pylist()):
-            if status == 200:
-                pairs |= extract_host_edges(h, links)
+        # vectorized explode (same shape as links_explode_batch): keep
+        # 200s, list_flatten the links, take the page host per link,
+        # then one netloc parse per surviving link; the distinct-pairs
+        # set is O(host pairs) per block, same as extract_host_edges
+        import pyarrow.compute as pc
+
+        from ..kernels.urls import get_domain_from_url
+
+        b = b.filter(pc.equal(b.column("status"), 200))
+        links = b.column("links")
+        flat = pc.list_flatten(links)
+        srcs = b.column("host").take(pc.list_parent_indices(links))
+        keep = pc.fill_null(
+            pc.or_(pc.starts_with(flat, pattern="http://"),
+                   pc.starts_with(flat, pattern="https://")), False)
+        pairs = {(s, d) for s, d in zip(
+            srcs.filter(keep).to_pylist(),
+            (get_domain_from_url(u)
+             for u in flat.filter(keep).to_pylist()))
+            if d and d != s}
         ps = sorted(pairs)
         return pa.table({"src": pa.array([a for a, _ in ps], pa.string()),
                          "dst": pa.array([d for _, d in ps], pa.string())})

@@ -73,6 +73,33 @@ def main() -> None:
     results["chunk_section/1000_200_ms"] = timeit(
         lambda: create_semantic_chunks(md, url), 20)
 
+    # crawl link explode: vectorized engine batch vs the spec row-loop
+    # (1000 pages × 20 links; the r5 vectorization's measured delta)
+    import pyarrow as pa
+
+    from markdown_lab_ray.pipelines.crawl import links_explode_batch
+    from markdown_lab_ray.pipelines.crawl_spec import (
+        dedup_candidates, links_to_frontier_rows)
+
+    n_pages, n_links = 1000, 20
+    link_lists = [[f"http://h{(p * 7 + i) % 97:03d}.example.com/"
+                   f"page/{p}/{i}" for i in range(n_links)]
+                  for p in range(n_pages)]
+    batch = pa.table({
+        "depth": pa.array([p % 3 for p in range(n_pages)], pa.int64()),
+        "links": pa.array(link_lists, pa.list_(pa.string()))})
+
+    def spec_loop():
+        rows = []
+        for depth, links in zip(batch.column("depth").to_pylist(),
+                                batch.column("links").to_pylist()):
+            rows.extend(links_to_frontier_rows(depth, links))
+        return dedup_candidates(rows)
+
+    results["links_explode/vectorized_ms"] = timeit(
+        lambda: links_explode_batch(batch), 5)
+    results["links_explode/rowloop_ms"] = timeit(spec_loop, 5)
+
     results = {k: round(v, 3) for k, v in results.items()}
     if "--json" in sys.argv:
         print(json.dumps(results))

@@ -208,3 +208,51 @@ def test_robots_actor_cache_exactly_once_and_parity(ray_session, tmp_path):
     assert fetches == len(hosts)  # one real fetch per host, ever
     for s in shards:
         ray.kill(s)
+
+
+def test_links_explode_vectorized_parity():
+    """The Arrow-vectorized engine explode must equal the spec row-loop
+    path (links_to_frontier_rows + dedup_candidates) as a SET of
+    frontier rows — same scheme filter, trap cap, per-URL scalars and
+    spec-2a pre-dedup — for every trap_cap setting."""
+    import pyarrow as pa
+
+    from markdown_lab_ray.pipelines.crawl import links_explode_batch
+    from markdown_lab_ray.pipelines.crawl_spec import (
+        dedup_candidates, links_to_frontier_rows)
+
+    pages = [
+        (0, ["http://a.com/x", "https://b.com/y#frag", "ftp://c.com/z",
+             "javascript:void(0)", "http://a.com/x/", "http://a.com/x",
+             "https://b.com/cal?d=1", "https://b.com/cal?d=2",
+             "https://b.com/cal?d=3", "https://b.com/cal?d=4"]),
+        (1, ["http://a.com/x", "http://d.com/p/0123456789ab",
+             "http://d.com/p/ba9876543210", ""]),
+        (2, []),
+    ]
+    batch = pa.table({
+        "depth": pa.array([d for d, _ in pages], pa.int64()),
+        "links": pa.array([l for _, l in pages],
+                          pa.list_(pa.string())),
+    })
+    for trap_cap in (0, 2, 3):
+        got = links_explode_batch(batch, trap_cap=trap_cap)
+        rows = []
+        for depth, links in pages:
+            rows.extend(links_to_frontier_rows(depth, links, trap_cap))
+        want = dedup_candidates(rows)
+        got_set = {tuple(r[k] for k in ("loc", "host", "depth",
+                                        "seq_no", "seen_key"))
+                   for r in got.to_pylist()}
+        want_set = {tuple(r[k] for k in ("loc", "host", "depth",
+                                         "seq_no", "seen_key"))
+                    for r in want}
+        assert got_set == want_set, trap_cap
+        assert got.num_rows == len(want), trap_cap
+        # null metadata columns ride along with the right types
+        assert got.schema.field("priority").type == pa.float64()
+        assert got.column("lastmod").null_count == got.num_rows
+
+    empty = pa.table({"depth": pa.array([], pa.int64()),
+                      "links": pa.array([], pa.list_(pa.string()))})
+    assert links_explode_batch(empty).num_rows == 0
