@@ -444,23 +444,14 @@ def minhash_near_dup_pairs(ds, text_col: str = "text",
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    from .joins import bucketed_hash_join
+    from .joins import bucketed_hash_join, bucketed_semi_join
 
     if pre_collapse_exact:
+        # Dataset-to-Dataset semi-join: one keyed shuffle, the keep-id
+        # set never touches the driver (at 10^10 docs the old
+        # iter_batches+concatenate fold was O(#docs)·8B driver memory).
         keep = exact_dedup_ids(ds, text_col=text_col, id_col=id_col)
-        keep_ids = np.sort(np.concatenate(
-            [b[id_col].to_numpy() for b in
-             keep.iter_batches(batch_format="pandas", batch_size=65536)]))
-        keep_ref = ray.put(keep_ids)
-
-        def semi(batch: pa.Table, ref) -> pa.Table:
-            # ray.get of a shared plasma object is zero-copy per batch
-            mask = pc.is_in(batch.column(id_col),
-                            value_set=pa.array(ray.get(ref)))
-            return batch.filter(mask)
-
-        ds = ds.map_batches(semi, batch_format="pyarrow",
-                            fn_kwargs=dict(ref=keep_ref))
+        ds = bucketed_semi_join(ds, keep, key=id_col)
 
     def _empty_result():
         frame = pd.DataFrame({"a": pd.Series(dtype="int64"),

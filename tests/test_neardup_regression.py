@@ -121,6 +121,39 @@ def test_minhash_pre_collapse_exact(ray_session):
     assert len(pairs) == 0
 
 
+def test_minhash_pre_collapse_no_driver_materialization(
+        ray_session, monkeypatch):
+    """The exact-collapse keep-id set must reach the semi-join as a
+    Dataset (one keyed shuffle), never via iter_batches on the driver
+    — O(#docs) driver memory at 10^10 docs otherwise."""
+    import pandas as pd
+    import ray.data as rd
+
+    from markdown_lab_ray.stages.dedup import minhash_near_dup_pairs
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side iter_batches in dedup path")
+
+    monkeypatch.setattr(rd.Dataset, "iter_batches", _banned)
+    # 5 distinct texts with zero shared shingles (→ zero LSH candidate
+    # pairs, so the blessed O(pairs) candidate-id broadcast never runs
+    # and the ONLY thing that could touch iter_batches is the exact
+    # pre-collapse), each duplicated 10x so the collapse does real work
+    words = [["alpha", "bravo", "charlie", "delta", "echo"],
+             ["foxtrot", "golf", "hotel", "india", "juliett"],
+             ["kilo", "lima", "mike", "november", "oscar"],
+             ["papa", "quebec", "romeo", "sierra", "tango"],
+             ["uniform", "victor", "whiskey", "xray", "yankee"]]
+    df = pd.DataFrame({
+        "doc_id": range(50),
+        "text": [" ".join(words[i % 5] * 3) for i in range(50)],
+    })
+    pairs = minhash_near_dup_pairs(rd.from_pandas(df),
+                                   jaccard_threshold=0.9,
+                                   pre_collapse_exact=True)
+    assert len(pairs) == 0
+
+
 def test_phash_degenerate_bucket_cap(ray_session, caplog):
     import logging
 
