@@ -551,5 +551,12 @@ def main(argv=None) -> int:
     return code
 
 
+def tui_main(argv=None) -> int:
+    """``mlab-ray-tui [...]`` == ``mlab-ray tui [...]`` (the reference
+    ships a dedicated ``mlab-tui`` console script, pyproject.toml:41)."""
+    args = list(sys.argv[1:] if argv is None else argv)
+    return main(["tui", *args])
+
+
 if __name__ == "__main__":
     sys.exit(main())
