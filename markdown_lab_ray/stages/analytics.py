@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from markdown_lab_ray.stages.bucketing import key_buckets
+from markdown_lab_ray.stages.bucketing import key_buckets, tag_buckets_batch
 
 
 def _cents(values: np.ndarray) -> np.ndarray:
@@ -69,9 +69,8 @@ def rolling_sum_cents(ds, window: int = 7, key_col: str = "user_id",
         })
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(roll, batch_format="pandas")
 
 
@@ -96,9 +95,8 @@ def lag_deltas(ds, key_col: str = "user_id", ts_col: str = "ts",
         })
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(gaps, batch_format="pandas")
 
 
@@ -122,9 +120,8 @@ def rank_in_group(ds, key_col: str, order_col: str, id_col: str,
         })
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(rk, batch_format="pandas")
 
 
@@ -215,15 +212,13 @@ def distinct_count(ds, key_col: str, distinct_col: str,
 
     pairs = ds.map_batches(pair_dedup, batch_format="pandas")
     by_x = pairs.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[distinct_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=distinct_col, n_buckets=n_buckets))
     part = by_x.groupby("_b").map_groups(bucket_count,
                                          batch_format="pandas")
     by_key = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return by_key.groupby("_b").map_groups(sum_partials,
                                            batch_format="pandas")
 
@@ -354,8 +349,8 @@ def argmax_per_key(ds, key_col: str, cat_col: str, n_col: str = "n",
 
     tagged = (ds.map_batches(partial, batch_format="pandas")
               .map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(), 64)),
-        batch_format="pandas"))
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=64)))
     return tagged.groupby("_b").map_groups(pick, batch_format="pandas")
 
 
@@ -395,8 +390,8 @@ def ntile_percent_rank(ds, key_col: str, order_col: str, id_col: str,
         })
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(), 64)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=64))
     return tagged.groupby("_b").map_groups(rk, batch_format="pandas")
 
 
@@ -483,9 +478,8 @@ def cumulative_sum_cents(ds, key_col: str = "user_id", ts_col: str = "ts",
         })
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(cum, batch_format="pandas")
 
 
@@ -660,9 +654,8 @@ def time_window_sum_cents(ds, window_us: int, key_col: str = "user_id",
         })
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(roll, batch_format="pandas")
 
 
@@ -777,9 +770,8 @@ def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
         return part
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(pairs, batch_format="pandas")
     agg = part.groupby(["from_type", "to_type"]).aggregate(
         Sum("n", alias_name="n"))
@@ -828,9 +820,8 @@ def conversion_lag(ds, from_type: str = "view", to_type: str = "purchase",
 
     slim = ds.map_batches(keep, batch_format="pyarrow")
     tagged = slim.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(lag, batch_format="pandas")
 
 
@@ -884,9 +875,8 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     pairs = ds.map_batches(to_weeks, batch_format="pandas")
     tagged = pairs.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(cohortize, batch_format="pandas")
     agg = part.groupby(["_cw", "week_offset"]).aggregate(
         Sum("n", alias_name="n_users"))
@@ -1088,9 +1078,8 @@ def interval_coverage(ds, dur_us: int, key_col: str = "user_id",
 
     tagged = (ds.map_batches(slim, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets)))
     return tagged.groupby("_b").map_groups(cover, batch_format="pandas")
 
 
@@ -1217,9 +1206,8 @@ def winsorize_per_key(ds, key_col: str, value_col: str, id_col: str,
     union = (ds.map_batches(tag_rows, batch_format="pandas")
              .union(bounds.map_batches(tag_bounds, batch_format="pandas")))
     tagged = union.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(clip, batch_format="pandas")
 
 
@@ -1318,9 +1306,8 @@ def grouped_gini(ds, key_col: str, value_col: str):
 
     tagged = (ds.map_batches(slim, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), 64)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=key_col, n_buckets=64)))
     return tagged.groupby("_b").map_groups(gini, batch_format="pandas")
 
 
@@ -1371,9 +1358,8 @@ def interarrival_cv(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     tagged = (gaps.map_batches(partial, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets)))
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
 
 
@@ -1405,9 +1391,8 @@ def grouped_mad(ds, key_col: str, value_col: str, n_buckets: int = 64):
                              "median": meds, "mad": mads})
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(stats, batch_format="pandas")
 
 
@@ -1447,9 +1432,8 @@ def grouped_cat_entropy(ds, key_col: str, cat_col: str,
 
     tagged = (ds.map_batches(partial, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets)))
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
 
 
@@ -1525,9 +1509,8 @@ def state_dwell_time(ds, key_col: str = "user_id", ts_col: str = "ts",
         return p
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     parts = tagged.groupby("_b").map_groups(gaps, batch_format="pandas")
     out = parts.groupby(state_col).aggregate(
         Sum("_n", alias_name="n_gaps"), Sum("_s", alias_name="dwell_us"))
@@ -1597,9 +1580,8 @@ def mad_outliers(ds, key_col: str, value_col: str, id_col: str,
         return pd.concat(outs, ignore_index=True)
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(gate, batch_format="pandas")
 
 
@@ -1629,9 +1611,8 @@ def discovery_curve(ds, key_col: str, cat_col: str, ts_col: str,
                              "n_distinct": run.to_numpy()})
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(curve, batch_format="pandas")
 
 
@@ -1714,9 +1695,8 @@ def grouped_weighted_median(ds, key_col: str, value_col: str,
                                                       dtype="int64")})
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(wmed, batch_format="pandas")
 
 
@@ -1760,9 +1740,8 @@ def locf_fill(ds, key_col: str, ts_col: str, value_col: str,
         return out[[key_col, "day_id", value_col]]
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(fill, batch_format="pandas")
 
 
@@ -1854,9 +1833,8 @@ def grouped_ewma(ds, key_col: str = "user_id", ts_col: str = "ts",
                                                     dtype="int64")})
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns([key_col, "ewma_cents"]))
 
@@ -2002,9 +1980,8 @@ def event_type_runs(ds, key_col: str = "user_id", ts_col: str = "ts",
         return out[[key_col, "run_len", cat_col]].reset_index(drop=True)
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns([key_col, "run_len", cat_col]))
 
@@ -2174,9 +2151,8 @@ def user_trend(ds, key_col: str = "user_id", ts_col: str = "ts",
                                                      dtype="int64")})
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return (tagged.groupby("_b").map_groups(fold, batch_format="pandas")
             .select_columns([key_col, "n", "trend_micro"]))
 
@@ -2598,9 +2574,8 @@ def event_trigrams(ds, user_col: str = "user_id", ts_col: str = "ts",
         return df.reset_index(drop=True).astype({"n": "int64"})
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(triples, batch_format="pandas")
     agg = part.groupby(["t1", "t2", "t3"]).aggregate(
         Sum("n", alias_name="n"))
@@ -2635,9 +2610,8 @@ def upsert_merge(base_ds, updates_ds, key_col: str, ver_col: str,
     union = (base_ds.map_batches(tag(0), batch_format="pandas")
              .union(updates_ds.map_batches(tag(1), batch_format="pandas")))
     tagged = union.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(keep_latest,
                                            batch_format="pandas")
 
@@ -2667,9 +2641,8 @@ def scd2_intervals(ds, key_col: str, ver_col: str,
         return g.drop(columns=["_b"]).reset_index(drop=True)
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
 
 
@@ -2747,9 +2720,8 @@ def decayed_spend(ds, key_col: str, ts_col: str, value_col: str,
 
     tagged = (ds.map_batches(partial, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets)))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(key_col, sort=False)["_s"].sum()
@@ -2983,9 +2955,8 @@ def retention_survival(ds, cust_col: str, date_col: str,
                 .rename("_n").astype("int64").reset_index())
 
     tagged = rows.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[cust_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=cust_col, n_buckets=n_buckets))
     parts = tagged.groupby("_b").map_groups(
         lambda g: gaps(g.drop(columns=["_b"])), batch_format="pandas")
     agg = parts.groupby(["gap", "cens"]).aggregate(
@@ -3245,9 +3216,8 @@ def last_touch_attribution(ds, user_col: str = "user_id",
                 .astype({"attr_cents": "int64", "n_conv": "int64"}))
 
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(
         lambda g: sweep(g.drop(columns=["_b"])), batch_format="pandas")
     agg = (part.groupby("touch_type")

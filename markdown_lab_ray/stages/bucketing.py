@@ -29,3 +29,18 @@ def key_buckets(values, n_buckets: int) -> np.ndarray:
     arr = np.asarray(values)
     h = pd.util.hash_array(arr, categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def tag_buckets_batch(batch: "pa.Table", key_col: str, n_buckets: int,
+                      out_col: str = "_b") -> "pa.Table":
+    """Append the process-stable bucket-id column to an ARROW batch —
+    the zero-copy tag stage for a bucketed shuffle (no pandas
+    conversion copy of the whole block just to add one column)."""
+    import pyarrow as pa
+
+    vals = (batch.column(key_col).combine_chunks()
+            .to_numpy(zero_copy_only=False))
+    if out_col in batch.column_names:     # re-tag overwrites, like
+        batch = batch.drop_columns([out_col])  # the pandas assign did
+    return batch.append_column(
+        out_col, pa.array(key_buckets(vals, n_buckets), pa.int64()))

@@ -22,6 +22,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .bucketing import tag_buckets_batch
+
 logger = logging.getLogger("markdown_lab_ray.dedup")
 
 _TOKEN_RE = re.compile(r"\w+")
@@ -839,9 +841,8 @@ def duplicate_span_stats(ds, n: int = 8, text_col: str = "text",
 
     counts = (sh.map_batches(count_partial, batch_format="pyarrow")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df["gh"].to_numpy(), n_buckets)),
-                  batch_format="pandas")
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col="gh", n_buckets=n_buckets))
               .groupby("_b").map_groups(fold_counts,
                                         batch_format="pandas"))
     joined = bucketed_hash_join(sh, counts, key="gh",
@@ -863,9 +864,8 @@ def duplicate_span_stats(ds, n: int = 8, text_col: str = "text",
 
     stats = (joined.map_batches(per_doc_partial, batch_format="pandas")
              .map_batches(
-                 lambda df: df.assign(_b=key_buckets(
-                     df[id_col].to_numpy(), n_buckets)),
-                 batch_format="pandas")
+                 tag_buckets_batch, batch_format="pyarrow",
+                 fn_kwargs=dict(key_col=id_col, n_buckets=n_buckets))
              .groupby("_b").map_groups(fold_doc, batch_format="pandas"))
 
     all_ids = ds.map_batches(
@@ -1104,9 +1104,8 @@ def edit1_similar_pairs(ds, text_col: str = "c_name",
 
     banded = ds.map_batches(bands, batch_format="pandas")
     tagged = banded.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["_band"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="_band", n_buckets=n_buckets))
     # No distinct pass needed downstream: a qualifying pair shares
     # exactly ONE band (see completeness argument), all copies of a
     # value land in that one band group, and the in-group np.unique
@@ -1213,9 +1212,8 @@ def dup_cluster_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                          "min_doc": "int64", "max_doc": "int64"})
 
     tagged = hashed.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["text_md5"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="text_md5", n_buckets=n_buckets))
     return (tagged.groupby("_b")
             .map_groups(lambda g: fold(g.drop(columns=["_b"])),
                         batch_format="pandas"))

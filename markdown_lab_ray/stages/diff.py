@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .bucketing import key_buckets
+from .bucketing import key_buckets, tag_buckets_batch
 
 
 def _payload_md5(values) -> list:
@@ -71,7 +71,6 @@ def dataset_diff(ds_a, ds_b, key_col: str, payload_col: str,
     union = (ds_a.map_batches(slim("a"), batch_format="pandas")
              .union(ds_b.map_batches(slim("b"), batch_format="pandas")))
     tagged = union.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(classify, batch_format="pandas")

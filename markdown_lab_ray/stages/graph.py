@@ -39,6 +39,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .bucketing import tag_buckets_batch
+
 from .joins import bucketed_hash_join
 
 
@@ -229,15 +231,13 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
         lambda df: df[[group_col, item_col]].drop_duplicates(),
         batch_format="pandas")
     tagged = slim.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=group_col, n_buckets=n_buckets))
     raw_pairs = tagged.groupby("_b").map_groups(pairs,
                                                 batch_format="pandas")
     by_u = raw_pairs.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="u", n_buckets=n_buckets))
     return by_u.groupby("_b").map_groups(distinct, batch_format="pandas")
 
 
@@ -278,9 +278,8 @@ def _merge_on_node(edges_ds, deg_ds, node_col: str, out_col: str,
     union = (edges_ds.map_batches(tag_edges, batch_format="pandas")
              .union(deg_ds.map_batches(tag_deg, batch_format="pandas")))
     tagged = union.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["_node"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="_node", n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(merge, batch_format="pandas")
 
 
@@ -362,9 +361,8 @@ def triangle_count(edges_ds, n_buckets: int = 64,
 
     part = edges_ds.map_batches(explode_partial, batch_format="pyarrow")
     tagged = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="node", n_buckets=n_buckets))
     deg = tagged.groupby("_b").map_groups(
         sum_deg, batch_format="pandas").materialize()
 
@@ -405,9 +403,8 @@ def triangle_count(edges_ds, n_buckets: int = 64,
                              "y": np.concatenate(ys).astype(np.int64)})
 
     by_src = oriented.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["src"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="src", n_buckets=n_buckets))
     wedge_ds = by_src.groupby("_b").map_groups(wedges,
                                                batch_format="pandas")
 
@@ -426,9 +423,8 @@ def triangle_count(edges_ds, n_buckets: int = 64,
         batch_format="pandas")
     union = wedge_rows.union(edge_rows)
     tagged = union.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["x"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="x", n_buckets=n_buckets))
     partials = tagged.groupby("_b").map_groups(close_count,
                                                batch_format="pandas")
     return int(partials.to_pandas()["n"].sum())
@@ -473,14 +469,12 @@ def cooccurrence_counts(ds, group_col: str, item_col: str,
         lambda df: df[[group_col, item_col]].drop_duplicates(),
         batch_format="pandas")
     tagged = slim.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=group_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(pairs, batch_format="pandas")
     by_u = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="u", n_buckets=n_buckets))
     return by_u.groupby("_b").map_groups(support, batch_format="pandas")
 
 
@@ -982,9 +976,8 @@ def clustering_coefficient(edges_ds, n_buckets: int = 64,
 
     part = edges_ds.map_batches(explode_partial, batch_format="pyarrow")
     tagged = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="node", n_buckets=n_buckets))
     deg = tagged.groupby("_b").map_groups(
         sum_deg, batch_format="pandas").materialize()
 
@@ -1028,9 +1021,8 @@ def clustering_coefficient(edges_ds, n_buckets: int = 64,
                              "y": np.concatenate(ys).astype(np.int64)})
 
     by_src = oriented.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["src"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="src", n_buckets=n_buckets))
     wedge_ds = by_src.groupby("_b").map_groups(wedges,
                                                batch_format="pandas")
 
@@ -1057,9 +1049,8 @@ def clustering_coefficient(edges_ds, n_buckets: int = 64,
         batch_format="pandas")
     union = wedge_rows.union(edge_rows)
     keyed = union.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["x"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="x", n_buckets=n_buckets))
     credits = keyed.groupby("_b").map_groups(close_credit,
                                              batch_format="pandas")
     tri = credits.groupby("node").aggregate(Sum("_t", alias_name="tri"))
@@ -1094,9 +1085,8 @@ def clustering_coefficient(edges_ds, n_buckets: int = 64,
     union2 = (deg.map_batches(tag_deg, batch_format="pandas")
               .union(tri.map_batches(tag_tri, batch_format="pandas")))
     keyed2 = union2.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="node", n_buckets=n_buckets))
     return keyed2.groupby("_b").map_groups(finish, batch_format="pandas")
 
 
@@ -1168,9 +1158,8 @@ def degree_assortativity(edges_ds, n_buckets: int = 64,
 
     part = edges_ds.map_batches(explode_partial, batch_format="pyarrow")
     tagged = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["node"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="node", n_buckets=n_buckets))
     deg = tagged.groupby("_b").map_groups(
         sum_deg, batch_format="pandas").materialize()
 
@@ -1432,15 +1421,13 @@ def association_rules(ds, group_col: str, item_col: str,
         lambda df: df[[group_col, item_col]].drop_duplicates(),
         batch_format="pandas")
     tagged = slim.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=group_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(partials,
                                            batch_format="pandas")
     by_u = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="u", n_buckets=n_buckets))
     folded = by_u.groupby("_b").map_groups(
         fold_u, batch_format="pandas").materialize()
     # the u = v = −1 total row is a single exact scalar — the one
@@ -1629,14 +1616,12 @@ def link_prediction(ds, group_col: str, item_col: str,
         lambda df: df[[group_col, item_col]].drop_duplicates(),
         batch_format="pandas")
     tagged = slim.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=group_col, n_buckets=n_buckets))
     part = tagged.groupby("_b").map_groups(partials, batch_format="pandas")
     by_u = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["u"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="u", n_buckets=n_buckets))
     folded = by_u.groupby("_b").map_groups(fold_u, batch_format="pandas")
     by_v = folded.map_batches(
         lambda df: df.assign(

@@ -24,6 +24,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .bucketing import tag_buckets_batch
+
 _MAGIC = b"FIMG"
 _LOSSY_STEP = 6  # quantization step for fake lossy formats
 
@@ -409,9 +411,8 @@ def keep_best_resolution(ds, group_col: str = "phash",
 
     combined = ds.map_batches(best, batch_format="pandas")
     tagged = combined.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[group_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=group_col, n_buckets=n_buckets))
     return (tagged.groupby("_b")
             .map_groups(lambda g: best(g.drop(columns=["_b"])),
                         batch_format="pandas"))

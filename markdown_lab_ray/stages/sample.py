@@ -39,18 +39,22 @@ def random_sample(ds, fraction: float, seed: int = 42,
     if id_col is None:
         return ds.random_sample(fraction, seed=seed)
     import pandas as pd
+    import pyarrow as pa
 
     threshold = np.uint64(min(int(fraction * float(2 ** 64)), 2 ** 64 - 1))
 
-    def keep(df: "pd.DataFrame") -> "pd.DataFrame":
-        ids = np.asarray(df[id_col].to_numpy())
+    def keep(batch: "pa.Table") -> "pa.Table":
+        # Arrow in/out: only the id column leaves Arrow (numpy for the
+        # siphash), the payload columns ride zero-copy through filter
+        if fraction >= 1.0:
+            return batch
+        ids = (batch.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False))
         h = pd.util.hash_array(ids, categorize=False)
         h = pd.util.hash_array(h + np.uint64(seed), categorize=False)
-        if fraction >= 1.0:
-            return df
-        return df[h < threshold]
+        return batch.filter(pa.array(h < threshold))
 
-    return ds.map_batches(keep, batch_format="pandas")
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def _aes_priority(ids, weights) -> np.ndarray:

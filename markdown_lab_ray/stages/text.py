@@ -13,6 +13,8 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from .bucketing import tag_buckets_batch
 import pyarrow.compute as pc
 
 # BPE-ish pre-tokenization pattern (GPT-2 style, public knowledge)
@@ -515,9 +517,8 @@ def group_token_entropy(ds, group_col: str = "lang",
 
     part = ds.map_batches(counts_partial, batch_format="pyarrow")
     tagged = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["_term"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="_term", n_buckets=n_buckets))
     folded = tagged.groupby("_b").map_groups(fold_counts,
                                              batch_format="pandas")
     # final fold: O(groups × buckets) rows — one tiny single-task pass
@@ -603,9 +604,8 @@ def pmi_collocations(ds, min_count: int = 5, text_col: str = "text",
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     tagged = part.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["w1"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="w1", n_buckets=n_buckets))
     counts = tagged.groupby("_b").map_groups(
         fold, batch_format="pandas").materialize()
 

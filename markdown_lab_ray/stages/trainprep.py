@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from markdown_lab_ray.stages.bucketing import key_buckets as _key_buckets
+from markdown_lab_ray.stages.bucketing import key_buckets as _key_buckets, tag_buckets_batch
 
 __all__ = [
     "decontaminate",
@@ -667,9 +667,8 @@ def split_shingle_leakage(ds, key_col: str, text_col: str = "text",
 
     rows = ds.map_batches(shingle_split, batch_format="pyarrow")
     folded = (rows.map_batches(
-        lambda df: df.assign(_b=key_buckets(df["gh"].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col="gh", n_buckets=n_buckets))
         .groupby("_b").map_groups(bucket_fold, batch_format="pandas"))
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)
@@ -789,9 +788,8 @@ def exemplars_per_key(ds, key_col: str, id_col: str, k: int = 3,
 
     tagged = (ds.map_batches(topk, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets)))
     return tagged.groupby("_b").map_groups(finish, batch_format="pandas")
 
 
@@ -833,9 +831,8 @@ def fd_violations(ds, det_col: str, dep_col: str, n_buckets: int = 64):
 
     tagged = (ds.map_batches(pairs, batch_format="pandas")
               .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[det_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+                  tag_buckets_batch, batch_format="pyarrow",
+                  fn_kwargs=dict(key_col=det_col, n_buckets=n_buckets)))
     folded = tagged.groupby("_b").map_groups(fold, batch_format="pandas")
     return folded.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)

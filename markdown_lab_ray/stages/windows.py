@@ -50,11 +50,15 @@ def sliding_window_agg(ds, window_us: int, step_us: int,
            .aggregate(Count(alias_name="n_events"),
                       Sum(value_col, alias_name="sum_raw")))
 
-    def round_batch(df):
-        df["sum_value"] = df.pop("sum_raw").round(2)
-        return df
+    def round_batch(b: pa.Table) -> pa.Table:
+        # numpy round (not pc.round): bit-identical to the pandas
+        # .round(2) this replaced — pc.round's scaling differs by ulps
+        raw = (b.column("sum_raw").combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        return b.drop_columns(["sum_raw"]).append_column(
+            "sum_value", pa.array(np.round(raw, 2), pa.float64()))
 
-    return out.map_batches(round_batch, batch_format="pandas")
+    return out.map_batches(round_batch, batch_format="pyarrow")
 
 
 def debounce_keep_first(ds, key_col: str = "user_id", ts_col: str = "ts",
@@ -88,11 +92,14 @@ def debounce_keep_first(ds, key_col: str = "user_id", ts_col: str = "ts",
                .drop_duplicates([key_col, "_w"], keep="first"))
         return out[cols + ["_w"]]
 
-    tagged = (ds.map_batches(first_per_cell, batch_format="pandas")
-              .map_batches(
-                  lambda df: df.assign(_b=key_buckets(
-                      df[key_col].to_numpy(), n_buckets)),
-                  batch_format="pandas"))
+    # fused: the _b tag rides the combiner's (already-pandas) output
+    # instead of a second whole-block conversion pass
+    def combine_and_tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = first_per_cell(df)
+        return out.assign(_b=key_buckets(out[key_col].to_numpy(),
+                                         n_buckets))
+
+    tagged = ds.map_batches(combine_and_tag, batch_format="pandas")
     kept = tagged.groupby("_b").map_groups(
         lambda g: first_per_cell(g)[cols], batch_format="pandas")
     return kept
@@ -118,8 +125,6 @@ def late_event_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
     """
     import pandas as pd
 
-    from .bucketing import key_buckets
-
     def fold(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values([key_col, id_col], kind="mergesort")
         ts = (g[ts_col].to_numpy().astype("datetime64[us]")
@@ -142,10 +147,11 @@ def late_event_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
         agg = agg[agg["n_late"] > 0]
         return agg.astype({"n_events": "int64", "n_late": "int64"})
 
+    from .bucketing import tag_buckets_batch
+
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[key_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=key_col, n_buckets=n_buckets))
     return tagged.groupby("_b").map_groups(fold, batch_format="pandas")
 
 
@@ -164,8 +170,6 @@ def daily_bounce_rate(ds, user_col: str = "user_id", ts_col: str = "ts",
     import pandas as pd
 
     from ray.data.aggregate import Sum
-
-    from .bucketing import key_buckets
 
     def per_day(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
@@ -188,10 +192,11 @@ def daily_bounce_rate(ds, user_col: str = "user_id", ts_col: str = "ts",
         return out.astype({"day": "int64", "n_sessions": "int64",
                            "n_bounce": "int64"})
 
+    from .bucketing import tag_buckets_batch
+
     tagged = ds.map_batches(
-        lambda df: df.assign(_b=key_buckets(df[user_col].to_numpy(),
-                                            n_buckets)),
-        batch_format="pandas")
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
     partials = tagged.groupby("_b").map_groups(per_day,
                                                batch_format="pandas")
 
