@@ -165,6 +165,60 @@ def _run_scaling_workload(num_cpus: int) -> dict:
             "num_cpus": num_cpus}
 
 
+def _gen_docs_batch(batch, dup_every: int = 7, n_words: int = 60,
+                    vocab_prefix: str = "w"):
+    """Deterministic synthetic corpus from row ids alone (layout- and
+    parallelism-invariant): ~1/dup_every docs are byte-identical copies
+    of an earlier doc so exact-dedup does real work."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = batch.column("id").to_numpy()
+    base = ids - np.where(ids % dup_every == 3, 3, 0)
+    # vocab index matrix: (n_docs, n_words), cheap integer mixing
+    j = np.arange(n_words, dtype=np.int64)
+    idx = (base[:, None] * 2654435761 + j[None, :] * 97 + base[:, None]
+           % 131) % 5003
+    texts = [" ".join(f"{vocab_prefix}{v}" for v in row) for row in idx]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _run_dedup_scaling_workload(num_cpus: int) -> dict:
+    """The LLM-curation flagship (training_mixture: quality gate →
+    exact dedup → n-gram decontaminate → token count → pack) at two
+    parallelism levels — the dedup/mixture path's own 8-vs-32 evidence
+    (a 100-TB pretraining run spends its time here, not in the crawl)."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from markdown_lab_ray.pipelines.mixture import training_mixture
+
+    n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "300000"))
+    # warm the worker pool (same rule as the crawl workload)
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_size=1).count()
+    docs = rd.range(n_docs, override_num_blocks=num_cpus * 4).map_batches(
+        _gen_docs_batch, batch_format="pyarrow")
+    # disjoint vocab: the benchmark set exercises the decontaminate
+    # n-gram machinery without gating out the whole corpus
+    bench_docs = rd.range(200).map_batches(
+        _gen_docs_batch, batch_format="pyarrow",
+        fn_kwargs=dict(vocab_prefix="b"))
+    t0 = time.time()
+    packed = training_mixture(docs, bench_docs, quality_threshold=0.0)
+    n_out = packed.count()
+    elapsed = time.time() - t0
+    ray.shutdown()
+    return {"sec": round(elapsed, 2), "docs": n_docs, "packed": n_out,
+            "docs_per_sec": round(n_docs / elapsed, 2),
+            "num_cpus": num_cpus}
+
+
 def _cpu_calibration() -> dict:
     """Raw-CPU parallel-speedup ceiling of this machine: pure python
     work under multiprocessing at 8 vs 32 procs.  On a VM with CPU
@@ -259,7 +313,10 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling-child" in sys.argv:
-        print(json.dumps(_run_scaling_workload(num_cpus)))
+        if os.environ.get("GRAFT_SCALING_WORKLOAD") == "dedup":
+            print(json.dumps(_run_dedup_scaling_workload(num_cpus)))
+        else:
+            print(json.dumps(_run_scaling_workload(num_cpus)))
         return
 
     if "--cpu-calibration" in sys.argv:
@@ -271,8 +328,14 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
+        # --scaling [dedup]: "dedup" swaps the crawl flagship for the
+        # training_mixture curation flagship (same pair protocol)
+        workload = ("dedup" if "dedup" in sys.argv
+                    else os.environ.get("GRAFT_SCALING_WORKLOAD", "crawl"))
+
         def run_at(n):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_SCALING_WORKLOAD=workload)
             out = subprocess.run([sys.executable, __file__, "--scaling-child"],
                                  env=env, capture_output=True, text=True,
                                  check=True,
@@ -288,12 +351,14 @@ def main() -> None:
         lo, hi = 8, 32
         pairs = []
         n_pairs = max(1, int(os.environ.get("GRAFT_SCALING_PAIRS", "2")))
+        rate_key = ("docs_per_sec" if workload == "dedup"
+                    else "pages_per_sec")
         for _ in range(n_pairs):
             r_lo, r_hi = run_at(lo), run_at(hi)
             pairs.append({
                 "sec_8": r_lo["sec"], "sec_32": r_hi["sec"],
-                "pages_per_sec_8": r_lo["pages_per_sec"],
-                "pages_per_sec_32": r_hi["pages_per_sec"],
+                f"{rate_key}_8": r_lo[rate_key],
+                f"{rate_key}_32": r_hi[rate_key],
                 "efficiency": round((r_lo["sec"] / r_hi["sec"]) / (hi / lo), 3),
             })
         calib = _cpu_calibration()
@@ -305,11 +370,16 @@ def main() -> None:
                               + effs[len(effs) // 2]) / 2), 3)
         print(json.dumps({
             "metric": "scaling",
-            "workload": "synthetic crawl, 512000 pages fetched+converted+chunked",
+            "workload": (
+                "training_mixture curation, "
+                f"{os.environ.get('GRAFT_DEDUP_DOCS', '300000')} docs "
+                "gated+deduped+decontaminated+packed"
+                if workload == "dedup" else
+                "synthetic crawl, 512000 pages fetched+converted+chunked"),
             "pairs": pairs,
             "sec_8": best["sec_8"], "sec_32": best["sec_32"],
-            "pages_per_sec_8": best["pages_per_sec_8"],
-            "pages_per_sec_32": best["pages_per_sec_32"],
+            f"{rate_key}_8": best[f"{rate_key}_8"],
+            f"{rate_key}_32": best[f"{rate_key}_32"],
             # headline = median across pairs (no cherry-picking under
             # VM jitter); the best pair is reported alongside
             "scaling_efficiency": median,

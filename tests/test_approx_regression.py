@@ -42,7 +42,10 @@ def _norm(v):
 
 @pytest.mark.parametrize("name", ["knn_lsh", "knn_ivf",
                                   "embedding_near_dup", "video_frames",
-                                  "caption_alignment", "image_mixture"])
+                                  "caption_alignment", "image_mixture",
+                                  "alignment_filter", "audio_features",
+                                  "audio_clips", "aspect_buckets",
+                                  "ann_recall"])
 def test_approx_query_matches_fixture(ray_session, name):
     result = _queries()[name](SF_DIR)
     if hasattr(result, "take_all"):

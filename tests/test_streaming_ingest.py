@@ -78,3 +78,62 @@ def test_replay_with_watermark_drops_late(ray_session):
                                                  "value"])
     assert len(merged) == len(got)
     assert len(got) <= 7
+
+
+def test_crawl_output_through_ledgered_ingest(ray_session, tmp_path):
+    """End-to-end continuous-recrawl shape (SURVEY §2.9): a REAL crawl's
+    per-round fetch stream (run_crawl_ray output, not synthetic frames)
+    flows through the ledgered ingest tier; replaying a whole round's
+    delivery (at-least-once upstream) is provably dropped by the
+    exactly-once ledger, and the final per-URL state equals the
+    declarative argmax over the clean stream."""
+    import ray
+
+    from markdown_lab_ray.config import EngineConfig
+    from markdown_lab_ray.pipelines.crawl import (read_crawl_order,
+                                                  run_crawl_ray)
+    from markdown_lab_ray.sources.synth import SiteSpec, SyntheticWeb
+    from markdown_lab_ray.state.streaming import (create_ingest_shards,
+                                                  ingest_batch,
+                                                  ingest_snapshot)
+
+    spec = SiteSpec(n_hosts=4, pages_per_host=8, n_images=10)
+    cfg = EngineConfig(requests_per_second=0.1, round_seconds=60.0,
+                       max_rounds=3, max_depth=2, seen_shards=2)
+    out = str(tmp_path / "crawl")
+    run_crawl_ray(lambda: SyntheticWeb(spec), spec.seed_urls(), out, cfg)
+
+    order = read_crawl_order(out)
+    assert len(order) > 10
+    # the crawl stream as ingest events: one event per scheduled fetch;
+    # event time = (round, fetch position) packed into one int64 so a
+    # later round's fetch of the same URL wins the upsert
+    events = pd.DataFrame({
+        "key": order["seen_key"],
+        "ts": (order["round"].to_numpy(np.int64) * 1_000_000
+               + np.arange(len(order), dtype=np.int64)),
+        "event_id": np.arange(len(order), dtype=np.int64),
+        "value": order["loc"],
+    })
+
+    shards = create_ingest_shards(3)
+    per_round_dups = []
+    for rnd in sorted(order["round"].unique()):
+        batch = events[order["round"].to_numpy() == rnd]
+        s1 = ingest_batch(shards, batch)
+        s2 = ingest_batch(shards, batch)       # duplicate round delivery
+        per_round_dups.append((len(batch), s2["duplicates"]
+                               - s1["duplicates"]))
+    # every replayed row was dropped by the ledger, none applied twice
+    assert all(n == d for n, d in per_round_dups)
+
+    snap = ingest_snapshot(shards)
+    clean = (events.sort_values(["ts", "event_id"])
+             .groupby("key", sort=True).last().reset_index()
+             [["key", "ts", "event_id", "value"]])
+    pd.testing.assert_frame_equal(
+        snap.reset_index(drop=True), clean.reset_index(drop=True))
+    # crawl semantics carried through: one state row per distinct URL
+    assert len(snap) == order["seen_key"].nunique()
+    for s in shards:
+        ray.kill(s)
