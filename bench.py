@@ -198,7 +198,7 @@ def _run_dedup_scaling_workload(num_cpus: int) -> dict:
 
     from markdown_lab_ray.pipelines.mixture import training_mixture
 
-    n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "300000"))
+    n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "2000000"))
     # warm the worker pool (same rule as the crawl workload)
     rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         lambda b: b, batch_size=1).count()
@@ -372,7 +372,7 @@ def main() -> None:
             "metric": "scaling",
             "workload": (
                 "training_mixture curation, "
-                f"{os.environ.get('GRAFT_DEDUP_DOCS', '300000')} docs "
+                f"{os.environ.get('GRAFT_DEDUP_DOCS', '2000000')} docs "
                 "gated+deduped+decontaminated+packed"
                 if workload == "dedup" else
                 "synthetic crawl, 512000 pages fetched+converted+chunked"),
