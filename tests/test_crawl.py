@@ -256,3 +256,17 @@ def test_links_explode_vectorized_parity():
     empty = pa.table({"depth": pa.array([], pa.int64()),
                       "links": pa.array([], pa.list_(pa.string()))})
     assert links_explode_batch(empty).num_rows == 0
+
+    # Arrow edge shapes the row loop never saw: null list entries and
+    # null items vanish (list_flatten drops them, the scheme filter
+    # null-fills), large_list works like list
+    nul = pa.table({
+        "depth": pa.array([0, 1], pa.int64()),
+        "links": pa.array([["http://a.com/x"], None],
+                          pa.list_(pa.string()))})
+    assert links_explode_batch(nul).num_rows == 1
+    big = pa.table({
+        "depth": pa.array([0], pa.int64()),
+        "links": pa.array([["http://a.com/x", None, "https://b.com/y"]],
+                          pa.large_list(pa.string()))})
+    assert links_explode_batch(big).num_rows == 2
