@@ -805,12 +805,13 @@ def _update_authority_edges(host_edges: set, docs_dir: str, cfg) -> set:
 
     def partial(b: pa.Table) -> pa.Table:
         # vectorized explode (same shape as links_explode_batch): keep
-        # 200s, list_flatten the links, take the page host per link,
-        # then one netloc parse per surviving link; the distinct-pairs
-        # set is O(host pairs) per block, same as extract_host_edges
+        # 200s, list_flatten the links, take the page host per link;
+        # dst host comes from an Arrow regex kernel — for http(s) URLs
+        # ``[^/?#]*`` after the scheme IS urlparse's netloc (equality
+        # pinned in tests/test_crawl_authority.py), so no Python parse
+        # touches the per-link fold at all.  The distinct-pairs set is
+        # O(host pairs) per block, same as extract_host_edges.
         import pyarrow.compute as pc
-
-        from ..kernels.urls import get_domain_from_url
 
         b = b.filter(pc.equal(b.column("status"), 200))
         links = b.column("links")
@@ -819,11 +820,13 @@ def _update_authority_edges(host_edges: set, docs_dir: str, cfg) -> set:
         keep = pc.fill_null(
             pc.or_(pc.starts_with(flat, pattern="http://"),
                    pc.starts_with(flat, pattern="https://")), False)
-        pairs = {(s, d) for s, d in zip(
-            srcs.filter(keep).to_pylist(),
-            (get_domain_from_url(u)
-             for u in flat.filter(keep).to_pylist()))
-            if d and d != s}
+        dsts = pc.struct_field(
+            pc.extract_regex(flat.filter(keep),
+                             pattern=r"^https?://(?P<host>[^/?#]*)"),
+            "host")
+        pairs = {(s, d) for s, d in zip(srcs.filter(keep).to_pylist(),
+                                        dsts.to_pylist())
+                 if d and d != s}
         ps = sorted(pairs)
         return pa.table({"src": pa.array([a for a, _ in ps], pa.string()),
                          "dst": pa.array([d for _, d in ps], pa.string())})

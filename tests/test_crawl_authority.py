@@ -125,3 +125,24 @@ def test_crawl_cli_authority_flag(ray_session, tmp_path):
     oracle = run_crawl_oracle(SyntheticWeb(spec).resolve,
                               spec.seed_urls(), cfg)
     assert read_crawl_order(out)["loc"].tolist() == oracle["order"]
+
+
+def test_arrow_netloc_regex_equals_urlparse():
+    """The authority fold's Arrow host kernel (``[^/?#]*`` after the
+    scheme) must equal urlparse().netloc for every http(s) URL shape —
+    the contract that lets the per-link fold skip Python parsing."""
+    from urllib.parse import urlparse
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    urls = ["http://a.com/x", "https://u:p@h.com:8080/p?q#f",
+            "http://h.com?q=1", "http://h.com#f", "http://h.com",
+            "https://h.com/", "http://[::1]:8080/x",
+            "https://sub.h.co.uk/p/q", "http://h.com:80",
+            "http://h.com/path#frag?notquery", "https://h.com//double"]
+    got = pc.struct_field(
+        pc.extract_regex(pa.array(urls),
+                         pattern=r"^https?://(?P<host>[^/?#]*)"),
+        "host").to_pylist()
+    assert got == [urlparse(u).netloc for u in urls]
