@@ -8,7 +8,10 @@ import re
 
 def main() -> None:
     src = open("__ray_entry__.py").read()
-    q = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    # the registry literal is `base = {...}` since the round-5 rotation
+    # wrapper (falls back to a bare `return {...}` form)
+    q = re.search(r"def queries\(\).*?(?:base =|return) \{(.*?)\n    \}",
+                  src, re.S)
     o = re.search(r"def oracle_sql\(\).*?return \{(.*?)\n    \}", src, re.S)
     qnames = re.findall(r'"([a-z0-9_]+)": (q_[a-z0-9_]+)', q.group(1))
     onames = set(re.findall(r'"([a-z0-9_]+)":', o.group(1)))
