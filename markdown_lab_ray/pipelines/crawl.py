@@ -820,8 +820,13 @@ def _update_authority_edges(host_edges: set, docs_dir: str, cfg) -> set:
         keep = pc.fill_null(
             pc.or_(pc.starts_with(flat, pattern="http://"),
                    pc.starts_with(flat, pattern="https://")), False)
+        # urlsplit strips \t\r\n anywhere in the URL (WHATWG rule) —
+        # mirror it so a malformed href like "http://a.\tcom/x" yields
+        # the same host key as the urlparse-based crawl/oracle paths
+        cleaned = pc.replace_substring_regex(
+            flat.filter(keep), pattern="[\\t\\r\\n]", replacement="")
         dsts = pc.struct_field(
-            pc.extract_regex(flat.filter(keep),
+            pc.extract_regex(cleaned,
                              pattern=r"^https?://(?P<host>[^/?#]*)"),
             "host")
         pairs = {(s, d) for s, d in zip(srcs.filter(keep).to_pylist(),

@@ -38,11 +38,15 @@ def _rule_regex(pattern: str) -> re.Pattern:
 
 
 def _rule_octets(pattern: str) -> int:
-    """RFC 9309 specificity length of a rule: octets of the pattern
-    with the ``*`` wildcards and trailing ``$`` anchor excluded (they
-    match zero-or-more / zero octets, so they must not add length)."""
-    body = pattern[:-1] if pattern.endswith("$") else pattern
-    return len(body) - body.count("*")
+    """RFC 9309 specificity length of a rule.  A trailing ``$`` anchor
+    matches zero octets, so it is excluded (an anchored rule must not
+    outrank its unanchored twin on a tie).  ``*`` wildcards ARE counted
+    — google/robotstxt (the de-facto reference implementation by the
+    RFC's authors) ranks by raw pattern length, so ``Disallow: /p*``
+    outranks ``Allow: /p`` and the page stays blocked; for a polite
+    crawler the conservative (block-on-ambiguity) reading is the safe
+    one."""
+    return len(pattern) - (1 if pattern.endswith("$") else 0)
 
 
 @dataclass
@@ -57,12 +61,13 @@ class RobotsRules:
         """RFC 9309 precedence: the LONGEST matching rule wins (octet
         length of the pattern), Allow beating Disallow on ties; no
         match → allowed.  ``*``/``$`` wildcards supported in both rule
-        kinds.  Specificity is counted on the pattern's OCTETS per the
-        RFC — ``$`` anchors and ``*`` wildcards contribute zero length
-        (so ``/p*`` does not outrank ``/p``, and a ``$``-anchored rule
-        gains nothing over an unanchored one), matching how major
-        crawlers break mixed Allow/Disallow wildcard ties.  The match
-        target is path + '?query' when present."""
+        kinds.  Specificity counts the pattern's octets with the
+        trailing ``$`` anchor excluded (it matches zero octets, so a
+        ``$``-anchored rule gains nothing over an unanchored one on a
+        tie) and ``*`` counted, matching google/robotstxt's raw-length
+        ranking — mixed Allow/Disallow wildcard ties resolve the way
+        major crawlers resolve them (block).  The match target is
+        path + '?query' when present."""
         parts = urlsplit(url)
         target = (parts.path or "/") + (
             f"?{parts.query}" if parts.query else "")

@@ -49,9 +49,12 @@ def test_round5_rotation_contract(ray_session):
     rotation = entrymod._ROUND5_ROTATION
     assert len(rotation) == 50 and len(set(rotation)) == 50
     assert qs[:50] == rotation
+    import pathlib
+
     sqls = entrymod.oracle_sql()
     assert all(name in sqls for name in rotation)   # all value-hashed
-    r04 = set(json.load(open("/root/repo/CORRECTNESS_r04.json")))
+    r04 = set(json.load(open(pathlib.Path(__file__).resolve().parent.parent
+                             / "CORRECTNESS_r04.json")))
     assert not r04 & set(rotation)                  # fresh coverage
     # the r04-green 50 are still registered (coverage is a union)
     assert r04 <= set(qs)

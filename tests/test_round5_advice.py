@@ -144,19 +144,20 @@ def test_cached_resolver_transient_conditional_falls_through():
 # ---------------------------------------------------------------- 4 --
 
 
-def test_robots_specificity_excludes_metacharacters():
+def test_robots_specificity_excludes_dollar_anchor():
     from markdown_lab_ray.state.robots import RobotsRules, _rule_octets
 
     assert _rule_octets("/p") == 2
-    assert _rule_octets("/p*") == 2          # '*' adds nothing
-    assert _rule_octets("/p$") == 2          # '$' adds nothing
-    assert _rule_octets("/page/*/x") == 8
+    assert _rule_octets("/p$") == 2          # '$' anchor adds nothing
+    # '*' IS counted — google/robotstxt ranks by raw pattern length,
+    # so wildcard Disallow ties resolve to block (conservative)
+    assert _rule_octets("/p*") == 3
+    assert _rule_octets("/page/*/x") == 9
 
-    # '/p*' (disallow) vs '/p' (allow): same octet length → tie →
-    # Allow wins per RFC 9309.  The old len(rule) ranking let the
-    # wildcard rule outrank and disallow.
+    # '/p*' (disallow, len 3) vs '/p' (allow, len 2): disallow wins,
+    # matching the reference parser — the polite reading
     r = RobotsRules(disallow=["/p*"], allow=["/p"], fetched=True)
-    assert r.allows("http://h/page")
+    assert not r.allows("http://h/page")
 
     # '$'-anchored rule must not gain a length point: '/a$' (disallow)
     # ties '/a' (allow) → allowed
