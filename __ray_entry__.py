@@ -9054,6 +9054,64 @@ def entry() -> Any:
     return convert_documents("/root/testdata/sf0.001")
 
 
+def q_value_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST of event value within its event type
+    (RANK tie semantics, exact integer micro-units — the SQL window
+    pair, distributed as one keyed map_groups with vectorized
+    searchsorted ranks)."""
+    from markdown_lab_ray.stages.analytics import percent_rank_table
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return percent_rank_table(ds)
+
+
+SQL_VALUE_PERCENT_RANK = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN n > 1 THEN ((r - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_micro,
+       CAST((c * 1000000) // n AS BIGINT) AS cume_micro
+FROM (
+  SELECT event_id, event_type,
+         RANK() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS c
+  FROM events)
+ORDER BY event_id
+"""
+
+
+def q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution: each purchase splits 1000000
+    micro-credits equally (integer //) across the user's distinct
+    strictly-earlier non-purchase event types — the equal-split twin
+    of last_touch (one user-bucketed shuffle + tiny keyed Sum)."""
+    from markdown_lab_ray.stages.analytics import linear_attribution
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    return linear_attribution(ds)
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH pur AS (
+  SELECT event_id AS pid, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+prior AS (
+  SELECT DISTINCT p.pid, e.event_type AS t
+  FROM pur p JOIN events e
+    ON e.user_id = p.user_id AND e.ts < p.ts
+   AND e.event_type <> 'purchase'),
+n AS (SELECT pid, COUNT(*) AS n FROM prior GROUP BY pid)
+SELECT t AS touch_type,
+       CAST(SUM(1000000 // n.n) AS BIGINT) AS credit_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM prior JOIN n USING (pid)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # The driver's correctness harness checks the FIRST 50 entries of
 # queries() (verified: CORRECTNESS_r04 == first 50 of the r04 ordering).
 # Round-5 rotation: surface 50 DuckDB-oracled queries the driver has
@@ -9362,6 +9420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_clips": q_audio_clips,
         "caption_alignment": q_caption_alignment,
         "alignment_filter": q_alignment_filter,
+        "value_percent_rank": q_value_percent_rank,
+        "linear_attribution": q_linear_attribution,
     }
     out = {name: base[name] for name in _ROUND5_ROTATION}
     out.update(base)
@@ -9497,6 +9557,8 @@ def oracle_sql() -> dict[str, str]:
         "setsim_pairs": SQL_SETSIM_PAIRS,
         "sssp_parts": SQL_SSSP_PARTS,
         "last_touch": SQL_LAST_TOUCH,
+        "value_percent_rank": SQL_VALUE_PERCENT_RANK,
+        "linear_attribution": SQL_LINEAR_ATTRIBUTION,
         "gains_deciles": SQL_GAINS_DECILES,
         "pmi_bigrams": SQL_PMI_BIGRAMS,
         "kmeans_lloyd": SQL_KMEANS_LLOYD,

@@ -4531,3 +4531,96 @@ def selectivity_estimate(ds, value_col: str, lo_cents: int,
     return pd.DataFrame([{
         "n_rows": n, "n_exact": exact, "n_sample_hits": hits,
         "n_estimate": est, "err_bp": err_bp}]).astype("int64")
+
+
+def percent_rank_table(ds, key_col: str = "event_type",
+                       value_col: str = "value",
+                       id_col: str = "event_id"):
+    """Per-key PERCENT_RANK and CUME_DIST of ``value_col`` — the SQL
+    window pair ``RANK()-1 / (n-1)`` and ``count(<=v)/n`` in exact
+    integer micro-units (``//`` both sides, so the DuckDB twin is
+    bit-equal).  Ties take the MIN rank (RANK semantics).
+
+    Scale shape: percent-rank needs each key's full value ORDER, so
+    this is one keyed ``map_groups`` with a vectorized in-group
+    searchsorted (no per-row loop).  Partitioning assumption: one
+    key's rows fit one group task — valid for bounded key vocabularies
+    (event types, languages); an unbounded-cardinality percent-rank
+    would need the 2-pass histogram approach of ``stages/sketch.py``.
+    Output: one row per input row (id, key, pr_micro, cume_micro).
+    """
+    import pandas as pd
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(np.float64)
+        order = np.sort(v)
+        n = len(v)
+        rank = np.searchsorted(order, v, side="left").astype(np.int64) + 1
+        cume = np.searchsorted(order, v, side="right").astype(np.int64)
+        pr = ((rank - 1) * 1_000_000) // (n - 1) if n > 1 \
+            else np.zeros(n, np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "pr_micro": pr,
+            "cume_micro": (cume * 1_000_000) // n,
+        }).astype({"pr_micro": "int64", "cume_micro": "int64"})
+
+    return (ds.groupby(key_col).map_groups(fold, batch_format="pandas")
+            .sort(id_col))
+
+
+def linear_attribution(ds, user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       conv_type: str = "purchase", n_buckets: int = 64):
+    """Linear multi-touch attribution: every ``conv_type`` event
+    credits 1/n (exact ``1000000 // n`` micro-units) to EACH of the
+    user's DISTINCT strictly-earlier non-conversion event types —
+    the equal-split counterpart of ``last_touch_attribution``.
+
+    Scale shape: ONE user-bucketed shuffle (a user's history lives
+    wholly in its bucket); in-bucket the prior-touch set is a single
+    vectorized merge (events x same-user conversions, ts-filtered,
+    distinct-typed) — per-user cost is |events| x |conversions| for
+    that user, bounded per user, never cross-user; per-bucket
+    (type, credit, touches) partials fold through one tiny keyed Sum
+    over the type vocabulary.  Output: (touch_type, credit_micro,
+    n_touches) sorted by touch_type.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .bucketing import tag_buckets_batch
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g[g[type_col] == conv_type]
+        touches = g[g[type_col] != conv_type]
+        if conv.empty or touches.empty:
+            return pd.DataFrame({"touch_type": pd.Series(dtype=object),
+                                 "credit_micro": pd.Series(dtype="int64"),
+                                 "n_touches": pd.Series(dtype="int64")})
+        m = touches[[user_col, ts_col, type_col]].merge(
+            conv[[user_col, ts_col, id_col]].rename(
+                columns={ts_col: "_cts", id_col: "_cid"}), on=user_col)
+        m = m[m[ts_col] < m["_cts"]]
+        d = m[["_cid", type_col]].drop_duplicates()
+        n_per = d.groupby("_cid")[type_col].transform("size").to_numpy()
+        credit = 1_000_000 // n_per
+        out = pd.DataFrame({"touch_type": d[type_col].to_numpy(),
+                            "credit_micro": credit,
+                            "n_touches": np.ones(len(d), np.int64)})
+        return (out.groupby("touch_type", sort=False).sum().reset_index()
+                .astype({"credit_micro": "int64", "n_touches": "int64"}))
+
+    tagged = ds.map_batches(
+        tag_buckets_batch, batch_format="pyarrow",
+        fn_kwargs=dict(key_col=user_col, n_buckets=n_buckets))
+    part = tagged.groupby("_b").map_groups(
+        lambda g: fold(g.drop(columns=["_b"])), batch_format="pandas")
+    agg = (part.groupby("touch_type")
+           .aggregate(Sum("credit_micro", alias_name="credit_micro"),
+                      Sum("n_touches", alias_name="n_touches")))
+    return agg.map_batches(
+        lambda b: b.select(["touch_type", "credit_micro", "n_touches"]),
+        batch_format="pyarrow").sort("touch_type")
